@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Ancestor-closure over an adjacency (id, parent_id) relation — the
+  * reference's per-row `while` parent-chase (`usnvc.py:508-515`)
+  * re-expressed as a depth-bound iterative self-join: O(depth) joins
+  * *total* instead of O(depth) scans *per row*.
+  *
+  * Scale: each iteration joins the current frontier against the (usually
+  * small) edge relation; when the edge table fits in memory the join is a
+  * broadcast, so the closure costs depth× map-side joins and no shuffle of
+  * the frontier. Depth is bounded (16 in the reference taxonomy,
+  * `d_classification_level.txt:1-17`), so plan growth stays linear; each
+  * frontier is persisted to stop Catalyst re-deriving the whole lineage.
+  */
+object Hierarchy {
+
+  /** @param nodes DataFrame with `idCol` (unique) and `parentCol`
+    *              (nullable; null = root).
+    * @return (id, ancestor, depth) — one row per (node, ancestor) pair,
+    *         depth 1 = immediate parent, increasing toward the root.
+    */
+  def ancestorClosure(
+      nodes: DataFrame,
+      idCol: String,
+      parentCol: String,
+      maxDepth: Int = 32,
+      broadcastEdges: Boolean = true): DataFrame = {
+    val edges0 = nodes.select(col(idCol).as("id"), col(parentCol).as("parent"))
+    val edges = if (broadcastEdges) broadcast(edges0) else edges0
+
+    var frontier = edges0.filter(col("parent").isNotNull)
+      .select(col("id"), col("parent").as("ancestor"), lit(1).as("depth"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var acc = frontier
+    var depth = 1
+    var continue = frontier.limit(1).count() > 0
+    while (continue && depth < maxDepth) {
+      val next = frontier.alias("f")
+        .join(edges.alias("e"), col("f.ancestor") === col("e.id"))
+        .filter(col("e.parent").isNotNull)
+        .select(col("f.id"), col("e.parent").as("ancestor"),
+          (col("f.depth") + 1).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      continue = next.limit(1).count() > 0
+      if (continue) { acc = acc.union(next); frontier = next; depth += 1 }
+    }
+    acc
+  }
+
+  /** Closure folded to one row per node: nearest-first ancestor array +
+    * node depth — the shape the reference nests into each document
+    * (`usnvc.py:444-449`). */
+  def ancestorPaths(
+      nodes: DataFrame,
+      idCol: String,
+      parentCol: String,
+      maxDepth: Int = 32): DataFrame =
+    ancestorClosure(nodes, idCol, parentCol, maxDepth)
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("depth"), col("ancestor")))),
+          x => x.getField("ancestor")).as("ancestors"),
+        max(col("depth")).as("depth"))
+}

@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage (SURVEY.md §2.2–§2.4, §2.7 generalized):
+  * scan+filter+project, inner/left/semi/anti joins, broadcast dim joins,
+  * group-by aggregation, window functions, global top-k, set ops,
+  * group-to-list nesting, CASE logic. Each query has a DuckDB oracle.
+  *
+  * Scale notes (100 TB): every filter is a plain parquet-pushable predicate;
+  * dims (region/nation/supplier/part) are broadcast so the only shuffles are
+  * the keyed aggregations and the orders⋈lineitem / customer⋈orders joins,
+  * which AQE plans as shuffled hash joins on the natural keys.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1 analog: one wide scan, map-side partial aggregation, 6 groups.
+    * At scale this is scan-bound; no join, single shuffle of 6 rows/partition. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    l.filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asDollars(sum(cents(col("l_quantity")))).as("sum_qty"),
+        asDollars(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).cast("double") / 10000.0)
+          .as("sum_disc_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))) * (lit(100L) + cents(col("l_tax"))))
+          .cast("double") / 1000000.0).as("sum_charge"),
+        (sum(cents(col("l_quantity"))).cast("double") / count(lit(1)) / 100.0).as("avg_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / count(lit(1)) / 100.0).as("avg_price"),
+        (sum(cents(col("l_discount"))).cast("double") / count(lit(1)) / 100.0).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(${sqlCents("l_quantity")})/100.0 AS sum_qty,
+       |  sum(${sqlCents("l_extendedprice")})/100.0 AS sum_base_price,
+       |  sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}))/10000.0 AS sum_disc_price,
+       |  sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}) * (100 + ${sqlCents("l_tax")}))/1000000.0 AS sum_charge,
+       |  CAST(sum(${sqlCents("l_quantity")}) AS DOUBLE)/count(*)/100.0 AS avg_qty,
+       |  CAST(sum(${sqlCents("l_extendedprice")}) AS DOUBLE)/count(*)/100.0 AS avg_price,
+       |  CAST(sum(${sqlCents("l_discount")}) AS DOUBLE)/count(*)/100.0 AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + pushed predicate: ReadSchema should show only the 5
+    * referenced columns and PushedFilters the shipdate/quantity bounds. */
+  def filterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")) &&
+        col("l_quantity") >= 48.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"),
+        concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_status"))
+
+  val filterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+      |  concat_ws('-', l_returnflag, l_linestatus) AS flag_status
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity >= 48.0""".stripMargin
+
+  /** TPC-H Q3 analog: selective dim filter → two shuffled joins → agg →
+    * deterministic top-k (exact cents revenue breaks ties before orderkey). */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c4
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** EXISTS → left-semi join (SURVEY §2.3 "semi/anti variants"). */
+  def semiJoinPriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"))
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val semiJoinPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** NOT EXISTS → left-anti join (customers with no urgent orders). */
+  def antiJoinCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+  }
+
+  val antiJoinCustomersSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_customers,
+       |  sum(${sqlCents("c_acctbal")}) AS acctbal_cents
+       |FROM customer
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderpriority = '1-URGENT')
+       |GROUP BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q5 analog: 5-way join; region/nation/supplier are broadcast so
+    * only customer⋈orders⋈lineitem shuffle. Local-supplier predicate
+    * (c_nationkey = s_nationkey) applied post-join. */
+  def localSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    val l = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("revenue_c4"))
+  }
+
+  val localSupplierVolumeSql: String =
+    s"""SELECT n_name,
+       |  sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c4
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name""".stripMargin
+
+  /** TPC-H Q6 analog: pure scan-side predicate + single global aggregate.
+    * Note: double comparisons against literals are engine-portable (both
+    * compare the identical stored IEEE value); only double *summation* is
+    * not, hence the cents lift. */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+        col("l_quantity") < 24.0)
+      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))).cast("double") / 10000.0)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val forecastRevenueSql: String =
+    s"""SELECT sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_discount")})/10000.0 AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24.0""".stripMargin
+
+  /** Left outer join preserving unmatched left rows (SURVEY J1/J11). */
+  def leftJoinOrders(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("spend_cents"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend_cents"))
+  }
+
+  val leftJoinOrdersSql: String =
+    s"""SELECT c_custkey, c_mktsegment,
+       |  coalesce(n_orders, 0) AS n_orders, coalesce(spend_cents, 0) AS spend_cents
+       |FROM customer LEFT JOIN (
+       |  SELECT o_custkey, count(*) AS n_orders,
+       |    sum(${sqlCents("o_totalprice")}) AS spend_cents
+       |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin
+
+  /** Window function: top-3 orders per customer by price (row_number with a
+    * total deterministic sort). */
+  def windowTopOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val windowTopOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn <= 3""".stripMargin
+
+  /** Global top-k with total order (sort + limit → TakeOrderedAndProject,
+    * which is O(k) per partition — no global sort at scale). */
+  def globalTopK(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(15)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  val globalTopKSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15""".stripMargin
+
+  /** Set operations: union-distinct / intersect / except over nation keys. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+    val u = c.union(sup).distinct().withColumn("op", lit("union"))
+    val i = c.intersect(sup).withColumn("op", lit("intersect"))
+    val e = c.distinct().except(sup).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e)
+  }
+
+  val setOpsSql: String =
+    """SELECT nationkey, 'union' AS op FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   UNION SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'intersect' AS op FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'except' AS op FROM
+      |  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |   EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin
+
+  /** Group-to-list nesting (SURVEY A1–A3): per order, the sorted line
+    * numbers — rendered as a canonical string so the oracle compare is
+    * representation-independent. */
+  def nestLineitems(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("line_numbers"),
+        count(lit(1)).as("n_lines"),
+        sum(cents(col("l_quantity"))).as("qty_cents"))
+
+  val nestLineitemsSql: String =
+    s"""SELECT l_orderkey,
+       |  string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS line_numbers,
+       |  count(*) AS n_lines,
+       |  sum(${sqlCents("l_quantity")}) AS qty_cents
+       |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  /** Multi-branch CASE (SURVEY F2 display-title pattern, generalized). */
+  def caseTiering(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("tier",
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("hot"))
+          .when(col("o_orderpriority") === "3-MEDIUM", lit("warm"))
+          .otherwise(lit("cold")))
+      .groupBy(col("tier"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+
+  val caseTieringSql: String =
+    s"""SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot'
+       |            WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+       |            ELSE 'cold' END AS tier,
+       |  o_orderstatus, count(*) AS n,
+       |  sum(${sqlCents("o_totalprice")}) AS total_cents
+       |FROM orders GROUP BY 1, 2""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    Q("q02_filter_project", filterProject, Some(filterProjectSql)),
+    Q("q03_shipping_priority", shippingPriority, Some(shippingPrioritySql)),
+    Q("q04_semi_join", semiJoinPriority, Some(semiJoinPrioritySql)),
+    Q("q05_local_supplier_volume", localSupplierVolume, Some(localSupplierVolumeSql)),
+    Q("q06_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
+    Q("q07_anti_join", antiJoinCustomers, Some(antiJoinCustomersSql)),
+    Q("q08_window_top_orders", windowTopOrders, Some(windowTopOrdersSql)),
+    Q("q09_global_topk", globalTopK, Some(globalTopKSql)),
+    Q("q10_set_ops", setOps, Some(setOpsSql)),
+    Q("q11_nest_lineitems", nestLineitems, Some(nestLineitemsSql)),
+    Q("q12_case_tiering", caseTiering, Some(caseTieringSql)))
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+package object queries {
+
+  /** One registered operator/query: the Spark implementation plus (when the
+    * semantics are ANSI-SQL-expressible) a DuckDB oracle over the same
+    * parquet tables. `oracle = None` → driver records a rows-only check.
+    */
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Exact money arithmetic: parquet doubles carry 2-decimal money values;
+    * `cents` lifts them to exact longs so sums/orderings hash-match the
+    * DuckDB oracle bit-for-bit (double summation order is engine- and
+    * partition-order-dependent; long summation is exact). The SQL twin is
+    * `CAST(round(x*100,0) AS BIGINT)`.
+    */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Exact → double at the very end: one division of an exact long by a
+    * constant is bit-deterministic in both engines. */
+  def asDollars(sumCents: Column): Column = sumCents.cast("double") / 100.0
+
+  def sqlCents(expr: String): String = s"CAST(round(($expr)*100,0) AS BIGINT)"
+}
