@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def groups: Seq[Q] =
-    RelationalQueries.all ++ HierarchyQueries.all
+    RelationalQueries.all ++ HierarchyQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

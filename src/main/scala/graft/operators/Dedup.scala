@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash group-by), n-gram Jaccard (exact set overlap),
+  * MinHash+LSH (sub-quadratic candidate generation), SimHash (Hamming
+  * near-dup). All set-oriented — no driver-side loops, no UDFs in the
+  * hot path.
+  *
+  * Two hash modes: the default (`portable = false`) uses xxhash64 —
+  * one codegen'd 64-bit hash per value, the 100 TB path. `portable =
+  * true` derives 60 bits from md5 hex, which every ANSI engine can
+  * reproduce (`conv(substr(md5(x),1,15),16,10)`), so the whole
+  * MinHash/SimHash pipeline is oracle-checkable in DuckDB bit-for-bit.
+  * Same dataflow, same shuffles — only the leaf hash differs.
+  *
+  * Scale notes: exact dedup is one shuffle on the fingerprint. The LSH
+  * path shuffles (doc, shingle) once to build signatures, then
+  * (band, bucket) once to find candidates — both keyed shuffles that
+  * partition evenly because bucket keys are hashes. The final verify
+  * join touches only candidate pairs (linear-ish in near-dup count),
+  * never the quadratic pair space.
+  */
+object Dedup {
+
+  /** Exact dedup on arbitrary key expression: keeps min(id) per group. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles, one row per (id, shingle). Texts
+    * shorter than n tokens yield one whole-text shingle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.whitespaceTokens(col(textCol))
+    val sh = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    ).otherwise(array(concat_ws(" ", toks)))
+    df.select(col(idCol), explode(sh).as("shingle")).distinct()
+  }
+
+  val MersennePrime31 = 2147483647L // 2^31 - 1
+
+  /** 60-bit hash of a string column. Portable mode = first 15 hex chars
+    * of md5 as an integer — reproducible in any engine with md5();
+    * fast mode = xxhash64 (codegen'd, no string intermediate). */
+  def stringHash(c: Column, portable: Boolean): Column =
+    if (portable) conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    else xxhash64(c)
+
+  /** Fixed, seed-derived universal-hash parameters (deterministic across
+    * runs/engines — required for resumable pipelines and oracle checks). */
+  def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Exact pairwise n-gram Jaccard ≥ minJaccard via a shingle equi-join:
+    * candidate pairs are only those sharing ≥1 shingle. Correct and
+    * fully SQL-expressible; quadratic only within shingle buckets, so at
+    * very large scale prefer [[minHashPairs]] (same output minus LSH
+    * false negatives) or cap bucket width by dropping too-frequent
+    * shingles (stopword-shingle suppression). */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    jaccardOverPairs(sh, idCol,
+      sh.alias("a").join(sh.alias("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+        .agg(count(lit(1)).as("common")),
+      minJaccard)
+  }
+
+  /** (id_a, id_b, common) + per-id shingle counts → jaccard filter. */
+  private def jaccardOverPairs(
+      sh: DataFrame, idCol: String, common: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod p over
+    * a 60-bit shingle hash reduced mod p; one aggregation computes all k
+    * mins map-side (partial agg), so the shuffle carries only k longs
+    * per doc. Returns (id, mh_0 … mh_{k-1}). */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+      .withColumn("h", pmod(stringHash(col("shingle"), portable),
+        lit(MersennePrime31)))
+    val mins = hashParams(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"mh_$i")
+    }
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over (id, mh_*) signatures: docs agreeing on all `rows`
+    * components of any band are candidates. Collision probability for
+    * Jaccard j is 1-(1-j^rows)^bands (≈ step at j ≈ (1/bands)^(1/rows);
+    * 16×4 → ~0.5). Band key = hash of the comma-joined component string
+    * (portable: md5 hex — identical in any engine). */
+  def lshCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      bands: Int, rows: Int, portable: Boolean = false): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val joined = concat_ws(",",
+        (0 until rows).map(r => col(s"mh_${b * rows + r}").cast("string")): _*)
+      if (portable) md5(joined).as(s"bh_$b") else xxhash64(joined).cast("string").as(s"bh_$b")
+    }
+    val banded = signatures
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), posexplode(array((0 until bands).map(b => col(s"bh_$b")): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from banding, then
+    * exact-Jaccard verification restricted to candidates. Output ⊆
+    * [[ngramJaccardPairs]] (false negatives only, no false positives). */
+  def minHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, minJaccard: Double = 0.5,
+      seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minHashSignatures(df, idCol, textCol, shingleN, numHashes, seed, portable)
+    val cand = lshCandidatePairs(sigs, idCol, bands, numHashes / bands, portable)
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val common = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    jaccardOverPairs(sh, idCol, common, minJaccard)
+  }
+
+  /** SimHash signatures over distinct n-gram shingles: per-shingle 60/64
+    * bit hash, ±1 votes per bit, sign → bit. One group-by; the per-bit
+    * sums partial-aggregate map-side. nBits = 60 portable / 64 fast. */
+  def simHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+    val nBits = if (portable) 60 else 64
+    val sh = shingles(df, idCol, textCol, shingleN)
+      .withColumn("h", stringHash(col("shingle"), portable))
+    val votes = (0 until nBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v_$i")
+    }
+    sh.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until nBits).map(i => when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using
+    * 4-band blocking (two signatures within Hamming k share ≥1 exact
+    * band when k ≤ 3, by pigeonhole at 4 bands). */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val nBits = if (portable) 60 else 64
+    val bandBits = nBits / 4
+    val mask = (1L << bandBits) - 1
+    val sigs = simHashSignatures(df, idCol, textCol, shingleN, portable)
+    val banded = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * score every corpus vector scan-side, per-query top-k via window.
+  * Scale path: partitioned (IVF-style) search — restrict scoring to the
+  * query's coarse cluster(s); and random-hyperplane LSH bucketing.
+  * All scoring is Column-expression math (zip_with/aggregate HOFs →
+  * codegen), no UDFs.
+  */
+object Similarity {
+
+  /** Dot product in double precision (cast first: float accumulation is
+    * neither associative nor engine-portable). Left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k: queries × corpus scored via broadcast
+    * nested-loop join (no shuffle of the corpus), then per-query top-k.
+    * Similarity is rounded so downstream rank ties break identically on
+    * any engine; exact FP noise below 1e-6 never reorders results.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as(queryIdCol), col(vecCol).as("__qvec")))
+    val scored = corpus.join(q, col(queryIdCol) =!= col(idCol))
+      .withColumn("similarity", round(cosine(col("__qvec"), col(vecCol)), 6))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("similarity").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        col("rank"), col("similarity"))
+  }
+
+  /** IVF-style partitioned top-k: corpus pre-assigned to coarse clusters
+    * (`clusterCol` — from k-means, LSH, or an upstream partitioner);
+    * each query probes only its own cluster. Trades recall for a
+    * 1/n_clusters scan fraction; nprobe>1 = union over nearest clusters.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, clusterCol: String, k: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as(queryIdCol), col(vecCol).as("__qvec"),
+      col(clusterCol).as("__qcluster")))
+    val scored = corpus
+      .join(q, col("__qcluster") === col(clusterCol) && col(queryIdCol) =!= col(idCol))
+      .withColumn("similarity", round(cosine(col("__qvec"), col(vecCol)), 6))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("similarity").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        col("rank"), col("similarity"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `nBits` sign bits of projections
+    * onto fixed seed-derived hyperplanes. Vectors in the same bucket are
+    * near-duplicate candidates (cosine-LSH). Deterministic across runs. */
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 7L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = (0 until dim).map(j =>
+        element_at(vec.cast("array<double>"), j + 1) * lit(p(j))).reduce(_ + _)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Near-dup pairs with cosine ≥ minSim, restricted to pairs sharing a
+    * blocking key (pre-assigned cluster, LSH bucket, …): the general
+    * sub-quadratic shape — exact verification within blocks, recall
+    * governed by the blocking function. */
+  def blockedNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bucket: Column, minSim: Double): DataFrame = {
+    val b = corpus.select(col(idCol), col(vecCol), bucket.as("bucket"))
+    b.alias("x").join(b.alias("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("similarity",
+        round(cosine(col(s"x.$vecCol"), col(s"y.$vecCol")), 6))
+      .filter(col("similarity") >= minSim)
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("similarity"))
+  }
+
+  /** Embedding near-dup pairs within random-hyperplane LSH buckets — the
+    * scale path for embedding-level dedup (sub-quadratic; exact
+    * within-bucket verification, LSH-probability recall across buckets).
+    */
+  def embeddingNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, minSim: Double, nBits: Int = 8): DataFrame =
+    blockedNearDupPairs(corpus, idCol, vecCol,
+      hyperplaneBucket(col(vecCol), dim, nBits), minSim)
+}

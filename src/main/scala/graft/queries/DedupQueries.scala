@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Near-duplicate detection coverage on `documents` (SURVEY north-star:
+  * n-gram Jaccard, MinHash+LSH, SimHash). The oracle SQL replays the
+  * *entire* pipeline — shingling, the md5-derived portable hash, the
+  * seed-derived permutations, banding, Hamming blocking — in DuckDB, so
+  * the check validates the algorithm end-to-end (not just a lucky
+  * recall=1 corpus).
+  *
+  * Scale notes: the exact-Jaccard query is quadratic within shingle
+  * buckets (fine for dedup-scale corpora after stop-shingle capping);
+  * MinHash+LSH and SimHash banding are the 100 TB paths — candidate
+  * generation is linear in rows × bands, and verification touches only
+  * colliding pairs.
+  */
+object DedupQueries {
+
+  private val P = Dedup.MersennePrime31
+
+  /** Shared DuckDB CTEs: distinct word n-gram shingles per doc (n=3),
+    * whole-text shingle for short docs — mirrors [[Dedup.shingles]]. */
+  private def shingleCtes(n: Int): String =
+    s"""docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |         FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
+       |       FROM docs, unnest(range(1, greatest(len(toks)-${n - 2}, 2))) t(i))""".stripMargin
+
+  private val jaccardTail: String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+       |SELECT id_a, id_b,
+       |  common::DOUBLE/(sa.n_sh + sb.n_sh - common) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE common::DOUBLE/(sa.n_sh + sb.n_sh - common) >= 0.5""".stripMargin
+
+  /** Exact pairwise 3-gram Jaccard ≥ 0.5 via shingle equi-join. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, minJaccard = 0.5)
+
+  val ngramJaccardSql: String =
+    s"""WITH ${shingleCtes(3)},
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |           FROM sh a JOIN sh b
+       |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |$jaccardTail""".stripMargin
+
+  /** MinHash(64)+LSH(16×4) with exact-Jaccard verification ≥ 0.5,
+    * portable-hash mode so DuckDB replays it exactly. */
+  def minHashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+      seed = 42L, portable = true)
+
+  val minHashLshSql: String = {
+    val params = Dedup.hashParams(64, 42L)
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h*$a + $b) % $P) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 16).map { b =>
+      val comps = (0 until 4).map(r => s"mh_${b * 4 + r}").mkString(",")
+      s"SELECT doc_id, $b AS band_idx, md5(array_to_string([$comps], ',')) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shingleCtes(3)},
+       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
+       |      FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       |          AND x.doc_id < y.doc_id),
+       |common AS (SELECT id_a, id_b, count(*) AS common
+       |           FROM cand
+       |           JOIN sh a ON a.doc_id = id_a
+       |           JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
+       |           GROUP BY 1, 2),
+       |$jaccardTail""".stripMargin
+  }
+
+  /** SimHash(60-bit, shingle-set) pairs with Hamming ≤ 3 via 4×15-bit
+    * band blocking, portable-hash mode. */
+  def simHash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, maxHamming = 3, portable = true)
+
+  val simHashSql: String = {
+    val votes = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i").mkString(",\n  ")
+    val bits = (0 until 60).map(i =>
+      s"(CASE WHEN v_$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
+    s"""WITH ${shingleCtes(3)},
+       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT AS h FROM sh),
+       |votes AS (SELECT doc_id,
+       |  $votes
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM votes),
+       |banded AS (SELECT doc_id, simhash, b AS band_idx,
+       |             (simhash >> (b*15)) & 32767 AS band_val
+       |           FROM sig, unnest([0,1,2,3]) t(b)),
+       |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |            bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |          FROM banded x JOIN banded y
+       |            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |           AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("q19_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Q("q20_minhash_lsh", minHashLsh, Some(minHashLshSql)),
+    Q("q21_simhash", simHash, Some(simHashSql)))
+}

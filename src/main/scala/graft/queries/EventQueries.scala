@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event/time-series coverage over `events` (event_id, ts, user_id,
+  * event_type, value, props-json): tumbling-window aggregation,
+  * gap-based sessionization, semi-structured JSON extraction, and
+  * ROLLUP multi-level totals. Timestamps are compared as epoch
+  * microseconds (engine-neutral); money doubles via the cents lift.
+  *
+  * Scale notes: the tumbling window is a plain keyed aggregation
+  * (map-side partial), sessionization is one shuffle on user_id with
+  * two window passes over each user's (small) event list, and JSON
+  * extraction is scan-side. The same transforms run unchanged under
+  * Structured Streaming (window() + watermark); see graft.streaming.
+  */
+object EventQueries {
+
+  /** Hourly tumbling window per event type: volume, distinct users,
+    * exact value total. window() is the streaming-compatible operator;
+    * for 1h tumbling it equals date_trunc('hour'). */
+  def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(cents(col("value"))).as("value_cents"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("n_events"), col("n_users"), col("value_cents"))
+
+  val tumblingWindowSql: String =
+    s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       |  count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  sum(${sqlCents("value")}) AS value_cents
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity): session boundaries
+    * via lag, session index via running sum, then per-session rollup. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+    Tables.events(s, d)
+      .withColumn("new_session",
+        when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"),
+        sum(cents(col("value"))).as("value_cents"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM flagged)
+       |SELECT user_id, session_idx, count(*) AS n_events,
+       |  min(epoch_us(ts)) AS start_us,
+       |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+       |  sum(${sqlCents("value")}) AS value_cents
+       |FROM sess GROUP BY 1, 2""".stripMargin
+
+  /** Semi-structured extraction: JSON path into the props column, then
+    * keyed stats over the extracted value. */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+
+  val jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+      |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  count(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS n_distinct_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** ROLLUP totals: (type, day) → (type) → grand total in one pass. */
+  def rollupDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("value"))
+      .rollup(col("event_type"), col("day_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"))
+
+  val rollupDailySql: String =
+    s"""SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+       |  count(*) AS n_events,
+       |  sum(${sqlCents("value")}) AS value_cents
+       |FROM events
+       |GROUP BY ROLLUP (event_type, epoch_us(date_trunc('day', ts)))""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q25_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+    Q("q26_sessionize", sessionize, Some(sessionizeSql)),
+    Q("q27_json_props", jsonProps, Some(jsonPropsSql)),
+    Q("q28_rollup_daily", rollupDaily, Some(rollupDailySql)))
+}

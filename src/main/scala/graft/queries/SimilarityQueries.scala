@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search coverage over `embeddings` (vec_id, embedding:
+  * Array[Float], label): brute-force cosine top-k baseline, IVF-style
+  * cluster-probed top-k (label = coarse centroid assignment), and
+  * blocked embedding near-dup pairs. Scoring is double-precision
+  * left-fold Column math (bit-equal to DuckDB's list_dot_product),
+  * rounded to 6 dp so rank ties break identically.
+  *
+  * Scale notes: the query set is broadcast, so the corpus is scored
+  * scan-side with no shuffle; per-query top-k is one window over
+  * (query_id) — k rows per query survive. IVF probing multiplies
+  * throughput by the cluster count at the cost of recall.
+  */
+object SimilarityQueries {
+
+  /** DuckDB cosine over DOUBLE[] — same dot/norm structure as
+    * [[Similarity.cosine]], bit-equal before rounding. */
+  private def sqlCos(a: String, b: String): String =
+    s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
+
+  /** Brute-force cosine top-5 for the first 20 vectors as queries. */
+  def knnBruteForce(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 5)
+  }
+
+  val knnBruteForceSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    ${sqlCos("qv", "cv")} AS similarity
+       |  FROM q JOIN c ON query_id <> vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY similarity DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, rank, similarity FROM r
+       |WHERE rank <= 5""".stripMargin
+
+  /** IVF-style top-5: probe only the query's own cluster (label). */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", "label", k = 5)
+  }
+
+  val knnIvfSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+       |             embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    ${sqlCos("qv", "cv")} AS similarity
+       |  FROM q JOIN c ON ql = label AND query_id <> vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY similarity DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, rank, similarity FROM r
+       |WHERE rank <= 5""".stripMargin
+
+  /** Embedding near-dup pairs: cosine ≥ 0.35 within label blocks (the
+    * oracle-checkable blocking; the hyperplane-LSH bucket variant is the
+    * unsupervised scale path, property-tested in ScalaTest). */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.blockedNearDupPairs(Tables.embeddings(s, d),
+      "vec_id", "embedding", col("label"), minSim = 0.35)
+
+  val embeddingNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${sqlCos("a.v", "b.v")} AS similarity
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlCos("a.v", "b.v")} >= 0.35""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q22_knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
+    Q("q23_knn_ivf", knnIvf, Some(knnIvfSql)),
+    Q("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)))
+}

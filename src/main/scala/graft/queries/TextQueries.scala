@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis coverage over the `documents` table: token counting,
+  * quality scoring, language-ID, content fingerprinting, exact dedup.
+  * Every metric is a deterministic expression over exact ints (or a
+  * single double division), so results hash-match DuckDB bit-for-bit.
+  *
+  * Scale notes: all scan-side scalar expressions (regexp count/replace,
+  * md5) — zero shuffles except the final group-bys; at 100 TB these run
+  * at parquet-scan speed inside one WholeStageCodegen span.
+  */
+object TextQueries {
+
+  /** Per-doc stat block (SURVEY north-star: token count, quality score,
+    * lang-ID, fingerprint). */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TA.tokenCount(col("text")).as("n_tokens"),
+      TA.punctCount(col("text")).as("n_punct"),
+      TA.stopwordCount(col("text")).as("n_stopwords"),
+      round(TA.avgTokenLen(col("text")), 6).as("avg_token_len"),
+      round(TA.qualityScore(col("text")), 6).as("quality"),
+      TA.langId(col("text")).as("lang_pred"),
+      TA.fingerprint(col("text")).as("fingerprint"))
+
+  // DuckDB mirrors of the TextAnalysis expressions. Operation order is
+  // kept identical so doubles are bit-equal before rounding.
+  private val nTok = """len(regexp_extract_all(text, '\S+'))"""
+  private val nPunct = """len(regexp_extract_all(text, '[.,;:!?]'))"""
+  private val nStop =
+    """len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b'))"""
+  private val avgTokLen =
+    s"""length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / greatest($nTok, 1)::DOUBLE"""
+  private def langCount(words: String) =
+    s"""len(regexp_extract_all(lower(text), '\\b($words)\\b'))"""
+  private val zh = """len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))"""
+  private val en = langCount("the|and|of|to|is")
+  private val de = langCount("der|die|das|und|ist")
+  private val fr = langCount("le|la|les|et|est")
+  private val es = langCount("el|los|las|y|es")
+  private val langPred =
+    s"""CASE WHEN $zh > 0 THEN 'zh'
+       |     WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |     WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |     WHEN $fr >= $es THEN 'fr'
+       |     ELSE 'es' END""".stripMargin
+  private val quality =
+    s"""least($nTok::DOUBLE / 50.0, 1.0) * 0.4
+       | + least($nStop::DOUBLE * 10.0 / greatest($nTok::DOUBLE, 1.0), 1.0) * 0.2
+       | + (1.0 - least($nPunct::DOUBLE * 4.0 / greatest($nTok::DOUBLE, 1.0), 1.0)) * 0.2
+       | + (CASE WHEN $avgTokLen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2""".stripMargin
+  private val fingerprint =
+    """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+
+  val textStatsSql: String =
+    s"""SELECT doc_id, $nTok AS n_tokens, $nPunct AS n_punct,
+       |  $nStop AS n_stopwords,
+       |  round($avgTokLen, 6) AS avg_token_len,
+       |  round($quality, 6) AS quality,
+       |  $langPred AS lang_pred,
+       |  $fingerprint AS fingerprint
+       |FROM documents""".stripMargin
+
+  /** Language-ID confusion matrix vs the generator's `lang` label, plus
+    * mean quality per cell (exact-int ratio). */
+  def langBreakdown(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), TA.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  val langBreakdownSql: String =
+    s"""SELECT lang, $langPred AS lang_pred, count(*) AS n_docs,
+       |  sum(n_chars) AS total_chars
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Exact dedup keyed on the normalized-content fingerprint (SURVEY
+    * north-star "exact hash-groupBy dedup"): canonical doc id + copy
+    * count per distinct content. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(
+      Tables.documents(s, d)
+        .withColumn("fingerprint", TA.fingerprint(col("text"))),
+      "doc_id", Seq(col("fingerprint")))
+
+  val dedupExactSql: String =
+    s"""SELECT $fingerprint AS fingerprint, min(doc_id) AS doc_id,
+       |  count(*) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
+
+  /** Order-sensitive rolling-hash fingerprint (portable md5-leaf mode so
+    * DuckDB can replay the fold with list_reduce). */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TA.rollingHash(col("text"), portable = true).as("rhash"))
+
+  val rollingFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(0::BIGINT, regexp_split_to_array(trim(text), '\\s+')
+       |      .list_transform(t -> ('0x'||substr(md5(t),1,15))::BIGINT % ${Dedup.MersennePrime31})),
+       |    (acc, h) -> (acc * 31 + h) % ${Dedup.MersennePrime31}) AS rhash
+       |FROM documents""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q15_text_stats", textStats, Some(textStatsSql)),
+    Q("q16_lang_breakdown", langBreakdown, Some(langBreakdownSql)),
+    Q("q17_dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("q18_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)))
+}
