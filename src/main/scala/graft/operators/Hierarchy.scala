@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Ancestor-closure over an adjacency (id, parent_id) relation — the
   * reference's per-row `while` parent-chase (`usnvc.py:508-515`)
@@ -32,9 +31,14 @@ object Hierarchy {
     val edges0 = nodes.select(col(idCol).as("id"), col(parentCol).as("parent"))
     val edges = if (broadcastEdges) broadcast(edges0) else edges0
 
+    // localCheckpoint truncates each frontier's lineage: without it the
+    // accumulated union-of-joins plan grows O(depth²) and the driver
+    // chokes on plan analysis long before data size matters. (On a real
+    // cluster with a checkpoint dir, `checkpoint()` gives the same
+    // truncation with executor-failure tolerance.)
     var frontier = edges0.filter(col("parent").isNotNull)
       .select(col("id"), col("parent").as("ancestor"), lit(1).as("depth"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var acc = frontier
     var depth = 1
     var continue = frontier.limit(1).count() > 0
@@ -44,7 +48,7 @@ object Hierarchy {
         .filter(col("e.parent").isNotNull)
         .select(col("f.id"), col("e.parent").as("ancestor"),
           (col("f.depth") + 1).as("depth"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       continue = next.limit(1).count() > 0
       if (continue) { acc = acc.union(next); frontier = next; depth += 1 }
     }

@@ -1,0 +1,80 @@
+package graft.usnvc
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end USNVC pipeline: export dir → validated JSON documents +
+  * change ledger. Replaces the reference's 2-stage lambda fan-out
+  * (`usnvc.py:41-81`, one `preprocess_usnvc` re-scan PER ROW at
+  * `usnvc.py:71`) with one batch plan evaluated once — the staging was
+  * an artifact of the AWS harness, not of the semantics (SURVEY §2.1
+  * S4, §4).
+  */
+object UsnvcPipeline {
+
+  /** Optional unit cap mirroring the debug truncation the reference
+    * shipped (P8, `usnvc.py:60-61`: root + 9 units). None = all units. */
+  final case class Config(
+      clock: String = "1970-01-01T00:00:00.000000",
+      limit: Option[Int] = None)
+
+  /** All documents (root ∪ units) as (source_data struct-or-json,
+    * row_id). Unit and root docs have different shapes (the reference
+    * root dict has 6 keys, `usnvc.py:223-234`), so the union happens in
+    * JSON space. */
+  def docsJson(spark: SparkSession, dir: String,
+      config: Config = Config()): DataFrame = {
+    val ctx = Preprocess(spark, dir)
+    val units0 = DocAssembly.unitDocs(ctx, config.clock)
+    val units = config.limit.map(units0.limit).getOrElse(units0)
+    val asJson = (df: DataFrame) => df.select(
+      to_json(struct(col("source_data"), col("row_id"))).as("doc"),
+      col("row_id"))
+    asJson(DocAssembly.rootDoc(ctx)).unionByName(asJson(units))
+  }
+
+  /** S3 validation (`README.md:35-46`): per-row error record, null when
+    * the final-result contract holds (`source_data` + `row_id`
+    * present, row_id non-empty). */
+  def validated(docs: DataFrame): DataFrame =
+    docs.select(col("doc"), col("row_id"),
+      when(col("row_id").isNull || length(col("row_id")) === 0,
+        lit("row_id missing"))
+        .when(col("doc").isNull || !col("doc").contains("\"source_data\""),
+          lit("source_data missing"))
+        .otherwise(lit(null).cast("string")).as("error"))
+
+  /** S6 change ledger (`usnvc.py:55-57,74-77`): one Initialize event
+    * per unit and one Process event per document, as a side-output
+    * frame (not on the data path). */
+  def ledger(spark: SparkSession, dir: String,
+      config: Config = Config()): DataFrame = {
+    val ctx = Preprocess(spark, dir)
+    val init = ctx.nvcsUnits.select(
+      col("element_global_id").cast("string").as("change_id"),
+      lit("Initialize").as("change_name"),
+      lit("Load the usnvc data into the engine").as("change_description"),
+      lit("process_1").as("function_name"),
+      to_json(struct(col("element_global_id"))).as("source"))
+    val proc = DocAssembly.unitDocs(ctx, config.clock).select(
+      col("row_id").as("change_id"),
+      lit("Process").as("change_name"),
+      lit("Process usnvc data").as("change_description"),
+      lit("process_2").as("function_name"),
+      to_json(col("source_data")).as("source"))
+    init.unionByName(proc)
+  }
+
+  /** Write validated docs (JSON lines `{source_data, row_id}`) and the
+    * error sidecar. Null keys are omitted by the JSON writer, matching
+    * the reference's NaN-key-dropping (SURVEY §1.2). */
+  def run(spark: SparkSession, dir: String, outDir: String,
+      config: Config = Config()): Unit = {
+    val v = validated(docsJson(spark, dir, config)).cache()
+    v.filter(col("error").isNull).select(col("doc"))
+      .write.mode("overwrite").text(s"$outDir/docs")
+    v.filter(col("error").isNotNull).select(col("row_id"), col("error"))
+      .write.mode("overwrite").json(s"$outDir/errors")
+    v.unpersist()
+  }
+}

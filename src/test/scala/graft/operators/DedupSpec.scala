@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "short text")
+  ).toDF("id", "text")
+
+  test("shingles: n-gram count = tokens-n+1; short docs collapse to one") {
+    val sh = Dedup.shingles(docs, "id", "text", 3)
+    val counts = sh.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(counts(1L) == 7) // 9 tokens, 7 trigrams
+    assert(counts(5L) == 1) // < n tokens → whole text
+    assert(sh.filter($"id" === 5L).head().getString(1) == "short text")
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val d = Dedup.exact(docs, "id", Seq(TextAnalysis.fingerprint($"text")))
+      .as[(String, Long, Long)].collect()
+    assert(d.length == 4)
+    val dup = d.filter(_._3 == 2)
+    assert(dup.length == 1 && dup.head._2 == 1L)
+  }
+
+  test("ngram jaccard finds near and exact dups with correct scores") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    // 1 vs 2: 6 common of 8 distinct trigrams
+    assert(math.abs(pairs((1L, 2L)) - 6.0 / 8.0) < 1e-12)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("minhash+LSH pairs ⊆ exact pairs, equal on high-sim corpus") {
+    for (portable <- Seq(false, true)) {
+      val exact = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val lsh = Dedup.minHashPairs(docs, "id", "text",
+        portable = portable).as[(Long, Long, Double)].collect().toSet
+      assert(lsh.subsetOf(exact))
+      assert(lsh.map(p => (p._1, p._2)) == exact.map(p => (p._1, p._2)))
+    }
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val a = Dedup.minHashSignatures(docs, "id", "text").collect().toSeq
+    val b = Dedup.minHashSignatures(docs, "id", "text").collect().toSeq
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+  }
+
+  test("simhash: exact dups at hamming 0; near-dups close; distinct far") {
+    for (portable <- Seq(false, true)) {
+      val sigs = Dedup.simHashSignatures(docs, "id", "text", portable = portable)
+        .as[(Long, Long)].collect().toMap
+      assert(sigs(1L) == sigs(4L))
+      def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+      assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+      val pairs = Dedup.simHashPairs(docs, "id", "text",
+        maxHamming = 3, portable = portable)
+        .as[(Long, Long, Int)].collect()
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+    }
+  }
+}

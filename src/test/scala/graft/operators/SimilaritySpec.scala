@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), 0),
+    (2L, Array(0.9f, 0.1f, 0.0f), 0),
+    (3L, Array(0.0f, 1.0f, 0.0f), 1),
+    (4L, Array(0.0f, 0.0f, 1.0f), 1),
+    (5L, Array(-1.0f, 0.0f, 0.0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    val r = vecs.alias("a").join(vecs.alias("b"))
+      .select($"a.vec_id", $"b.vec_id",
+        round(Similarity.cosine($"a.embedding", $"b.embedding"), 9).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r((1L, 1L)) == 1.0)
+    assert(r((1L, 3L)) == 0.0)
+    assert(r((1L, 5L)) == -1.0)
+  }
+
+  test("bruteForceTopK ranks nearest first, excludes self") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(top.map(_._2).toSeq == Seq(2L, 3L))
+    assert(top.forall(_._1 == 1L))
+  }
+
+  test("ivfTopK only probes the query's cluster") {
+    val top = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 3L),
+      "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(top.map(_._2).toSet == Set(4L)) // only other label-1 vector
+  }
+
+  test("hyperplane bucket: deterministic, colinear vectors collide") {
+    val b = vecs.select($"vec_id",
+      Similarity.hyperplaneBucket($"embedding", dim = 3, nBits = 8).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    val b2 = vecs.select($"vec_id",
+      Similarity.hyperplaneBucket($"embedding", dim = 3, nBits = 8).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(b == b2)
+    def ham(a: Long, c: Long) = java.lang.Long.bitCount(a ^ c)
+    assert(ham(b(1L), b(2L)) <= 2) // nearly colinear → most signs agree
+    assert(b(5L) == (~b(1L) & 0xFFL)) // opposite vector → every sign flips
+    assert(ham(b(1L), b(3L)) > 0) // orthogonal → some differ (seed-checked)
+  }
+
+  test("blockedNearDupPairs verifies within blocks only") {
+    val pairs = Similarity.blockedNearDupPairs(vecs, "vec_id", "embedding",
+      col("label"), minSim = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+  }
+}

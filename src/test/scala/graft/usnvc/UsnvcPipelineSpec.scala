@@ -1,0 +1,148 @@
+package graft.usnvc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline assertions on the synthetic fixture export,
+  * pinning the reference quirks documented in DocAssembly's Scaladoc
+  * (entity-chain unescape, "nan" parent string, raw nation tokens,
+  * nearest-first ancestors, [0] root fallback, null-key omission). */
+class UsnvcPipelineSpec extends SparkSpec {
+
+  private lazy val dir =
+    Fixtures.writeTo(java.nio.file.Files.createTempDirectory("usnvc_fixture"))
+  private lazy val ctx = Preprocess(spark, dir)
+  private lazy val docs = UsnvcPipeline
+    .docsJson(spark, dir, UsnvcPipeline.Config(clock = "2018-03-01T00:00:00"))
+    .collect().map(r => r.getString(1) -> r.getString(0)).toMap
+
+  private def doc(id: String): String = docs(id)
+
+  test("emits root + one doc per unit") {
+    assert(docs.size == 8) // 7 units + synthetic root
+  }
+
+  test("root doc: title, children = parentless units, unitsort '0'") {
+    val root = doc("0")
+    assert(root.contains("\"title\":\"US National Vegetation Classification\""))
+    assert(root.contains("\"children\":[1000001,1000006]"))
+    assert(root.contains("\"unitsort\":\"0\""))
+    assert(root.contains("\"id\":\"0\""))
+    assert(!root.contains("\"parent\"")) // null → key omitted
+  }
+
+  test("display title branches: Class / Macrogroup / Association") {
+    assert(doc("1000001").contains("\"Display Title\":\"1 Forest Class\""))
+    assert(doc("1000003").contains("\"Display Title\":\"M1 Maple Forest\""))
+    assert(doc("1000005").contains("\"Display Title\":\"CEGL001 Red Maple Swamp Forest\""))
+  }
+
+  test("clean_string chains &amp; first → &amp;lt; double-unescapes") {
+    assert(doc("1000001").contains("\"Type Concept\":\"Trees <tall> & shrubs\""))
+    assert(doc("1000001").contains("\"Type Concept Sentence\":\"Trees & shrubs.\""))
+  }
+
+  test("ancestors nearest-first; roots default to [0]") {
+    assert(doc("1000005").contains(
+      "\"ancestors\":[1000004,1000003,1000002,1000001]"))
+    assert(doc("1000001").contains("\"ancestors\":[0]"))
+  }
+
+  test("parent long with 0 fallback; Hierarchy.parent_id 'nan' quirk") {
+    assert(doc("1000005").contains("\"parent\":1000004"))
+    assert(doc("1000001").contains("\"parent\":0"))
+    assert(doc("1000001").contains("\"parent_id\":\"nan\""))
+    assert(doc("1000002").contains("\"parent_id\":\"1000001\""))
+  }
+
+  test("children collected; leaves get []") {
+    assert(doc("1000001").contains("\"children\":[1000002]"))
+    assert(doc("1000005").contains("\"children\":[]"))
+  }
+
+  test("cached hierarchy = ancestors + self + children with titles") {
+    val d = doc("1000004")
+    // 3 ancestors + self + 1 child = 5 records
+    assert(d.split("\"Display Title\"").length >= 6) // 5 in cache + 1 in Overview
+    assert(d.contains("\"unitsort\":\"1.A.M1.G1\""))
+  }
+
+  test("nations: raw-token abbreviation, '?' uncertainty, offline names") {
+    val d = doc("1000001")
+    assert(d.contains("\"Raw List\":\"US, CA?, XX\""))
+    assert(d.contains(
+      "{\"Abbreviation\":\"US\",\"Uncertainty\":false," +
+        "\"Info API\":\"https://restcountries.eu/rest/v2/alpha/US\"," +
+        "\"Name\":\"United States of America\"}"))
+    // raw token " CA?" (reference keeps it): uncertainty true, unresolvable
+    assert(d.contains("\"Abbreviation\":\" CA?\",\"Uncertainty\":true"))
+    assert(d.contains("\"Abbreviation\":\" XX\",\"Uncertainty\":false," +
+      "\"Info API\":\"https://restcountries.eu/rest/v2/alpha/ XX\",\"Name\":\"Unknown\""))
+  }
+
+  test("references nested as Short/Full Citation pairs; absent → []") {
+    val d = doc("1000001")
+    assert(d.contains("\"Short Citation\":\"Jones 1995\""))
+    assert(d.contains("\"Short Citation\":\"Smith 1990\""))
+    assert(doc("1000005").contains("\"References\":[]"))
+  }
+
+  test("confidence dim joined; int-gated fields omitted when null") {
+    assert(doc("1000001").contains("\"Confidence Level\":\"High\""))
+    assert(doc("1000003").contains("\"Confidence Level\":\"Moderate\""))
+    assert(doc("1000001").contains("\"TNC Ecoregions\":42"))
+    assert(!doc("1000005").contains("\"TNC Ecoregions\""))
+    assert(!doc("1000001").contains("\"Omernik Ecoregions\"")) // empty cell
+    assert(doc("1000001").contains("\"Federal Lands\":7"))
+  }
+
+  test("detail tables nested per unit with both-case join keys") {
+    val d = doc("1000005")
+    assert(d.contains("\"States/Provinces Raw Data\""))
+    assert(d.contains("\"d_curr_presence_absence_id\":\"1\""))
+    assert(d.contains("\"D_CURR_PRESENCE_ABSENCE_ID\":\"1\""))
+    assert(d.contains("\"subnation_name\":\"Massachusetts\""))
+    assert(d.contains("\"1994 USFS Ecoregion Raw Data\""))
+    assert(d.contains("\"USFS_ECOREGION_NAME\":\"Adirondack\""))
+    assert(d.contains("\"2007 USFS Ecoregion Raw Data\""))
+    assert(d.contains("\"Predecessors Raw Data\""))
+    assert(d.contains("\"Obsolete Units Raw Data\""))
+    assert(d.contains("\"Obsolete Parents Raw Data\""))
+    assert(d.contains("\"Similar NVC Types\""))
+    assert(d.contains("\"simnote\":\"Similar &amp; related\"")) // raw, not cleaned
+  }
+
+  test("ISO-8859-1 text survives (accented char)") {
+    assert(doc("1000007").contains("herbacée"))
+  }
+
+  test("injected clock stamped on every unit doc") {
+    assert(doc("1000005").contains("\"Date Processed\":\"2018-03-01T00:00:00\""))
+  }
+
+  test("validation: fixture docs all pass the final-result contract") {
+    val v = UsnvcPipeline.validated(
+      UsnvcPipeline.docsJson(spark, dir))
+    assert(v.filter(col("error").isNotNull).count() == 0)
+  }
+
+  test("ledger: one Initialize per unit + one Process per doc") {
+    val l = UsnvcPipeline.ledger(spark, dir)
+    assert(l.filter(col("change_name") === "Initialize").count() == 7)
+    assert(l.filter(col("change_name") === "Process").count() == 7)
+  }
+
+  test("limit config mirrors the reference debug truncation") {
+    val limited = UsnvcPipeline.docsJson(spark, dir,
+      UsnvcPipeline.Config(limit = Some(3)))
+    assert(limited.count() == 4) // root + 3
+  }
+
+  test("preprocess frame shapes match the reference joins") {
+    assert(ctx.nvcsUnits.count() == 7)
+    assert(ctx.unitReferences.count() == 2)
+    assert(ctx.nvcsDistribution.count() == 2)
+    assert(ctx.usfsEcoregionDistribution1994.count() == 1)
+    assert(ctx.usfsEcoregionDistribution2007.count() == 1)
+  }
+}
