@@ -28,6 +28,9 @@ object Similarity {
 
   /** Brute-force top-k: queries × corpus scored via broadcast
     * nested-loop join (no shuffle of the corpus), then per-query top-k.
+    * Norms are precomputed per row on both sides — O(corpus + queries)
+    * norm evaluations instead of O(pairs), the difference between one
+    * extra scan column and a quadratic recompute at 100 TB.
     * Similarity is rounded so downstream rank ties break identically on
     * any engine; exact FP noise below 1e-6 never reorders results.
     */
@@ -36,9 +39,13 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       queryIdCol: String = "query_id"): DataFrame = {
     val q = broadcast(queries.select(
-      col(idCol).as(queryIdCol), col(vecCol).as("__qvec")))
-    val scored = corpus.join(q, col(queryIdCol) =!= col(idCol))
-      .withColumn("similarity", round(cosine(col("__qvec"), col(vecCol)), 6))
+      col(idCol).as(queryIdCol), col(vecCol).as("__qvec"),
+      norm(col(vecCol)).as("__qnorm")))
+    val c = corpus.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__cnorm"))
+    val scored = c.join(q, col(queryIdCol) =!= col(idCol))
+      .withColumn("similarity",
+        round(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm")), 6))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("similarity").desc, col(idCol))
     scored
@@ -59,10 +66,14 @@ object Similarity {
       queryIdCol: String = "query_id"): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as(queryIdCol), col(vecCol).as("__qvec"),
-      col(clusterCol).as("__qcluster")))
-    val scored = corpus
+      col(clusterCol).as("__qcluster"),
+      norm(col(vecCol)).as("__qnorm")))
+    val c = corpus.select(col(idCol), col(vecCol), col(clusterCol),
+      norm(col(vecCol)).as("__cnorm"))
+    val scored = c
       .join(q, col("__qcluster") === col(clusterCol) && col(queryIdCol) =!= col(idCol))
-      .withColumn("similarity", round(cosine(col("__qvec"), col(vecCol)), 6))
+      .withColumn("similarity",
+        round(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm")), 6))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("similarity").desc, col(idCol))
     scored
@@ -92,12 +103,14 @@ object Similarity {
   def blockedNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       bucket: Column, minSim: Double): DataFrame = {
-    val b = corpus.select(col(idCol), col(vecCol), bucket.as("bucket"))
+    val b = corpus.select(col(idCol), col(vecCol), bucket.as("bucket"),
+      norm(col(vecCol)).as("__norm"))
     b.alias("x").join(b.alias("y"),
         col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .withColumn("similarity",
-        round(cosine(col(s"x.$vecCol"), col(s"y.$vecCol")), 6))
+        round(dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
+          (col("x.__norm") * col("y.__norm")), 6))
       .filter(col("similarity") >= minSim)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         col("similarity"))
