@@ -10,14 +10,20 @@ import org.apache.spark.sql.functions._
   * score every corpus vector scan-side, per-query top-k via window.
   * Scale path: partitioned (IVF-style) search — restrict scoring to the
   * query's coarse cluster(s); and random-hyperplane LSH bucketing.
-  * All scoring is Column-expression math (zip_with/aggregate HOFs →
-  * codegen), no UDFs.
+  * Scoring runs through the codegen'd [[graft.functions.VectorDot]]
+  * expression (registered per session); [[dotHof]] is the pure-builtin
+  * fallback with identical bit-level semantics.
   */
 object Similarity {
 
-  /** Dot product in double precision (cast first: float accumulation is
-    * neither associative nor engine-portable). Left-to-right fold. */
+  /** Dot product in double precision via the native expression. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot(a, b)
+
+  /** Same fold with builtin higher-order functions only (interpreted —
+    * ~5× slower per pair; kept as the zero-registration path and as the
+    * semantic reference for tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
@@ -38,6 +44,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       queryIdCol: String = "query_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(
       col(idCol).as(queryIdCol), col(vecCol).as("__qvec"),
       norm(col(vecCol)).as("__qnorm")))
@@ -64,6 +71,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, clusterCol: String, k: Int,
       queryIdCol: String = "query_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(
       col(idCol).as(queryIdCol), col(vecCol).as("__qvec"),
       col(clusterCol).as("__qcluster"),
@@ -103,6 +111,7 @@ object Similarity {
   def blockedNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       bucket: Column, minSim: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val b = corpus.select(col(idCol), col(vecCol), bucket.as("bucket"),
       norm(col(vecCol)).as("__norm"))
     b.alias("x").join(b.alias("y"),

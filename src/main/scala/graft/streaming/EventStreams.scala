@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` shape (event_id, ts,
+  * user_id, event_type, value, props). The reference has no streaming
+  * semantics (its 2-stage fan-out is a lambda-harness artifact, SURVEY
+  * §2.7); this module is the engine's incremental-processing path: the
+  * SAME transform functions serve `spark.read` and `spark.readStream`
+  * (unbounded-source planning differs only in watermarks/output mode).
+  *
+  * Scale notes: hourly/session aggregations are keyed state — state
+  * store size is bounded by the watermark horizon, not stream length;
+  * `mapGroupsWithState` keys partition across executors and time out
+  * via processing-time timeouts.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-backed stream of JSON-lines event files dropped into `dir`. */
+  def readJsonStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(dir)
+
+  /** Hourly tumbling counts per event type — works identically on a
+    * batch frame (no watermark needed) and a stream (2h late-data
+    * horizon). Mirrors EventQueries.tumblingWindow. */
+  def hourlyCounts(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long"))).as("value_cents"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+  }
+
+  /** Native session windows (30-min gap): the streaming-first form of
+    * EventQueries.sessionize. */
+  def sessionWindows(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long"))).as("value_cents"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("value_cents"))
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
+  final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Custom keyed state (KeyValueGroupedDataset.mapGroupsWithState):
+    * running per-user totals across micro-batches — the extension point
+    * for state machines the built-in windows can't express. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0L))
+          val now = batch.foldLeft(prev) { (acc, e) =>
+            UserTotal(uid, acc.n_events + 1,
+              acc.total_cents + math.round(e.value * 100))
+          }
+          state.update(now)
+          now
+      }
+  }
+
+  /** Run a streaming query over `inputDir` into an in-memory table,
+    * processing everything currently available, and return the result.
+    * (Utility for tests/demos; production would use a durable sink.) */
+  def runToMemory(spark: SparkSession, inputDir: String, name: String,
+      transform: DataFrame => DataFrame,
+      outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = transform(readJsonStream(spark, inputDir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics pinned via batch/stream parity: the same
+  * transform over the same rows must agree between `spark.read` and
+  * `spark.readStream` (file source, AvailableNow trigger). */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // events at sf0.001 re-written as JSON-lines so the file stream can
+  // tail the directory with an explicit schema
+  private lazy val jsonDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_json").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .coalesce(2).write.mode("overwrite").json(dir)
+    dir
+  }
+  private lazy val batchEvents =
+    spark.read.schema(EventStreams.eventSchema).json(jsonDir)
+
+  test("hourly counts: stream (complete mode) equals batch") {
+    val streamed = EventStreams.runToMemory(spark, jsonDir, "hourly",
+      EventStreams.hourlyCounts, OutputMode.Complete())
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    val batch = EventStreams.hourlyCounts(batchEvents)
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("session windows: stream equals batch") {
+    val streamed = EventStreams.runToMemory(spark, jsonDir, "sessions",
+      EventStreams.sessionWindows, OutputMode.Complete())
+      .as[(java.sql.Timestamp, Long, Long, Long)].collect().toSet
+    val batch = EventStreams.sessionWindows(batchEvents)
+      .as[(java.sql.Timestamp, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("session windows merge events within the 30-min gap") {
+    val sessions = EventStreams.sessionWindows(batchEvents)
+    val perUser = sessions.groupBy("user_id").count()
+    val events = batchEvents.groupBy("user_id").count()
+    // sessionization can only reduce or keep the per-user row count
+    val joined = perUser.as("s").join(events.as("e"), "user_id")
+      .filter($"s.count" > $"e.count").count()
+    assert(joined == 0)
+  }
+
+  test("mapGroupsWithState accumulates per-user running totals") {
+    val ds = batchEvents.as[EventStreams.Event]
+    val totals = EventStreams.runningUserTotals(ds)
+      .collect().map(t => t.user_id -> t).toMap
+    val expected = batchEvents.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100, 0).cast("long")).as("cents"))
+      .as[(Long, Long, Long)].collect()
+    assert(expected.nonEmpty)
+    expected.foreach { case (uid, n, cents) =>
+      assert(totals(uid).n_events == n)
+      assert(totals(uid).total_cents == cents)
+    }
+  }
+}
