@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.AsOfJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -110,9 +111,89 @@ object EventQueries {
        |FROM events
        |GROUP BY ROLLUP (event_type, epoch_us(date_trunc('day', ts)))""".stripMargin
 
+  /** Pivot: per-day event counts spread to one column per type (fixed
+    * value list → no extra pass to discover values, stable schema). */
+  def pivotDaily(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(s, d)
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("event_type"))
+      .groupBy(col("day_us"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day_us") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  val pivotDailySql: String =
+    """SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+      |  count(*) FILTER (event_type = 'click') AS n_click,
+      |  count(*) FILTER (event_type = 'view') AS n_view,
+      |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+      |  count(*) FILTER (event_type = 'signup') AS n_signup,
+      |  count(*) FILTER (event_type = 'error') AS n_error
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** As-of join (operators.AsOfJoin): each purchase matched to the
+    * user's most recent prior click; DuckDB's native ASOF JOIN is the
+    * oracle. */
+  def asofPurchaseClick(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"))
+    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        col("asof_click_event_id").as("click_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+  }
+
+  val asofPurchaseClickSql: String =
+    """SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  /** Exact-derived distribution stats: mean/stddev reconstructed from
+    * exact integer sums (deterministic, engine-portable — Spark's
+    * stddev aggregate uses a streaming algorithm whose result depends
+    * on partition order), plus exact interpolated median. */
+  def valueStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), cents(col("value")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"),
+        sum(col("c") * col("c")).as("sumsq_c"),
+        percentile(col("c"), lit(0.5)).as("median_cents"))
+      .select(col("event_type"), col("n"),
+        (col("sum_c").cast("double") / col("n")).as("mean_cents"),
+        sqrt((col("sumsq_c").cast("double") -
+          col("sum_c").cast("double") * col("sum_c").cast("double") / col("n")) /
+          (col("n") - 1)).as("std_cents"),
+        col("median_cents"))
+
+  val valueStatsSql: String = {
+    val c = sqlCents("value")
+    s"""WITH g AS (
+       |  SELECT event_type, count(*) AS n,
+       |    sum($c) AS sum_c, sum($c * $c) AS sumsq_c,
+       |    quantile_cont($c, 0.5) AS median_cents
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n,
+       |  sum_c::DOUBLE / n AS mean_cents,
+       |  sqrt((sumsq_c::DOUBLE - sum_c::DOUBLE * sum_c::DOUBLE / n) / (n - 1)) AS std_cents,
+       |  median_cents
+       |FROM g""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q25_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Q("q26_sessionize", sessionize, Some(sessionizeSql)),
     Q("q27_json_props", jsonProps, Some(jsonPropsSql)),
-    Q("q28_rollup_daily", rollupDaily, Some(rollupDailySql)))
+    Q("q28_rollup_daily", rollupDaily, Some(rollupDailySql)),
+    Q("q32_pivot_daily", pivotDaily, Some(pivotDailySql)),
+    Q("q33_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
+    Q("q34_value_stats", valueStats, Some(valueStatsSql)))
 }
