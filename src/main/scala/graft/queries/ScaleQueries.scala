@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{RangeJoin, Skew}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique coverage: operators whose point is the SHAPE of the
+  * plan at 100 TB — bucketed range join (vs nested-loop) and salted
+  * join (vs skewed reducers). Oracles assert the results are exactly
+  * the naive formulations'.
+  */
+object ScaleQueries {
+
+  /** Point-in-interval via bucketed equi-join: event values matched to
+    * 25 price bands derived from nation keys (synthetic but forces a
+    * genuine interval containment), aggregated per band. */
+  def rangeJoinBands(s: SparkSession, d: String): DataFrame = {
+    val bands = Tables.nation(s, d).select(
+      col("n_nationkey").cast("long").as("band"),
+      (col("n_nationkey") * 20.0).as("lo"),
+      (col("n_nationkey") * 20.0 + 19.99).as("hi"))
+    val joined = RangeJoin.pointInInterval(
+      Tables.events(s, d), bands, "value", "lo", "hi",
+      bucketWidth = 20L)
+    joined.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"))
+  }
+
+  // NB: literals forced to DOUBLE — DuckDB parses 19.99 as DECIMAL and
+  // would compute an exact bound where Spark computes the IEEE one.
+  val rangeJoinBandsSql: String =
+    s"""SELECT n_nationkey::BIGINT AS band, count(*) AS n_events,
+       |  sum(${sqlCents("value")}) AS value_cents
+       |FROM events JOIN nation
+       |  ON value >= n_nationkey * 20.0::DOUBLE
+       | AND value <= n_nationkey * 20.0::DOUBLE + 19.99::DOUBLE
+       |GROUP BY 1""".stripMargin
+
+  /** Salted fact⋈dim join: lineitem spread over (key, salt) against an
+    * 8×-replicated orders dim — byte-identical results to the plain
+    * join (the oracle IS the plain join). */
+  def saltedJoinPriority(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(Tables.lineitem(s, d), dims, "l_orderkey", n = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+  }
+
+  val saltedJoinPrioritySql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+       |  sum(${sqlCents("l_extendedprice")}) AS price_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q35_range_join", rangeJoinBands, Some(rangeJoinBandsSql)),
+    Q("q36_salted_join", saltedJoinPriority, Some(saltedJoinPrioritySql)))
+}
