@@ -55,6 +55,31 @@ object Hierarchy {
     acc
   }
 
+  /** Engine-native alternative: Spark 4 recursive CTE. Same output as
+    * [[ancestorClosure]]; recursion runs inside the engine (no driver
+    * loop, no per-level job), at the cost of less control over
+    * per-level persistence. Prefer this when depth is unknown/large;
+    * the iterative loop when you want level-by-level checkpoints. */
+  def ancestorClosureSql(
+      nodes: DataFrame,
+      idCol: String,
+      parentCol: String,
+      maxDepth: Int = 32): DataFrame = {
+    val view = s"__hier_nodes_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    nodes.select(col(idCol).as("id"), col(parentCol).as("parent"))
+      .createOrReplaceTempView(view)
+    try nodes.sparkSession.sql(
+      s"""WITH RECURSIVE anc AS (
+         |  SELECT id, parent AS ancestor, 1 AS depth FROM $view
+         |  WHERE parent IS NOT NULL
+         |  UNION ALL
+         |  SELECT a.id, n.parent, a.depth + 1
+         |  FROM anc a JOIN $view n ON a.ancestor = n.id
+         |  WHERE n.parent IS NOT NULL AND a.depth < $maxDepth)
+         |SELECT id, ancestor, depth FROM anc""".stripMargin)
+    finally () // view stays for the lazy plan; dropped with the session
+  }
+
   /** Closure folded to one row per node: nearest-first ancestor array +
     * node depth — the shape the reference nests into each document
     * (`usnvc.py:444-449`). */

@@ -45,6 +45,21 @@ class HierarchySpec extends SparkSpec {
     }
   }
 
+  test("recursive-CTE closure agrees with the iterative closure") {
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val edges = (0L, Option.empty[Long]) +: (1 until n).map { i =>
+      (i.toLong, if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(i).toLong))
+    }
+    val df = edges.toDF("id", "parent")
+    val iter = Hierarchy.ancestorClosure(df, "id", "parent")
+      .as[(Long, Long, Int)].collect().toSet
+    val cte = Hierarchy.ancestorClosureSql(df, "id", "parent")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(iter == cte)
+    assert(iter.nonEmpty)
+  }
+
   test("depth cap truncates runaway chains") {
     val deep = (0 until 40).map(i =>
       (i.toLong, if (i == 0) None else Some((i - 1).toLong)))

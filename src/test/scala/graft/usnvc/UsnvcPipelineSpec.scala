@@ -138,6 +138,24 @@ class UsnvcPipelineSpec extends SparkSpec {
     assert(limited.count() == 4) // root + 3
   }
 
+  test("golden docs: byte-identical JSON for the full fixture corpus") {
+    // Locks the entire output surface (field order, null omission,
+    // nesting, quirks) — the assembly is deterministic, so raw string
+    // equality is valid and the strictest possible check.
+    val goldenLines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/usnvc/golden_docs.jsonl"), "UTF-8")
+      .getLines().filter(_.nonEmpty).toSeq
+    def key(j: String): String = {
+      val m = """"row_id":"(\d+)"""".r.findFirstMatchIn(j)
+      m.get.group(1)
+    }
+    val golden = goldenLines.map(l => key(l) -> l).toMap
+    assert(golden.keySet == docs.keySet)
+    golden.foreach { case (id, expected) =>
+      assert(docs(id) == expected, s"doc $id drifted from golden")
+    }
+  }
+
   test("preprocess frame shapes match the reference joins") {
     assert(ctx.nvcsUnits.count() == 7)
     assert(ctx.unitReferences.count() == 2)
