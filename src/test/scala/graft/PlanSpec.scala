@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale (scan pushdown, column pruning, broadcast dims, bounded
+  * shuffle counts) asserted against the optimized plans — a perf
+  * regression that silently flips a join strategy or drops a pushed
+  * filter fails here, not in production.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,48.0)"))
+    // pruned read: none of the untouched money columns are scanned
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_discount"))
+  }
+
+  test("q05: every dimension joins as broadcast, facts shuffle at most twice") {
+    val p = plan("q05_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q01: aggregation is partial (map-side) before the single exchange") {
+    val p = plan("q01_pricing_summary")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2) // partial + final
+    assert(p.contains("Exchange"))
+  }
+
+  test("q09: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q09_global_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q22: corpus is scored scan-side against a broadcast query set") {
+    val p = plan("q22_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin")) // tiny query set × corpus
+    assert(p.contains("graft_vector_dot")) // native expression in the plan
+  }
+
+  test("q35: range join is an equi-join on the bucket, not a nested loop") {
+    val p = plan("q35_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+}

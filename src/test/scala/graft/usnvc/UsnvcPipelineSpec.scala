@@ -156,6 +156,14 @@ class UsnvcPipelineSpec extends SparkSpec {
     }
   }
 
+  test("run() writes docs + empty error sidecar to disk") {
+    val out = java.nio.file.Files.createTempDirectory("usnvc_out").toString
+    UsnvcPipeline.run(spark, dir, out)
+    val written = spark.read.text(s"$out/docs").count()
+    assert(written == 8)
+    assert(new java.io.File(s"$out/errors").exists())
+  }
+
   test("preprocess frame shapes match the reference joins") {
     assert(ctx.nvcsUnits.count() == 7)
     assert(ctx.unitReferences.count() == 2)
