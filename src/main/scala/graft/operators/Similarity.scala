@@ -91,18 +91,24 @@ object Similarity {
         col("rank"), col("similarity"))
   }
 
+  /** The fixed seed-derived hyperplanes used by [[hyperplaneBucket]] —
+    * exposed so oracles/tests can replay the exact projection. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 7L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of projections
     * onto fixed seed-derived hyperplanes. Vectors in the same bucket are
-    * near-duplicate candidates (cosine-LSH). Deterministic across runs. */
-  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 7L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-    planes.zipWithIndex.map { case (p, i) =>
-      val proj = (0 until dim).map(j =>
-        element_at(vec.cast("array<double>"), j + 1) * lit(p(j))).reduce(_ + _)
+    * near-duplicate candidates (cosine-LSH). Deterministic across runs.
+    * Each projection is one native vector_dot against a literal plane
+    * array (codegen'd; an element_at-per-term expansion re-evaluates
+    * the array cast dim× per plane). */
+  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, seed: Long = 7L): Column =
+    hyperplanes(dim, nBits, seed).zipWithIndex.map { case (p, i) =>
+      val proj = dot(vec, array(p.toSeq.map(lit): _*))
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-  }
 
   /** Near-dup pairs with cosine ≥ minSim, restricted to pairs sharing a
     * blocking key (pre-assigned cluster, LSH bucket, …): the general

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.functions.KmvSketch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch / LSH coverage where the whole algorithm is replayed by the
+  * oracle: KMV distinct-count (typed Aggregator; order-insensitive →
+  * deterministic → SQL-replayable) and hyperplane-LSH embedding
+  * near-dup (plane constants embedded into the generated SQL).
+  */
+object SketchQueries {
+
+  private val K = 64
+
+  /** Approximate distinct users per event type via the KMV Aggregator,
+    * alongside the exact count. */
+  def kmvDistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        KmvSketch.approxDistinct(
+          Dedup.stringHash(col("user_id").cast("string"), portable = true),
+          K).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
+  val kmvDistinctUsersSql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h),
+       |sk AS (SELECT event_type, count(*) AS n,
+       |    max(CASE WHEN rn = $K THEN h END) AS hk
+       |  FROM r GROUP BY 1),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+       |  FROM events GROUP BY 1)
+       |SELECT sk.event_type,
+       |  CASE WHEN n < $K THEN n::DOUBLE
+       |       ELSE ${K - 1}::DOUBLE * 1152921504606846976::BIGINT::DOUBLE / hk::DOUBLE
+       |  END AS approx_users,
+       |  exact_users
+       |FROM sk JOIN ex USING (event_type)""".stripMargin
+
+  private val Dim = 64
+  private val NBits = 8
+  private val MinSim = 0.25
+
+  /** Embedding near-dup pairs inside hyperplane-LSH buckets — the
+    * unsupervised scale path, fully oracle-replayed. */
+  def hyperplaneNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDupPairs(Tables.embeddings(s, d),
+      "vec_id", "embedding", dim = Dim, minSim = MinSim, nBits = NBits)
+
+  val hyperplaneNearDupSql: String = {
+    val planes = Similarity.hyperplanes(Dim, NBits)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ",", "]") + "::DOUBLE[]"
+      s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN 1::BIGINT << $i ELSE 0::BIGINT END)"
+    }.mkString("\n    + ")
+    val cos = "round(list_dot_product(x.v, y.v)/(x.nrm * y.nrm), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    $bucket AS bucket,
+       |    sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e)
+       |SELECT x.vec_id AS id_a, y.vec_id AS id_b, $cos AS similarity
+       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE $cos >= $MinSim""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("q37_kmv_distinct", kmvDistinctUsers, Some(kmvDistinctUsersSql)),
+    Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)))
+}
