@@ -16,6 +16,21 @@ object TextAnalysis {
 
   def whitespaceTokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 family): contractions,
+    * optionally space-prefixed letter runs / digit runs / symbol runs,
+    * residual whitespace. No lookarounds, so the same pattern runs on
+    * Java regex and RE2 engines identically. */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token count under the BPE-ish pre-tokenizer — the right unit when
+    * budgeting LLM training data (whitespace counting undercounts
+    * punctuation-heavy text). Whitespace-only matches (runs the ` ?`
+    * prefixes didn't consume) are not tokens and are filtered out. */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(BpePattern), lit(0)),
+      t => t.rlike("\\S")))
+
   /** Mean token length as exact-int division (deterministic double). */
   def avgTokenLen(text: Column): Column =
     length(regexp_replace(text, "\\s", "")).cast("double") /

@@ -22,12 +22,16 @@ object TextQueries {
     Tables.documents(s, d).select(
       col("doc_id"),
       TA.tokenCount(col("text")).as("n_tokens"),
+      TA.bpeTokenCount(col("text")).as("n_bpe_tokens"),
       TA.punctCount(col("text")).as("n_punct"),
       TA.stopwordCount(col("text")).as("n_stopwords"),
       round(TA.avgTokenLen(col("text")), 6).as("avg_token_len"),
       round(TA.qualityScore(col("text")), 6).as("quality"),
       TA.langId(col("text")).as("lang_pred"),
       TA.fingerprint(col("text")).as("fingerprint"))
+
+  /** BPE pattern with SQL-literal quote doubling. */
+  val bpeSqlPattern: String = TA.BpePattern.replace("'", "''")
 
   // DuckDB mirrors of the TextAnalysis expressions. Operation order is
   // kept identical so doubles are bit-equal before rounding.
@@ -59,7 +63,10 @@ object TextQueries {
     """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
 
   val textStatsSql: String =
-    s"""SELECT doc_id, $nTok AS n_tokens, $nPunct AS n_punct,
+    s"""SELECT doc_id, $nTok AS n_tokens,
+       |  len(list_filter(regexp_extract_all(text, '$bpeSqlPattern'),
+       |      t -> regexp_matches(t, '\\S'))) AS n_bpe_tokens,
+       |  $nPunct AS n_punct,
        |  $nStop AS n_stopwords,
        |  round($avgTokLen, 6) AS avg_token_len,
        |  round($quality, 6) AS quality,

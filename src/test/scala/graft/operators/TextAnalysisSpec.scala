@@ -14,6 +14,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Int](TextAnalysis.tokenCount($"t"), "   ") == 0)
   }
 
+  test("bpeTokenCount: contractions, digit/symbol runs, unconsumed whitespace") {
+    // "I" "'m" " can" "'t" " 123" " foo" "-" "bar" "!" → 9
+    assert(one[Int](TextAnalysis.bpeTokenCount($"t"), "I'm can't 123 foo-bar!") == 9)
+    // double space leaves one \s+ match that must not count
+    assert(one[Int](TextAnalysis.bpeTokenCount($"t"), "a  b") == 2)
+    assert(one[Int](TextAnalysis.bpeTokenCount($"t"), "   ") == 0)
+  }
+
   test("avgTokenLen = non-space chars / tokens") {
     assert(one[Double](TextAnalysis.avgTokenLen($"t"), "ab cd ef") == 2.0)
   }
