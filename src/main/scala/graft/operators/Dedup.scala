@@ -74,7 +74,12 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
+    // the shingle relation feeds both join sides and the size counts;
+    // column-pruned variants don't canonicalize to one exchange, so
+    // without persist() Spark scans+reshingles the corpus 3x (ctx
+    // cleaner unpersists when the plan is GC'd)
     val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardOverPairs(sh, idCol,
       sh.alias("a").join(sh.alias("b"),
           col("a.shingle") === col("b.shingle") &&
@@ -105,14 +110,19 @@ object Dedup {
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L,
-      portable: Boolean = false): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
-      .withColumn("h", pmod(stringHash(col("shingle"), portable),
-        lit(MersennePrime31)))
+      portable: Boolean = false): DataFrame =
+    minHashSignaturesFromShingles(shingles(df, idCol, textCol, shingleN),
+      idCol, numHashes, seed, portable)
+
+  private def minHashSignaturesFromShingles(
+      sh: DataFrame, idCol: String, numHashes: Int, seed: Long,
+      portable: Boolean): DataFrame = {
+    val hashed = sh.withColumn("h",
+      pmod(stringHash(col("shingle"), portable), lit(MersennePrime31)))
     val mins = hashParams(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MersennePrime31))).as(s"mh_$i")
     }
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over (id, mh_*) signatures: docs agreeing on all `rows`
@@ -150,9 +160,12 @@ object Dedup {
       bands: Int = 16, minJaccard: Double = 0.5,
       seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minHashSignatures(df, idCol, textCol, shingleN, numHashes, seed, portable)
-    val cand = lshCandidatePairs(sigs, idCol, bands, numHashes / bands, portable)
+    // one persisted shingle pass feeds signatures, the verify join
+    // (both sides), and the size counts — otherwise 5 full re-scans
     val sh = shingles(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minHashSignaturesFromShingles(sh, idCol, numHashes, seed, portable)
+    val cand = lshCandidatePairs(sigs, idCol, bands, numHashes / bands, portable)
     val common = cand
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
@@ -192,6 +205,7 @@ object Dedup {
     val bandBits = nBits / 4
     val mask = (1L << bandBits) - 1
     val sigs = simHashSignatures(df, idCol, textCol, shingleN, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
