@@ -56,6 +56,15 @@ object EventStreams {
         col("user_id"), col("n_events"), col("value_cents"))
   }
 
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped with bounded state (the batch
+    * equivalent is a plain dropDuplicates). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double, props: String)
   final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)

@@ -65,6 +65,29 @@ object UsnvcPipeline {
     init.unionByName(proc)
   }
 
+  /** Incremental re-processing (SURVEY §2.7: "Structured Streaming
+    * foreachBatch over a file source is sufficient"): a trigger
+    * directory is watched for text files whose lines are export-dir
+    * paths; each new path is processed by the batch pipeline into
+    * `outRoot/<dirname>`. Exactly-once per trigger line via the
+    * streaming checkpoint; the relational pipeline itself stays batch.
+    */
+  def incremental(spark: SparkSession, triggerDir: String, outRoot: String,
+      checkpoint: String, config: Config = Config()): Unit = {
+    val q = spark.readStream.textFile(triggerDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+        batch.collect().foreach { exportDir =>
+          val name = new java.io.File(exportDir).getName
+          run(spark, exportDir, s"$outRoot/$name", config)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Write validated docs (JSON lines `{source_data, row_id}`) and the
     * error sidecar. Null keys are omitted by the JSON writer, matching
     * the reference's NaN-key-dropping (SURVEY §1.2). */

@@ -51,6 +51,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(joined == 0)
   }
 
+  test("streaming dedup drops within-watermark duplicates") {
+    // duplicate the whole corpus into a second file set
+    val dupDir = java.nio.file.Files.createTempDirectory("events_dup").toString
+    val base = spark.read.schema(EventStreams.eventSchema).json(jsonDir)
+    base.write.mode("overwrite").json(dupDir)
+    base.write.mode("append").json(dupDir)
+    val streamed = EventStreams.runToMemory(spark, dupDir, "deduped",
+      EventStreams.dedupedEvents)
+    assert(streamed.count() == base.count())
+    assert(spark.read.schema(EventStreams.eventSchema).json(dupDir).count()
+      == 2 * base.count())
+  }
+
   test("mapGroupsWithState accumulates per-user running totals") {
     val ds = batchEvents.as[EventStreams.Event]
     val totals = EventStreams.runningUserTotals(ds)

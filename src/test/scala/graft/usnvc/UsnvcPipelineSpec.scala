@@ -164,6 +164,17 @@ class UsnvcPipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$out/errors").exists())
   }
 
+  test("incremental foreachBatch processes newly-announced export dirs") {
+    val root = java.nio.file.Files.createTempDirectory("usnvc_inc")
+    val triggers = root.resolve("triggers"); val out = root.resolve("out")
+    java.nio.file.Files.createDirectories(triggers)
+    java.nio.file.Files.writeString(triggers.resolve("batch1.txt"), dir + "\n")
+    UsnvcPipeline.incremental(spark, triggers.toString, out.toString,
+      root.resolve("ckpt").toString)
+    val name = new java.io.File(dir).getName
+    assert(spark.read.text(s"$out/$name/docs").count() == 8)
+  }
+
   test("preprocess frame shapes match the reference joins") {
     assert(ctx.nvcsUnits.count() == 7)
     assert(ctx.unitReferences.count() == 2)
