@@ -299,7 +299,85 @@ object RelationalQueries {
        |  sum(${sqlCents("o_totalprice")}) AS total_cents
        |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** Pure-SQL surface: the same engine driven through temp views +
+    * spark.sql (TPC-H Q10-like top returning-customers). Shows the SQL
+    * path produces identical results to the DataFrame path. */
+  def sqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(
+      s"""SELECT c_custkey, c_mktsegment,
+         |  sum(${sqlCentsSpark("l_extendedprice")} * (100 - ${sqlCentsSpark("l_discount")})) AS revenue_c4,
+         |  count(*) AS n_lines
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_mktsegment
+         |ORDER BY revenue_c4 DESC, c_custkey
+         |LIMIT 20""".stripMargin)
+  }
+
+  /** Spark-side SQL needs the same cents lift; CAST syntax is shared
+    * with DuckDB so the oracle is near-verbatim. */
+  private def sqlCentsSpark(c: String): String =
+    s"CAST(round($c*100,0) AS BIGINT)"
+
+  val sqlSurfaceSql: String =
+    s"""SELECT c_custkey, c_mktsegment,
+       |  sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c4,
+       |  count(*) AS n_lines
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_mktsegment
+       |ORDER BY revenue_c4 DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** Correlated-scalar-subquery shape (TPC-H Q17-like): lineitems under
+    * 30% of their part's average quantity. Catalyst decorrelates into
+    * an aggregate + join — no per-row re-scan. */
+  def belowAvgQuantity(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val avgQ = l.groupBy(col("l_partkey").as("p_key"))
+      .agg((sum(cents(col("l_quantity"))).cast("double") / count(lit(1)) / 100.0 * 0.3)
+        .as("threshold"))
+    l.join(avgQ, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < col("threshold"))
+      .agg((sum(cents(col("l_extendedprice"))).cast("double") / 700.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val belowAvgQuantitySql: String =
+    s"""SELECT sum(${sqlCents("l_extendedprice")})::DOUBLE / 700.0 AS avg_yearly,
+       |  count(*) AS n_lines
+       |FROM lineitem l
+       |JOIN (SELECT l_partkey AS p_key,
+       |        sum(${sqlCents("l_quantity")})::DOUBLE / count(*) / 100.0 * 0.3 AS threshold
+       |      FROM lineitem GROUP BY 1) a ON l.l_partkey = a.p_key
+       |WHERE l.l_quantity < a.threshold""".stripMargin
+
+  /** Distinct-count grouping (TPC-H Q16-like): supplier variety per
+    * part attribute bucket. */
+  def partSupplierVariety(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+        count(lit(1)).as("n_lines"))
+
+  val partSupplierVarietySql: String =
+    """SELECT p_brand, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q39_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
+    Q("q40_below_avg_qty", belowAvgQuantity, Some(belowAvgQuantitySql)),
+    Q("q41_part_supplier_variety", partSupplierVariety, Some(partSupplierVarietySql)),
     Q("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     Q("q02_filter_project", filterProject, Some(filterProjectSql)),
     Q("q03_shipping_priority", shippingPriority, Some(shippingPrioritySql)),
