@@ -13,7 +13,8 @@ object SparkEntry {
     RelationalQueries.all ++ HierarchyQueries.all ++
       TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ EventQueries.all ++
-      MultimodalQueries.all ++ ScaleQueries.all ++ SketchQueries.all
+      MultimodalQueries.all ++ ScaleQueries.all ++ SketchQueries.all ++
+      SemanticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
