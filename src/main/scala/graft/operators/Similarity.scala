@@ -91,6 +91,60 @@ object Similarity {
         col("rank"), col("similarity"))
   }
 
+  /** Deterministic cluster representatives: the member with the
+    * smallest id (medoid-by-id). Float-mean centroids are partition-
+    * order-dependent in their low bits; a medoid is reproducible on any
+    * engine, which keeps multi-probe routing oracle-checkable. */
+  def clusterMedoids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String): DataFrame = {
+    val minIds = corpus.groupBy(col(clusterCol))
+      .agg(min(col(idCol)).as("__medoid_id"))
+      .withColumnRenamed(clusterCol, "__mcluster")
+    corpus.join(minIds,
+        col(idCol) === col("__medoid_id") &&
+          col(clusterCol) === col("__mcluster"))
+      .select(col("__mcluster").as(clusterCol), col(vecCol).as("__medoid_vec"))
+  }
+
+  /** IVF top-k with multi-probe: each query routes to its `nprobe`
+    * nearest clusters (by cosine to the cluster medoid), then scores
+    * only those clusters' members. nprobe=#clusters degenerates to
+    * brute force; recall rises with nprobe at linear extra scan cost. */
+  def ivfTopKProbed(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, clusterCol: String,
+      k: Int, nprobe: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val medoids = broadcast(clusterMedoids(corpus, idCol, vecCol, clusterCol)
+      .select(col(clusterCol).as("__mc"), col("__medoid_vec"),
+        norm(col("__medoid_vec")).as("__mnorm")))
+    val q = queries.select(col(idCol).as(queryIdCol),
+      col(vecCol).as("__qvec"), norm(col(vecCol)).as("__qnorm"))
+    val routeW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__route_sim").desc, col("__mc"))
+    val probed = q.join(medoids)
+      .withColumn("__route_sim",
+        round(dot(col("__qvec"), col("__medoid_vec")) /
+          (col("__qnorm") * col("__mnorm")), 6))
+      .withColumn("__r", row_number().over(routeW))
+      .filter(col("__r") <= nprobe)
+      .select(col(queryIdCol), col("__qvec"), col("__qnorm"), col("__mc"))
+    val c = corpus.select(col(idCol), col(vecCol), col(clusterCol),
+      norm(col(vecCol)).as("__cnorm"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("similarity").desc, col(idCol))
+    c.join(broadcast(probed),
+        col("__mc") === col(clusterCol) && col(queryIdCol) =!= col(idCol))
+      .withColumn("similarity",
+        round(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        col("rank"), col("similarity"))
+  }
+
   /** The fixed seed-derived hyperplanes used by [[hyperplaneBucket]] —
     * exposed so oracles/tests can replay the exact projection. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 7L): Seq[Array[Double]] = {

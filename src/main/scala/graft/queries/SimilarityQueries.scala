@@ -77,7 +77,40 @@ object SimilarityQueries {
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${sqlCos("a.v", "b.v")} >= 0.35""".stripMargin
 
+  /** Multi-probe IVF: route to the 2 nearest cluster medoids, then
+    * top-5 within the probed clusters. */
+  def knnIvfProbed(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopKProbed(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", "label", k = 5, nprobe = 2)
+  }
+
+  val knnIvfProbedSql: String =
+    s"""WITH med AS (
+       |  SELECT label, embedding::DOUBLE[] AS mv
+       |  FROM embeddings e
+       |  JOIN (SELECT label AS ml, min(vec_id) AS mid FROM embeddings GROUP BY 1) m
+       |    ON e.vec_id = m.mid AND e.label = m.ml),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 20),
+       |routed AS (
+       |  SELECT query_id, qv, label FROM (
+       |    SELECT q.query_id, q.qv, med.label,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${sqlCos("q.qv", "med.mv")} DESC, med.label) AS r
+       |    FROM q CROSS JOIN med) t WHERE r <= 2),
+       |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+       |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |    ${sqlCos("qv", "cv")} AS similarity
+       |  FROM routed JOIN c ON routed.label = c.label
+       |  WHERE query_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY similarity DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, rank, similarity FROM r
+       |WHERE rank <= 5""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
     Q("q22_knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
     Q("q23_knn_ivf", knnIvf, Some(knnIvfSql)),
     Q("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)))

@@ -54,6 +54,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ham(b(1L), b(3L)) > 0) // orthogonal → some differ (seed-checked)
   }
 
+  test("multi-probe IVF: nprobe=all clusters equals brute force") {
+    val queries = vecs.filter($"vec_id" <= 2)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val probedAll = Similarity.ivfTopKProbed(vecs, queries,
+      "vec_id", "embedding", "label", k = 3, nprobe = 2) // 2 = all clusters
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(probedAll == brute)
+    // nprobe=1 returns a subset of the probed clusters' members only
+    val probed1 = Similarity.ivfTopKProbed(vecs, queries,
+      "vec_id", "embedding", "label", k = 3, nprobe = 1)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(probed1.nonEmpty)
+    assert(probed1.map(_._2).toSet.subsetOf(vecs.as[(Long, Array[Float], Int)]
+      .collect().map(_._1).toSet))
+  }
+
   test("blockedNearDupPairs verifies within blocks only") {
     val pairs = Similarity.blockedNearDupPairs(vecs, "vec_id", "embedding",
       col("label"), minSim = 0.9)
