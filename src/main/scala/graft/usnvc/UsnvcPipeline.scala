@@ -1,6 +1,6 @@
 package graft.usnvc
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end USNVC pipeline: export dir → validated JSON documents +
@@ -27,17 +27,22 @@ object UsnvcPipeline {
     val ctx = Preprocess(spark, dir)
     val units0 = DocAssembly.unitDocs(ctx, config.clock)
     val units = config.limit.map(units0.limit).getOrElse(units0)
-    val asJson = (df: DataFrame) => df.select(
+    // level rides alongside as a partition column for the sink: doc
+    // consumers that want one classification level read 1/16th of the
+    // corpus via partition pruning instead of scanning all docs.
+    val asJson = (df: DataFrame, level: Column) => df.select(
       to_json(struct(col("source_data"), col("row_id"))).as("doc"),
-      col("row_id"))
-    asJson(DocAssembly.rootDoc(ctx)).unionByName(asJson(units))
+      col("row_id"),
+      coalesce(level, lit("unknown")).as("level"))
+    asJson(DocAssembly.rootDoc(ctx), lit("root"))
+      .unionByName(asJson(units, col("source_data.Hierarchy.hierarchylevel")))
   }
 
   /** S3 validation (`README.md:35-46`): per-row error record, null when
     * the final-result contract holds (`source_data` + `row_id`
     * present, row_id non-empty). */
   def validated(docs: DataFrame): DataFrame =
-    docs.select(col("doc"), col("row_id"),
+    docs.select(col("doc"), col("row_id"), col("level"),
       when(col("row_id").isNull || length(col("row_id")) === 0,
         lit("row_id missing"))
         .when(col("doc").isNull || !col("doc").contains("\"source_data\""),
@@ -94,8 +99,8 @@ object UsnvcPipeline {
   def run(spark: SparkSession, dir: String, outDir: String,
       config: Config = Config()): Unit = {
     val v = validated(docsJson(spark, dir, config)).cache()
-    v.filter(col("error").isNull).select(col("doc"))
-      .write.mode("overwrite").text(s"$outDir/docs")
+    v.filter(col("error").isNull).select(col("doc"), col("level"))
+      .write.mode("overwrite").partitionBy("level").text(s"$outDir/docs")
     v.filter(col("error").isNotNull).select(col("row_id"), col("error"))
       .write.mode("overwrite").json(s"$outDir/errors")
     v.unpersist()
