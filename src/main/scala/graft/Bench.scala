@@ -13,13 +13,19 @@ object Bench {
     // Untimed JVM/codegen warmup at the smallest sf: the first queries
     // in a cold JVM otherwise absorb ~5-10 s of one-time class-loading
     // and codegen cost that says nothing about steady-state throughput.
+    // noop sink: materializes every output column. A bare count() lets
+    // Catalyst prune scalar projections, so scan-side queries would
+    // under-report their real cost.
+    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
     val warmupDir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      try exec(fn, warmupDir) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -71,22 +71,50 @@ object Dedup {
     * very large scale prefer [[minHashPairs]] (same output minus LSH
     * false negatives) or cap bucket width by dropping too-frequent
     * shingles (stopword-shingle suppression). */
+  /** @param maxDocFreq stop-shingle cap: shingles occurring in more
+    *        than this many docs are excluded from CANDIDATE GENERATION
+    *        (verification still uses full shingle sets, so surviving
+    *        pairs carry exact Jaccard). Bounds the worst shingle-bucket
+    *        width — the quadratic term — at the cost of missing pairs
+    *        that share only ultra-common shingles. None = exact. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double): DataFrame = {
+      n: Int, minJaccard: Double,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     // the shingle relation feeds both join sides and the size counts;
     // column-pruned variants don't canonicalize to one exchange, so
     // without persist() Spark scans+reshingles the corpus 3x (ctx
     // cleaner unpersists when the plan is GC'd)
     val sh = shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardOverPairs(sh, idCol,
-      sh.alias("a").join(sh.alias("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col(s"a.$idCol") < col(s"b.$idCol"))
-        .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-        .agg(count(lit(1)).as("common")),
-      minJaccard)
+    val common = maxDocFreq match {
+      case None =>
+        // exact path: count co-occurrences directly in the self-join
+        sh.alias("a").join(sh.alias("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .agg(count(lit(1)).as("common"))
+      case Some(maxDf) =>
+        // capped path: candidates from rare shingles only, then exact
+        // common counts over the FULL shingle sets
+        val rare = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf)
+          .select(col("shingle"))
+        val rareSh = sh.join(rare, "shingle")
+        val candidatePairs = rareSh.alias("a").join(rareSh.alias("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .distinct()
+        candidatePairs
+          .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+          .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("common"))
+    }
+    jaccardOverPairs(sh, idCol, common, minJaccard)
   }
 
   /** (id_a, id_b, common) + per-id shingle counts → jaccard filter. */

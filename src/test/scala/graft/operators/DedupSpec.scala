@@ -39,6 +39,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("stop-shingle cap: loose cap exact, tight cap subset") {
+    val exact = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val loose = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.3,
+      maxDocFreq = Some(100)).as[(Long, Long, Double)].collect().toSet
+    assert(loose == exact)
+    val tight = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.3,
+      maxDocFreq = Some(1)).as[(Long, Long, Double)].collect().toSet
+    assert(tight.subsetOf(exact))
+    assert(tight.size < exact.size) // shared trigrams all have df>=2 here
+  }
+
   test("minhash+LSH pairs ⊆ exact pairs, equal on high-sim corpus") {
     for (portable <- Seq(false, true)) {
       val exact = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)
