@@ -57,7 +57,7 @@ object AsOfJoin {
         col(leftTs).as("__ts"),
         lit(1).as("__side"),
         lit(null).cast(payloadType).as("__payload"),
-        struct(left.columns.map(col): _*).as("__left")): _*)
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__left")): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))

@@ -28,7 +28,7 @@ object Skew {
     // deterministic per-row salt: stable under retries (a random salt
     // breaks speculative-execution / task-retry exactly-once shuffles)
     val salted = facts.withColumn("__salt",
-      pmod(xxhash64(struct(facts.columns.map(col): _*)), lit(n)).cast("int"))
+      pmod(xxhash64(struct(facts.columns.toIndexedSeq.map(col): _*)), lit(n)).cast("int"))
     val replicated = dims.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
