@@ -62,6 +62,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("property (seeded random): jaccard matches set-arithmetic brute force") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val corpus = Seq.tabulate(30)(i =>
+      (i.toLong, Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val got = Dedup.ngramJaccardPairs(corpus.toDF("id", "text"), "id", "text", 2, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split("\\s+").toSeq
+      if (toks.length < 2) Set(toks.mkString(" "))
+      else toks.sliding(2).map(_.mkString(" ")).toSet
+    }
+    for ((ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib) {
+      val (sa, sb) = (shingleSet(ta), shingleSet(tb))
+      val inter = (sa & sb).size
+      if (inter > 0) {
+        val expected = inter.toDouble / (sa.size + sb.size - inter)
+        assert(math.abs(got((ia, ib)) - expected) < 1e-12, s"pair $ia,$ib")
+      } else assert(!got.contains((ia, ib)))
+    }
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minHashSignatures(docs, "id", "text").collect().toSeq
     val b = Dedup.minHashSignatures(docs, "id", "text").collect().toSeq
