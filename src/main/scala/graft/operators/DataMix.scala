@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-composition operators for training-data pipelines:
+  * deterministic sampling/splitting (resumable — membership is a pure
+  * function of the row id, never of partitioning or RNG state),
+  * per-source mixture weighting, and token-budget document packing.
+  *
+  * All membership decisions hash the ID with the portable 60-bit hash,
+  * so a split computed today, on any cluster size, equals the split
+  * computed tomorrow — and an external system (or the DuckDB oracle)
+  * can reproduce it row for row. `rand(seed)` cannot promise that: its
+  * stream is partition-indexed.
+  */
+object DataMix {
+
+  private val Buckets = 1000000L
+
+  /** Uniform bucket in [0, 1e6) from (id, seed) — the shared
+    * membership primitive. */
+  def hashBucket(id: Column, seed: Long): Column =
+    pmod(Dedup.stringHash(concat(id.cast("string"), lit(s"#$seed")),
+      portable = true), lit(Buckets))
+
+  /** Keep ~fraction of rows, deterministically by id. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame =
+    df.filter(hashBucket(col(idCol), seed) < (fraction * Buckets).toLong)
+
+  /** Label every row train/test by id hash (no row lost, no overlap). */
+  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
+      seed: Long = 42L): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(col(idCol), seed) < (testFraction * Buckets).toLong,
+        lit("test")).otherwise(lit("train")))
+
+  /** Per-source sampling rates (mixture weights): keep ~weight(source)
+    * of each source's rows; sources missing from the map are dropped.
+    * Thresholds are integerized driver-side (Math.round) — a runtime
+    * `weight * 1e6` double multiply truncates 0.9 to 899999 where a
+    * decimal engine gets 900000. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], seed: Long = 42L): DataFrame = {
+    val threshold = weights.foldLeft(lit(-1L)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(Math.round(w * Buckets))).otherwise(acc)
+    }
+    df.withColumn("__thr", threshold)
+      .filter(hashBucket(col(idCol), seed) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Sequential token-budget packing (the standard LLM-prep layout:
+    * concatenate documents in a deterministic order, cut a new pack
+    * whenever the running total crosses the budget — a document is
+    * assigned to the pack where it STARTS). One window pass per shard;
+    * at scale, shard first (e.g. by hash) so each pack sequence is an
+    * independent partition. */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shardCol: Option[String] = None): DataFrame = {
+    val part = shardCol.map(c => Window.partitionBy(col(c)))
+      .getOrElse(Window.partitionBy())
+    val w = part.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cumsum", sum(col(tokenCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cumsum") - col(tokenCol)) / budget).cast("long"))
+      .drop("__cumsum")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{DataMix, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset-composition coverage: deterministic split, mixture
+  * weighting, and token packing over `documents` — each oracle replays
+  * the portable-hash membership arithmetic, so the EXACT membership
+  * (not just counts) is checked via the aggregates.
+  */
+object DataMixQueries {
+
+  private def sqlBucket(id: String, seed: Long): String =
+    s"('0x'||substr(md5($id::VARCHAR || '#$seed'),1,15))::BIGINT % 1000000"
+
+  /** Train/test split + per-split stats (membership-sensitive sums). */
+  def splitStats(s: SparkSession, d: String): DataFrame =
+    DataMix.trainTestSplit(Tables.documents(s, d), "doc_id", 0.2)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("id_sum"))
+
+  val splitStatsSql: String =
+    s"""SELECT CASE WHEN ${sqlBucket("doc_id", 42L)} < 200000
+       |            THEN 'test' ELSE 'train' END AS split,
+       |  lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       |  sum(doc_id) AS id_sum
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Source-mixture sampling: src0..src4 upweighted, the rest thinned.
+    * id_sum pins exact membership, not just acceptance rates. */
+  def mixtureStats(s: SparkSession, d: String): DataFrame = {
+    val weights = (0 until 20).map(i =>
+      s"src$i" -> (if (i < 5) 0.9 else 0.3)).toMap
+    DataMix.mixtureSample(Tables.documents(s, d), "doc_id", "source", weights)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+  }
+
+  val mixtureStatsSql: String =
+    s"""SELECT source, count(*) AS n_docs, sum(doc_id) AS id_sum
+       |FROM documents
+       |WHERE ${sqlBucket("doc_id", 42L)} <
+       |  CASE WHEN source IN ('src0','src1','src2','src3','src4')
+       |       THEN 900000 ELSE 300000 END
+       |GROUP BY 1""".stripMargin
+
+  /** Token packing at a 2 000-token budget in doc_id order: per pack,
+    * membership-sensitive aggregates. */
+  def tokenPacking(s: SparkSession, d: String): DataFrame = {
+    val withTokens = Tables.documents(s, d)
+      .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
+    DataMix.packByTokenBudget(withTokens, "doc_id", "n_tokens", 2000L)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val tokenPackingSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cumsum
+      |  FROM t)
+      |SELECT (cumsum - n_tokens) // 2000 AS pack_id,
+      |  count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q45_split_stats", splitStats, Some(splitStatsSql)),
+    Q("q46_mixture_stats", mixtureStats, Some(mixtureStatsSql)),
+    Q("q47_token_packing", tokenPacking, Some(tokenPackingSql)))
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1L to 2000L).map(i => (i, s"src${i % 4}", 10 + (i % 50)))
+    .toDF("id", "source", "tokens")
+
+  test("hashSample: deterministic, partition-invariant, ~fraction") {
+    val a = DataMix.hashSample(rows, "id", 0.3).select($"id").as[Long].collect().toSet
+    val b = DataMix.hashSample(rows.repartition(13), "id", 0.3)
+      .select($"id").as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+  }
+
+  test("trainTestSplit partitions completely and disjointly") {
+    val s = DataMix.trainTestSplit(rows, "id", 0.25)
+    assert(s.count() == 2000)
+    val test = s.filter($"split" === "test").count()
+    assert(math.abs(test / 2000.0 - 0.25) < 0.05)
+    // membership is a pure function of id: resampling train never
+    // leaks test ids
+    val trainIds = s.filter($"split" === "train").select($"id").as[Long].collect().toSet
+    val testIds = s.filter($"split" === "test").select($"id").as[Long].collect().toSet
+    assert((trainIds & testIds).isEmpty)
+  }
+
+  test("mixtureSample keeps ~weight per source, drops unknown sources") {
+    val w = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val m = DataMix.mixtureSample(rows, "id", "source", w)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(m("src0") == 500) // weight 1.0 keeps everything
+    assert(!m.contains("src2") && !m.contains("src3"))
+    assert(math.abs(m("src1") / 500.0 - 0.5) < 0.1)
+  }
+
+  test("packByTokenBudget: packs are contiguous id ranges, docs start within budget") {
+    val packed = DataMix.packByTokenBudget(rows, "id", "tokens", 500L)
+      .orderBy($"id").as[(Long, String, Long, Long)].collect()
+    // pack ids are non-decreasing in id order and start at 0
+    assert(packed.head._4 == 0L)
+    assert(packed.sliding(2).forall { case Array(a, b) => b._4 >= a._4; case _ => true })
+    // each doc's pack = floor(tokens-before-it / budget)
+    var cum = 0L
+    packed.foreach { case (_, _, t, pid) =>
+      assert(pid == cum / 500L); cum += t
+    }
+  }
+}
