@@ -56,6 +56,30 @@ object EventStreams {
         col("user_id"), col("n_events"), col("value_cents"))
   }
 
+  /** Stream-stream interval join: purchases within one hour after a
+    * click by the same user. Both sides watermarked so the join state
+    * is bounded by the time-range condition + watermark horizon; the
+    * identical expression runs on batch frames for parity testing. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c0 = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val p0 = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value"))
+    val (c, p) =
+      if (clicks.isStreaming)
+        (c0.withWatermark("click_ts", "2 hours"),
+          p0.withWatermark("purchase_ts", "2 hours"))
+      else (c0, p0)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))
+          .as("gap_us"))
+  }
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped with bounded state (the batch
     * equivalent is a plain dropDuplicates). */

@@ -51,6 +51,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(joined == 0)
   }
 
+  test("stream-stream interval join equals batch interval join") {
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter($"event_type" === "click"),
+        df.filter($"event_type" === "purchase"))
+    val (bc, bp) = split(batchEvents)
+    val batch = EventStreams.clickToPurchase(bc, bp)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val stream = EventStreams.readJsonStream(spark, jsonDir)
+    val (sc, sp) = split(stream)
+    val q = EventStreams.clickToPurchase(sc, sp)
+      .writeStream.format("memory").queryName("c2p")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("c2p")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     // duplicate the whole corpus into a second file set
     val dupDir = java.nio.file.Files.createTempDirectory("events_dup").toString

@@ -175,6 +175,30 @@ class UsnvcPipelineSpec extends SparkSpec {
     assert(spark.read.text(s"$out/$name/docs").count() == 8)
   }
 
+  test("preprocess plans broadcast every dimension join") {
+    val plan = ctx.nvcsDistribution.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("malformed TSV rows read permissively (short rows → nulls)") {
+    val bad = java.nio.file.Files.createTempDirectory("usnvc_bad")
+    Fixtures.writeTo(bad)
+    // truncate one unit row to 3 of 14 columns
+    val unitPath = bad.resolve("unit.txt")
+    val latin1 = java.nio.charset.Charset.forName("ISO-8859-1")
+    val lines = java.nio.file.Files.readAllLines(unitPath, latin1)
+    lines.set(3, "1000099\t1000001\t1")
+    java.nio.file.Files.write(unitPath, lines, latin1)
+    val units = Preprocess(spark, bad.toString).nvcsUnits
+    val row = units.filter(org.apache.spark.sql.functions
+      .col("element_global_id") === "1000099").collect()
+    assert(row.length == 1)
+    assert(row.head.getAs[String]("databasecode") == null)
+  }
+
   test("preprocess frame shapes match the reference joins") {
     assert(ctx.nvcsUnits.count() == 7)
     assert(ctx.unitReferences.count() == 2)
