@@ -9,7 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def groups: Seq[Q] =
+  /** All registered queries in declaration order (exposed so the
+    * contract spec can detect duplicate names, which the maps below
+    * would silently collapse). */
+  def registered: Seq[Q] =
     RelationalQueries.all ++ HierarchyQueries.all ++
       TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ EventQueries.all ++
@@ -22,10 +25,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    groups.map(q => q.name -> q.run).toMap
+    registered.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    groups.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    registered.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract guards: the things that would silently weaken the
+  * correctness gate if a future change got them wrong. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("query names are unique (maps would silently collapse duplicates)") {
+    val names = SparkEntry.registered.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicates: ${names.diff(names.distinct)}")
+  }
+
+  test("47 queries registered, all but q31 oracle-checked") {
+    assert(SparkEntry.queries.size == 47)
+    val withoutOracle = SparkEntry.registered.filter(_.oracle.isEmpty).map(_.name)
+    assert(withoutOracle == Seq("q31_media_features"))
+  }
+
+  test("oracle keys are exactly the oracle-bearing query names") {
+    assert(SparkEntry.oracleSql.keySet ==
+      SparkEntry.registered.filter(_.oracle.isDefined).map(_.name).toSet)
+  }
+
+  test("query names follow the qNN_ naming scheme, numbered contiguously") {
+    val nums = SparkEntry.registered.map(_.name)
+      .map(n => n.split("_")(0).drop(1).toInt).sorted
+    assert(nums == (1 to 47))
+  }
+}
