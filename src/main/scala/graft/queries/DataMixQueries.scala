@@ -26,8 +26,8 @@ object DataMixQueries {
   val splitStatsSql: String =
     s"""SELECT CASE WHEN ${sqlBucket("doc_id", 42L)} < 200000
        |            THEN 'test' ELSE 'train' END AS split,
-       |  lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       |  sum(doc_id) AS id_sum
+       |  lang, count(*) AS n_docs, (sum(n_chars))::BIGINT AS total_chars,
+       |  (sum(doc_id))::BIGINT AS id_sum
        |FROM documents GROUP BY 1, 2""".stripMargin
 
   /** Source-mixture sampling: src0..src4 upweighted, the rest thinned.
@@ -41,20 +41,27 @@ object DataMixQueries {
   }
 
   val mixtureStatsSql: String =
-    s"""SELECT source, count(*) AS n_docs, sum(doc_id) AS id_sum
+    s"""SELECT source, count(*) AS n_docs, (sum(doc_id))::BIGINT AS id_sum
        |FROM documents
        |WHERE ${sqlBucket("doc_id", 42L)} <
        |  CASE WHEN source IN ('src0','src1','src2','src3','src4')
        |       THEN 900000 ELSE 300000 END
        |GROUP BY 1""".stripMargin
 
-  /** Token packing at a 2 000-token budget in doc_id order: per pack,
+  /** Token packing at a 2 000-token budget in doc_id order, SHARDED:
+    * each of 8 deterministic id-shards packs independently, so the
+    * running-sum window partitions by shard instead of moving every row
+    * to one partition (the unsharded `Window.partitionBy()` form is the
+    * canonical scale-killer — packs are only meaningful within an
+    * ordered shard anyway in a distributed layout). Per (shard, pack),
     * membership-sensitive aggregates. */
   def tokenPacking(s: SparkSession, d: String): DataFrame = {
     val withTokens = Tables.documents(s, d)
-      .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens"))
-    DataMix.packByTokenBudget(withTokens, "doc_id", "n_tokens", 2000L)
-      .groupBy(col("pack_id"))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+        TA.tokenCount(col("text")).as("n_tokens"))
+    DataMix.packByTokenBudget(withTokens, "doc_id", "n_tokens", 2000L,
+      shardCol = Some("shard"))
+      .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"),
         min(col("doc_id")).as("first_doc"),
@@ -62,17 +69,17 @@ object DataMixQueries {
   }
 
   val tokenPackingSql: String =
-    """WITH t AS (SELECT doc_id,
+    """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
       |    len(regexp_extract_all(text, '\S+')) AS n_tokens
       |  FROM documents),
-      |c AS (SELECT doc_id, n_tokens,
-      |    sum(n_tokens) OVER (ORDER BY doc_id
-      |      ROWS UNBOUNDED PRECEDING) AS cumsum
+      |c AS (SELECT doc_id, shard, n_tokens,
+      |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cumsum
       |  FROM t)
-      |SELECT (cumsum - n_tokens) // 2000 AS pack_id,
-      |  count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+      |SELECT shard, ((cumsum - n_tokens) // 2000)::BIGINT AS pack_id,
+      |  count(*) AS n_docs, (sum(n_tokens))::BIGINT AS pack_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      |FROM c GROUP BY 1""".stripMargin
+      |FROM c GROUP BY 1, 2""".stripMargin
 
   def all: Seq[Q] = Seq(
     Q("q45_split_stats", splitStats, Some(splitStatsSql)),

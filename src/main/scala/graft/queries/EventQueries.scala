@@ -36,7 +36,7 @@ object EventQueries {
     s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
        |  count(*) AS n_events,
        |  count(DISTINCT user_id) AS n_users,
-       |  sum(${sqlCents("value")}) AS value_cents
+       |  (sum(${sqlCents("value")}))::BIGINT AS value_cents
        |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Gap-based sessionization (30-min inactivity): session boundaries
@@ -66,13 +66,13 @@ object EventQueries {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |sess AS (
        |  SELECT user_id, ts, value,
-       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS UNBOUNDED PRECEDING) AS session_idx
+       |    (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
        |  FROM flagged)
        |SELECT user_id, session_idx, count(*) AS n_events,
        |  min(epoch_us(ts)) AS start_us,
        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
-       |  sum(${sqlCents("value")}) AS value_cents
+       |  (sum(${sqlCents("value")}))::BIGINT AS value_cents
        |FROM sess GROUP BY 1, 2""".stripMargin
 
   /** Semi-structured extraction: JSON path into the props column, then
@@ -90,7 +90,7 @@ object EventQueries {
     """SELECT event_type, count(*) AS n,
       |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
       |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
-      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  (sum(json_extract_string(props, '$.k')::BIGINT))::BIGINT AS sum_k,
       |  count(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS n_distinct_k
       |FROM events GROUP BY 1""".stripMargin
 
@@ -107,7 +107,7 @@ object EventQueries {
   val rollupDailySql: String =
     s"""SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
        |  count(*) AS n_events,
-       |  sum(${sqlCents("value")}) AS value_cents
+       |  (sum(${sqlCents("value")}))::BIGINT AS value_cents
        |FROM events
        |GROUP BY ROLLUP (event_type, epoch_us(date_trunc('day', ts)))""".stripMargin
 

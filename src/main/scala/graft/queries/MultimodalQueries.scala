@@ -48,12 +48,18 @@ object MultimodalQueries {
 
   /** Feature extraction (Array[Float] embedding per payload): float
     * output is not ANSI-replayable, so this is a rows-only contract
-    * entry; numeric behavior is pinned in MultimodalSpec. */
+    * entry; numeric behavior is pinned in MultimodalSpec. The registered
+    * output renders the vector as a rounded CSV string — raw
+    * array<float> columns are valid engine output but the harness
+    * canonicalizer sorts every column, and arrays aren't orderable
+    * there; the raw-array path stays spec-tested. */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     val withPayload = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     Multimodal.withFeatures(withPayload, "payload", dim = 16)
-      .select(col("doc_id"), col("features"))
+      .select(col("doc_id"),
+        array_join(transform(col("features"),
+          f => round(f.cast("double"), 6).cast("string")), ",").as("features_csv"))
   }
 
   def all: Seq[Q] = Seq(

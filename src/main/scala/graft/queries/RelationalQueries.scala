@@ -84,7 +84,7 @@ object RelationalQueries {
 
   val shippingPrioritySql: String =
     s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-       |  sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c4
+       |  (sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})))::BIGINT AS revenue_c4
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
        |WHERE c_mktsegment = 'BUILDING'
@@ -123,7 +123,7 @@ object RelationalQueries {
 
   val antiJoinCustomersSql: String =
     s"""SELECT c_mktsegment, count(*) AS n_customers,
-       |  sum(${sqlCents("c_acctbal")}) AS acctbal_cents
+       |  (sum(${sqlCents("c_acctbal")}))::BIGINT AS acctbal_cents
        |FROM customer
        |WHERE NOT EXISTS (SELECT 1 FROM orders
        |                  WHERE o_custkey = c_custkey
@@ -155,7 +155,7 @@ object RelationalQueries {
 
   val localSupplierVolumeSql: String =
     s"""SELECT n_name,
-       |  sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c4
+       |  (sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})))::BIGINT AS revenue_c4
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -206,7 +206,7 @@ object RelationalQueries {
        |  coalesce(n_orders, 0) AS n_orders, coalesce(spend_cents, 0) AS spend_cents
        |FROM customer LEFT JOIN (
        |  SELECT o_custkey, count(*) AS n_orders,
-       |    sum(${sqlCents("o_totalprice")}) AS spend_cents
+       |    (sum(${sqlCents("o_totalprice")}))::BIGINT AS spend_cents
        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin
 
   /** Window function: top-3 orders per customer by price (row_number with a
@@ -277,7 +277,7 @@ object RelationalQueries {
     s"""SELECT l_orderkey,
        |  string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS line_numbers,
        |  count(*) AS n_lines,
-       |  sum(${sqlCents("l_quantity")}) AS qty_cents
+       |  (sum(${sqlCents("l_quantity")}))::BIGINT AS qty_cents
        |FROM lineitem GROUP BY l_orderkey""".stripMargin
 
   /** Multi-branch CASE (SURVEY F2 display-title pattern, generalized). */
@@ -296,7 +296,7 @@ object RelationalQueries {
        |            WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
        |            ELSE 'cold' END AS tier,
        |  o_orderstatus, count(*) AS n,
-       |  sum(${sqlCents("o_totalprice")}) AS total_cents
+       |  (sum(${sqlCents("o_totalprice")}))::BIGINT AS total_cents
        |FROM orders GROUP BY 1, 2""".stripMargin
 
   /** Pure-SQL surface: the same engine driven through temp views +
@@ -324,7 +324,7 @@ object RelationalQueries {
 
   val sqlSurfaceSql: String =
     s"""SELECT c_custkey, c_mktsegment,
-       |  sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS revenue_c4,
+       |  (sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})))::BIGINT AS revenue_c4,
        |  count(*) AS n_lines
        |FROM customer
        |JOIN orders ON c_custkey = o_custkey
@@ -389,5 +389,6 @@ object RelationalQueries {
     Q("q09_global_topk", globalTopK, Some(globalTopKSql)),
     Q("q10_set_ops", setOps, Some(setOpsSql)),
     Q("q11_nest_lineitems", nestLineitems, Some(nestLineitemsSql)),
-    Q("q12_case_tiering", caseTiering, Some(caseTieringSql)))
+    Q("q12_case_tiering", caseTiering, Some(caseTieringSql)),
+    Q("q48_left_join_orders", leftJoinOrders, Some(leftJoinOrdersSql)))
 }

@@ -32,7 +32,7 @@ object ScaleQueries {
   // would compute an exact bound where Spark computes the IEEE one.
   val rangeJoinBandsSql: String =
     s"""SELECT n_nationkey::BIGINT AS band, count(*) AS n_events,
-       |  sum(${sqlCents("value")}) AS value_cents
+       |  (sum(${sqlCents("value")}))::BIGINT AS value_cents
        |FROM events JOIN nation
        |  ON value >= n_nationkey * 20.0::DOUBLE
        | AND value <= n_nationkey * 20.0::DOUBLE + 19.99::DOUBLE
@@ -52,7 +52,7 @@ object ScaleQueries {
 
   val saltedJoinPrioritySql: String =
     s"""SELECT o_orderpriority, count(*) AS n_lines,
-       |  sum(${sqlCents("l_extendedprice")}) AS price_cents
+       |  (sum(${sqlCents("l_extendedprice")}))::BIGINT AS price_cents
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1""".stripMargin
 

@@ -40,7 +40,7 @@ object SemanticsQueries {
        |    l_returnflag, ${sqlCents("l_quantity")} AS qty_cents
        |  FROM lineitem),
        |g AS (SELECT x_bucket, count(*) AS n_rows, count(x_bucket) AS n_nonnull,
-       |        sum(qty_cents) AS qty_cents_sum
+       |        (sum(qty_cents))::BIGINT AS qty_cents_sum
        |      FROM base GROUP BY 1),
        |f AS (SELECT x_bucket, count(DISTINCT l_returnflag) AS n_flags
        |      FROM base GROUP BY 1)
@@ -71,7 +71,7 @@ object SemanticsQueries {
       |  count(DISTINCT date_diff('day', DATE '2024-01-01', ts::DATE)) AS n_days,
       |  min(extract(hour FROM ts)) AS min_hour,
       |  max(extract(hour FROM ts)) AS max_hour,
-      |  sum(date_diff('day', DATE '2024-01-01', ts::DATE)) AS sum_day_offset
+      |  (sum(date_diff('day', DATE '2024-01-01', ts::DATE)))::BIGINT AS sum_day_offset
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
   def all: Seq[Q] = Seq(

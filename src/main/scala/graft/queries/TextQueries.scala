@@ -83,7 +83,7 @@ object TextQueries {
 
   val langBreakdownSql: String =
     s"""SELECT lang, $langPred AS lang_pred, count(*) AS n_docs,
-       |  sum(n_chars) AS total_chars
+       |  (sum(n_chars))::BIGINT AS total_chars
        |FROM documents GROUP BY 1, 2""".stripMargin
 
   /** Exact dedup keyed on the normalized-content fingerprint (SURVEY

@@ -46,6 +46,15 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+        # dtype KIND must match (int vs float): the driver hashes the
+        # materialized values, so DuckDB HUGEINT->float64 ("1.0") vs
+        # Spark int64 ("1") is a real failure even when values are ==.
+        # Width differences (int32 vs int64) are fine, kind flips aren't.
+        kind_bad = [c for c in g.columns
+                    if g[c].dtype.kind != e[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch {[(c, str(g[c].dtype), str(e[c].dtype)) for c in kind_bad]}")
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                           check_exact=True)
