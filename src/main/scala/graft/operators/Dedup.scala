@@ -38,7 +38,15 @@ object Dedup {
     * is re-evaluated per element, so inlining the regex split would
     * re-split the text 3× per shingle (measured 6× slower at sf0.1). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val withToks = df.select(col(idCol),
+    // Shingling is the CPU-heavy scan-side stage; a small single-file
+    // corpus arrives as one input split and would run it on one core.
+    // Widen only when the source is narrower than the session's shuffle
+    // parallelism (a real 100 TB scan has thousands of splits, so this
+    // never adds a shuffle at scale).
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val src = if (df.rdd.getNumPartitions < target)
+      df.repartition(target, col(idCol)) else df
+    val withToks = src.select(col(idCol),
       TextAnalysis.whitespaceTokens(col(textCol)).as("__toks"))
     val toks = col("__toks")
     val sh = when(size(toks) >= n,
@@ -87,34 +95,64 @@ object Dedup {
     // cleaner unpersists when the plan is GC'd)
     val sh = shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val common = maxDocFreq match {
+    maxDocFreq match {
       case None =>
         // exact path: count co-occurrences directly in the self-join
-        sh.alias("a").join(sh.alias("b"),
+        val common = sh.alias("a").join(sh.alias("b"),
             col("a.shingle") === col("b.shingle") &&
               col(s"a.$idCol") < col(s"b.$idCol"))
           .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
           .agg(count(lit(1)).as("common"))
+        jaccardOverPairs(sh, idCol, common, minJaccard)
       case Some(maxDf) =>
-        // capped path: candidates from rare shingles only, then exact
-        // common counts over the FULL shingle sets
-        val rare = sh.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf)
-          .select(col("shingle"))
-        val rareSh = sh.join(rare, "shingle")
-        val candidatePairs = rareSh.alias("a").join(rareSh.alias("b"),
+        // Capped path. Candidates = pairs sharing >=1 rare shingle;
+        // their common count over the FULL sets splits into
+        // common_rare + common_freq. common_rare falls out of the
+        // candidate self-join's OWN aggregation (no distinct-then-
+        // re-expand: joining candidates back against full shingle sets
+        // is |pairs| x |set| rows — the measured 59M-row hot spot).
+        // Jaccard is monotone in common, and common_freq <= min(f_a,
+        // f_b), so an upper-bound prune kills almost every candidate
+        // before the (small) frequent-shingle join runs.
+        val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        val shDf = sh.join(freq, "shingle")
+        val rareSh = shDf.filter(col("__df") <= maxDf)
+          .select(col(idCol), col("shingle"))
+        val freqSh = shDf.filter(col("__df") > maxDf)
+          .select(col(idCol), col("shingle"))
+        val commonRare = rareSh.alias("a").join(rareSh.alias("b"),
             col("a.shingle") === col("b.shingle") &&
               col(s"a.$idCol") < col(s"b.$idCol"))
-          .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-          .distinct()
-        candidatePairs
-          .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-          .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+          .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .agg(count(lit(1)).as("common_rare"))
+        val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+        val freqCounts = freqSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_freq"))
+        val prelim = commonRare
+          .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+          .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+          .join(freqCounts.select(col(idCol).as("id_a"), col("n_freq").as("f_a")),
+            Seq("id_a"), "left")
+          .join(freqCounts.select(col(idCol).as("id_b"), col("n_freq").as("f_b")),
+            Seq("id_b"), "left")
+          .withColumn("__max_common", col("common_rare") +
+            least(coalesce(col("f_a"), lit(0L)), coalesce(col("f_b"), lit(0L))))
+          .filter(col("__max_common").cast("double") /
+            (col("n_a") + col("n_b") - col("__max_common")) >= minJaccard)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val commonFreq = prelim.select(col("id_a"), col("id_b"))
+          .join(freqSh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+          .join(freqSh.select(col(idCol).as("id_b"), col("shingle")),
+            Seq("id_b", "shingle"))
           .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("common"))
+          .agg(count(lit(1)).as("common_freq"))
+        prelim.join(commonFreq, Seq("id_a", "id_b"), "left")
+          .withColumn("common",
+            col("common_rare") + coalesce(col("common_freq"), lit(0L)))
+          .withColumn("jaccard", col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common")))
+          .filter(col("jaccard") >= minJaccard)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
     }
-    jaccardOverPairs(sh, idCol, common, minJaccard)
   }
 
   /** (id_a, id_b, common) + per-id shingle counts → jaccard filter. */
