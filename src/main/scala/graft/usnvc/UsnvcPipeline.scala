@@ -39,34 +39,47 @@ object UsnvcPipeline {
   }
 
   /** S3 validation (`README.md:35-46`): per-row error record, null when
-    * the final-result contract holds (`source_data` + `row_id`
-    * present, row_id non-empty). */
+    * the doc conforms to the full draft-07 output schema
+    * (`README.md:48-174`) — required `source_data`/`row_id` plus the
+    * typed optional `data`/`geometry`/`srid` sections. See
+    * [[DocValidation.validateDoc]]. */
   def validated(docs: DataFrame): DataFrame =
     docs.select(col("doc"), col("row_id"), col("level"),
-      when(col("row_id").isNull || length(col("row_id")) === 0,
-        lit("row_id missing"))
-        .when(col("doc").isNull || !col("doc").contains("\"source_data\""),
-          lit("source_data missing"))
-        .otherwise(lit(null).cast("string")).as("error"))
+      DocValidation.validateDoc(col("doc")).as("error"))
 
   /** S6 change ledger (`usnvc.py:55-57,74-77`): one Initialize event
     * per unit and one Process event per document, as a side-output
-    * frame (not on the data path). */
+    * frame (not on the data path). Field parity with the reference's
+    * `log_change_event(id, name, desc, fn, source, result)`:
+    * Initialize logs `source={}` and the preprocessed unit row as
+    * `result` (`usnvc.py:55-57`); Process logs the unit-row payload as
+    * `source` (the reference wraps it in a `{'index', 'row'}` staging
+    * envelope — a lambda-harness artifact, collapsed here by design)
+    * and the assembled document as `result` (`usnvc.py:74-77`). */
   def ledger(spark: SparkSession, dir: String,
       config: Config = Config()): DataFrame = {
     val ctx = Preprocess(spark, dir)
-    val init = ctx.nvcsUnits.select(
+    val rowJson = ctx.nvcsUnits.select(
+      col("element_global_id"),
+      to_json(struct(ctx.nvcsUnits.columns.map(col): _*)).as("__row_json"))
+    val init = rowJson.select(
       col("element_global_id").cast("string").as("change_id"),
       lit("Initialize").as("change_name"),
       lit("Load the usnvc data into the engine").as("change_description"),
       lit("process_1").as("function_name"),
-      to_json(struct(col("element_global_id"))).as("source"))
-    val proc = DocAssembly.unitDocs(ctx, config.clock).select(
-      col("row_id").as("change_id"),
-      lit("Process").as("change_name"),
-      lit("Process usnvc data").as("change_description"),
-      lit("process_2").as("function_name"),
-      to_json(col("source_data")).as("source"))
+      lit("{}").as("source"),
+      col("__row_json").as("result"))
+    val proc = DocAssembly.unitDocs(ctx, config.clock)
+      .join(rowJson,
+        col("row_id") === col("element_global_id").cast("long").cast("string"),
+        "left")
+      .select(
+        col("row_id").as("change_id"),
+        lit("Process").as("change_name"),
+        lit("Process usnvc data").as("change_description"),
+        lit("process_2").as("function_name"),
+        coalesce(col("__row_json"), lit("{}")).as("source"),
+        to_json(col("source_data")).as("result"))
     init.unionByName(proc)
   }
 

@@ -132,6 +132,24 @@ class UsnvcPipelineSpec extends SparkSpec {
     assert(l.filter(col("change_name") === "Process").count() == 7)
   }
 
+  test("ledger events carry the reference's full field set incl. result") {
+    // log_change_event(id, name, desc, fn, source, result), usnvc.py:55-57,74-77:
+    // Initialize logs source={} and the unit row as result; Process logs
+    // the row payload as source and the assembled doc as result.
+    val l = UsnvcPipeline.ledger(spark, dir).cache()
+    assert(l.columns.toSeq == Seq("change_id", "change_name",
+      "change_description", "function_name", "source", "result"))
+    val init = l.filter(col("change_name") === "Initialize" &&
+      col("change_id") === "1000005").collect().head
+    assert(init.getAs[String]("source") == "{}")
+    assert(init.getAs[String]("result").contains("\"element_global_id\":\"1000005\""))
+    val proc = l.filter(col("change_name") === "Process" &&
+      col("change_id") === "1000005").collect().head
+    assert(proc.getAs[String]("source").contains("\"element_global_id\":\"1000005\""))
+    assert(proc.getAs[String]("result").contains("\"Identifiers\""))
+    l.unpersist()
+  }
+
   test("limit config mirrors the reference debug truncation") {
     val limited = UsnvcPipeline.docsJson(spark, dir,
       UsnvcPipeline.Config(limit = Some(3)))
