@@ -1,10 +1,14 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Hierarchy}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch stage-level profiler (temporary; not part of the contract). */
+/** Stage-level profiling + scale-smoke harness (dev tool, not part of
+  * the driver contract). Run with SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS:
+  *
+  *   sbt "runMain graft.ProfileScratch [dedup|closure|hashtax]"
+  */
 object ProfileScratch {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,6 +20,7 @@ object ProfileScratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val what = args.headOption.getOrElse("dedup")
 
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -24,46 +29,64 @@ object ProfileScratch {
       r
     }
 
-    val docs = Tables.documents(spark, d)
-    // warmup scan
-    docs.count()
+    what match {
+      case "dedup" =>
+        val docs = Tables.documents(spark, d)
+        docs.count() // warm scan
+        t("full q19 capped ngram")(
+          queries.DedupQueries.ngramJaccard(spark, d).count())
+        t("full q20 minhash portable")(
+          queries.DedupQueries.minHashLsh(spark, d).count())
+        t("full q21 simhash portable")(
+          queries.DedupQueries.simHash(spark, d).count())
 
-    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSh = t("shingles (materialize persist)")(sh.count())
-    println(s"  shingle rows: $nSh")
+      case "hashtax" =>
+        // quantify the portable-hash (md5-derived) tax vs xxhash64 fast
+        // mode on the full MinHash+LSH pipeline at sf0.1
+        val docs = Tables.documents(spark, d)
+        docs.count()
+        t("minHashPairs PORTABLE (oracle mode)")(
+          Dedup.minHashPairs(docs, "doc_id", "text",
+            shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+            seed = 42L, portable = true).count())
+        t("minHashPairs FAST (xxhash64, 100TB mode)")(
+          Dedup.minHashPairs(docs, "doc_id", "text",
+            shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+            seed = 42L, portable = false).count())
+        t("simHashPairs PORTABLE")(
+          Dedup.simHashPairs(docs, "doc_id", "text",
+            shingleN = 3, maxHamming = 3, portable = true).count())
+        t("simHashPairs FAST")(
+          Dedup.simHashPairs(docs, "doc_id", "text",
+            shingleN = 3, maxHamming = 3, portable = false).count())
 
-    val rare = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= 50)
-      .select(col("shingle"))
-    val rareSh = sh.join(rare, "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nRare = t("rare shingles")(rareSh.count())
-    println(s"  rare shingle rows: $nRare")
-
-    val candidatePairs = rareSh.alias("a").join(rareSh.alias("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nCand = t("candidate pairs (self-join + distinct)")(candidatePairs.count())
-    println(s"  candidate pairs: $nCand")
-
-    val common = candidatePairs
-      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-    t("common counts")(common.count())
-
-    t("full q19")(
-      graft.queries.DedupQueries.ngramJaccard(spark, d).count())
-
-    t("full q20 minhash")(
-      graft.queries.DedupQueries.minHashLsh(spark, d).count())
-
+      case "closure" =>
+        // USNVC-shaped scale smoke: 100k units in 6 250 chains of depth
+        // 16 (the reference taxonomy's max depth). Pins closure
+        // wall-time and proves plan size stays linear in depth.
+        import spark.implicits._
+        val n = 100000L
+        val chains = 6250L // n / 16 -> depth-16 chains
+        val nodes = spark.range(1, n + 1).select(
+          col("id"),
+          when(col("id") <= chains, lit(null).cast("long"))
+            .otherwise(col("id") - chains).as("parent"))
+          .repartition(32)
+        nodes.persist().count()
+        val closure = t("iterative closure 100k nodes depth 16") {
+          val c = Hierarchy.ancestorClosure(nodes, "id", "parent",
+            maxDepth = 32, broadcastEdges = true)
+          c.count()
+        }
+        println(s"  closure rows: $closure (expect ${chains * 16 * 15 / 2})")
+        val paths = t("ancestorPaths fold") {
+          Hierarchy.ancestorPaths(nodes, "id", "parent", 32).count()
+        }
+        println(s"  nodes with ancestors: $paths (expect ${n - chains})")
+        t("recursive-CTE closure 100k nodes") {
+          Hierarchy.ancestorClosureSql(nodes, "id", "parent", 32).count()
+        }
+    }
     spark.stop()
   }
 }

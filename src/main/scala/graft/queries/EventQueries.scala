@@ -111,6 +111,25 @@ object EventQueries {
        |FROM events
        |GROUP BY ROLLUP (event_type, epoch_us(date_trunc('day', ts)))""".stripMargin
 
+  /** CUBE totals: all four grouping combinations of (type, day) in one
+    * pass; null patterns disambiguate the grouping sets (neither
+    * grouping column is ever null in the data). */
+  def cubeDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+        col("value"))
+      .cube(col("event_type"), col("day_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"))
+
+  val cubeDailySql: String =
+    s"""SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+       |  count(*) AS n_events,
+       |  (sum(${sqlCents("value")}))::BIGINT AS value_cents
+       |FROM events
+       |GROUP BY CUBE (event_type, epoch_us(date_trunc('day', ts)))""".stripMargin
+
   /** Pivot: per-day event counts spread to one column per type (fixed
     * value list → no extra pass to discover values, stable schema). */
   def pivotDaily(s: SparkSession, d: String): DataFrame = {
@@ -195,5 +214,6 @@ object EventQueries {
     Q("q28_rollup_daily", rollupDaily, Some(rollupDailySql)),
     Q("q32_pivot_daily", pivotDaily, Some(pivotDailySql)),
     Q("q33_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
-    Q("q34_value_stats", valueStats, Some(valueStatsSql)))
+    Q("q34_value_stats", valueStats, Some(valueStatsSql)),
+    Q("q50_cube_daily", cubeDaily, Some(cubeDailySql)))
 }

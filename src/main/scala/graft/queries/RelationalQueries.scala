@@ -374,6 +374,77 @@ object RelationalQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** FULL OUTER join (both unmatched sides preserved): per-nation
+    * customer presence vs supplier presence. */
+  def fullOuterNations(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").cast("long").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("ck") === col("sk"), "full")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  val fullOuterNationsSql: String =
+    """SELECT coalesce(ck, sk) AS nationkey,
+      |  coalesce(n_cust, 0)::BIGINT AS n_cust,
+      |  coalesce(n_supp, 0)::BIGINT AS n_supp
+      |FROM (SELECT c_nationkey::BIGINT AS ck, count(*) AS n_cust
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey::BIGINT AS sk, count(*) AS n_supp
+      |      FROM supplier GROUP BY 1) s ON ck = sk""".stripMargin
+
+  /** Scalar string functions over `part`: regex extraction, case
+    * mapping, length/substring — grouped to keep output small. */
+  def stringFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        upper(col("p_brand")).as("brand_uc"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"))
+      .groupBy(col("first_word"), col("brand_uc"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("name_len")).cast("long").as("total_name_len"),
+        min(col("type_prefix")).as("min_type_prefix"),
+        max(col("type_prefix")).as("max_type_prefix"))
+
+  val stringFunctionsSql: String =
+    """SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  upper(p_brand) AS brand_uc,
+      |  count(*) AS n_parts,
+      |  (sum(length(p_name)))::BIGINT AS total_name_len,
+      |  min(substring(p_type, 1, 5)) AS min_type_prefix,
+      |  max(substring(p_type, 1, 5)) AS max_type_prefix
+      |FROM part GROUP BY 1, 2""".stripMargin
+
+  /** Multiset set-ops (INTERSECT ALL / EXCEPT ALL): duplicate-preserving
+    * semantics verified through the per-key multiplicities. */
+  def multisetOps(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+    val ia = c.intersectAll(sup).withColumn("op", lit("intersect_all"))
+    val ea = c.exceptAll(sup).withColumn("op", lit("except_all"))
+    ia.unionByName(ea)
+      .groupBy(col("op"), col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val multisetOpsSql: String =
+    """SELECT op, nationkey, count(*) AS n FROM (
+      |  SELECT nationkey, 'intersect_all' AS op FROM (
+      |    SELECT c_nationkey::INT AS nationkey FROM customer
+      |    INTERSECT ALL SELECT s_nationkey::INT FROM supplier)
+      |  UNION ALL
+      |  SELECT nationkey, 'except_all' AS op FROM (
+      |    SELECT c_nationkey::INT AS nationkey FROM customer
+      |    EXCEPT ALL SELECT s_nationkey::INT FROM supplier)
+      |) t GROUP BY 1, 2""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q39_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Q("q40_below_avg_qty", belowAvgQuantity, Some(belowAvgQuantitySql)),
@@ -390,5 +461,8 @@ object RelationalQueries {
     Q("q10_set_ops", setOps, Some(setOpsSql)),
     Q("q11_nest_lineitems", nestLineitems, Some(nestLineitemsSql)),
     Q("q12_case_tiering", caseTiering, Some(caseTieringSql)),
-    Q("q48_left_join_orders", leftJoinOrders, Some(leftJoinOrdersSql)))
+    Q("q48_left_join_orders", leftJoinOrders, Some(leftJoinOrdersSql)),
+    Q("q49_full_outer_join", fullOuterNations, Some(fullOuterNationsSql)),
+    Q("q52_string_functions", stringFunctions, Some(stringFunctionsSql)),
+    Q("q53_multiset_ops", multisetOps, Some(multisetOpsSql)))
 }

@@ -115,9 +115,28 @@ object TextQueries {
        |    (acc, h) -> (acc * 31 + h) % ${Dedup.MersennePrime31}) AS rhash
        |FROM documents""".stripMargin
 
+  /** Explode / lateral-unnest shape: corpus-wide token frequencies,
+    * deterministic top-50 ((n, token) is a total order). */
+  def tokenExplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  val tokenExplodeSql: String =
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents) t
+      |WHERE token <> '' GROUP BY 1
+      |ORDER BY n DESC, token LIMIT 50""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q15_text_stats", textStats, Some(textStatsSql)),
     Q("q16_lang_breakdown", langBreakdown, Some(langBreakdownSql)),
     Q("q17_dedup_exact", dedupExact, Some(dedupExactSql)),
-    Q("q18_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)))
+    Q("q18_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)),
+    Q("q51_token_explode", tokenExplode, Some(tokenExplodeSql)))
 }
