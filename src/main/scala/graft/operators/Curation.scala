@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines — the quality
+  * and leakage filters that run between raw crawl and tokenization:
+  * repetition metrics (the classic "Gopher rules" family), corpus-level
+  * boilerplate detection, and train/test contamination checks.
+  *
+  * Scale notes: repetition metrics are per-document (scan-side explode +
+  * two keyed aggregations on doc_id — partitions evenly); boilerplate
+  * and contamination reuse the [[Dedup.shingles]] machinery, so their
+  * only shuffles are keyed on the shingle hash, and contamination caps
+  * hot shingles exactly like the capped Jaccard path (a shingle shared
+  * by half the corpus is noise for leakage purposes and would otherwise
+  * be the quadratic term).
+  */
+object Curation {
+
+  /** Per-document repetition metrics (Gopher-style quality filters):
+    * duplicate-token fraction and most-frequent-bigram fraction.
+    * Output: (id, n_tokens, dup_token_frac, top_bigram_frac); docs with
+    * fewer than 2 tokens get top_bigram_frac 0.
+    *
+    * Pure scan-side: the top-bigram multiplicity is the longest equal
+    * run of the SORTED per-doc bigram array, computed with an
+    * `aggregate` higher-order fold — per-document metrics never shuffle
+    * (the first explode+groupBy formulation cost 14s at sf0.1 against
+    * this one's ~1s, and at 100 TB would shuffle the whole corpus's
+    * bigram multiset). Each array is materialized in its own projection
+    * before the HOF references it (lambda-inlined expressions
+    * re-evaluate per element). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withToks = Dedup.widen(df, idCol).select(col(idCol),
+      TextAnalysis.whitespaceTokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
+    val nTok = size(toks)
+    val withBg = withToks.select(col(idCol),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).as("__n_distinct"),
+      array_sort(when(nTok >= 2,
+        transform(sequence(lit(0), nTok - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("__bg"))
+    val bg = col("__bg")
+    val topRun = aggregate(bg,
+      struct(lit(0L).as("best"), lit(0L).as("run"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val run = when(acc.getField("prev").isNotNull &&
+          x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(greatest(acc.getField("best"), run).as("best"),
+          run.as("run"), x.as("prev"))
+      },
+      acc => acc.getField("best"))
+    withBg.select(col(idCol), col("n_tokens"),
+      ((col("n_tokens") - col("__n_distinct")).cast("double") /
+        greatest(col("n_tokens"), lit(1))).as("dup_token_frac"),
+      when(size(bg) > 0, topRun.cast("double") / size(bg))
+        .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Corpus-level boilerplate candidates: word n-grams present in at
+    * least `minDocs` distinct documents (the no-newline analogue of
+    * repeated-line removal: headers, disclaimers, navigation chrome
+    * surface as high-document-frequency n-grams). One shuffle on the
+    * shingle key. */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame =
+    Dedup.shingles(df, idCol, textCol, n) // distinct per (doc, shingle)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Train/test contamination: for every test document, how many train
+    * documents share at least one word n-gram with it (and how many
+    * (train-doc, shingle) hits in total). Shingles in more than
+    * `maxDocFreq` documents are excluded — ultra-common n-grams are not
+    * leakage evidence and are the quadratic bucket term at scale.
+    *
+    * @param split DataFrame carrying `idCol`, `textCol`, and `splitCol`
+    *              with values "train"/"test" (e.g. [[DataMix.trainTestSplit]]).
+    */
+  def splitContamination(split: DataFrame, idCol: String, textCol: String,
+      splitCol: String, n: Int, maxDocFreq: Int): DataFrame = {
+    val sh = Dedup.shingles(split, idCol, textCol, n)
+      .join(split.select(col(idCol), col(splitCol).as("__split")), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("shingle"))
+    val rareSh = sh.join(rare, "shingle")
+    val testSh = rareSh.filter(col("__split") === "test")
+      .select(col(idCol).as("test_id"), col("shingle"))
+    val trainSh = rareSh.filter(col("__split") === "train")
+      .select(col(idCol).as("train_id"), col("shingle"))
+    testSh.join(trainSh, "shingle")
+      .groupBy(col("test_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        count(lit(1)).as("n_hits"))
+  }
+}

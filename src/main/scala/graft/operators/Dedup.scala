@@ -37,15 +37,19 @@ object Dedup {
     * higher-order transform: an expression referenced inside a lambda
     * is re-evaluated per element, so inlining the regex split would
     * re-split the text 3× per shingle (measured 6× slower at sf0.1). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // Shingling is the CPU-heavy scan-side stage; a small single-file
-    // corpus arrives as one input split and would run it on one core.
-    // Widen only when the source is narrower than the session's shuffle
-    // parallelism (a real 100 TB scan has thousands of splits, so this
-    // never adds a shuffle at scale).
+  /** CPU-heavy scan-side stages over a small single-file corpus arrive
+    * as one input split and run on one core. Widen only when the source
+    * is narrower than the session's shuffle parallelism (a real 100 TB
+    * scan has thousands of splits, so this never adds a shuffle at
+    * scale). */
+  private[operators] def widen(df: DataFrame, idCol: String): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val src = if (df.rdd.getNumPartitions < target)
-      df.repartition(target, col(idCol)) else df
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(idCol))
+    else df
+  }
+
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val src = widen(df, idCol)
     val withToks = src.select(col(idCol),
       TextAnalysis.whitespaceTokens(col(textCol)).as("__toks"))
     val toks = col("__toks")

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, DataMix}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation coverage (training-data pipeline first-class ops):
+  * Gopher-style repetition quality metrics, corpus-level boilerplate
+  * n-grams, and train/test contamination. Oracles replay the full
+  * pipelines (tokenization, bigram multiset, the md5-derived split,
+  * the stop-shingle cap) in DuckDB.
+  */
+object CurationQueries {
+
+  /** Per-doc repetition metrics; all divisions are single exact-int →
+    * double operations, so values hash-match bit-for-bit. */
+  def repetitionQuality(s: SparkSession, d: String): DataFrame =
+    Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+
+  val repetitionQualitySql: String =
+    """WITH docs AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |st AS (SELECT doc_id, len(toks) AS n_tokens,
+      |         len(list_distinct(toks)) AS n_distinct FROM docs),
+      |bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+      |       FROM docs, unnest(range(1, len(toks))) t(i)),
+      |bgc AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+      |bga AS (SELECT doc_id, max(n) AS top_n, (sum(n))::BIGINT AS n_bigrams
+      |        FROM bgc GROUP BY 1)
+      |SELECT st.doc_id, n_tokens,
+      |  (n_tokens - n_distinct)::DOUBLE / greatest(n_tokens, 1) AS dup_token_frac,
+      |  coalesce(top_n::DOUBLE / n_bigrams, 0.0) AS top_bigram_frac
+      |FROM st LEFT JOIN bga ON st.doc_id = bga.doc_id""".stripMargin
+
+  /** Boilerplate 3-grams: present in >= 5 distinct docs. */
+  def boilerplate(s: SparkSession, d: String): DataFrame =
+    Curation.boilerplateNgrams(Tables.documents(s, d), "doc_id", "text",
+      n = 3, minDocs = 5)
+
+  val boilerplateSql: String =
+    """WITH docs AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      |       FROM docs, unnest(range(1, greatest(len(toks)-1, 2))) t(i))
+      |SELECT shingle, count(*) AS n_docs FROM sh
+      |GROUP BY 1 HAVING count(*) >= 5""".stripMargin
+
+  /** Cross-split 5-gram contamination over the deterministic md5 split
+    * (same membership as q45), stop-shingle cap 50. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val split = DataMix.trainTestSplit(Tables.documents(s, d), "doc_id", 0.2)
+    Curation.splitContamination(split, "doc_id", "text", "split",
+      n = 5, maxDocFreq = 50)
+  }
+
+  val contaminationSql: String =
+    """WITH docs AS (SELECT doc_id,
+      |    CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || '#42'),1,15))::BIGINT % 1000000 < 200000
+      |         THEN 'test' ELSE 'train' END AS split,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, split, array_to_string(toks[i:i+4], ' ') AS shingle
+      |       FROM docs, unnest(range(1, greatest(len(toks)-3, 2))) t(i)),
+      |freq AS (SELECT shingle, count(*) AS n_df FROM sh GROUP BY 1),
+      |rare AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE n_df <= 50)
+      |SELECT a.doc_id AS test_id,
+      |  count(DISTINCT b.doc_id) AS n_train_docs,
+      |  count(*) AS n_hits
+      |FROM rare a JOIN rare b
+      |  ON a.shingle = b.shingle AND a.split = 'test' AND b.split = 'train'
+      |GROUP BY 1""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q54_repetition_quality", repetitionQuality, Some(repetitionQualitySql)),
+    Q("q55_boilerplate_ngrams", boilerplate, Some(boilerplateSql)),
+    Q("q56_split_contamination", contamination, Some(contaminationSql)))
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the curation operators: repetition
+  * metrics, boilerplate n-grams, split contamination. */
+class CurationSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetitionStats: dup-token and top-bigram fractions") {
+    // "a a a b": 4 tokens, 2 distinct -> dup = (4-2)/4 = 0.5
+    // bigrams: "a a","a a","a b" -> top 2/3
+    val r = Curation.repetitionStats(
+      docs(1L -> "a a a b", 2L -> "x y z"), "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((4, 0.5, 2.0 / 3.0)))
+    // "x y z": 0 dups; bigrams "x y","y z" each once -> top 1/2
+    assert(r(2L) == ((3, 0.0, 0.5)))
+  }
+
+  test("repetitionStats: single-token doc gets top_bigram_frac 0") {
+    val r = Curation.repetitionStats(docs(1L -> "solo"), "doc_id", "text")
+      .collect().head
+    assert(r.getInt(1) == 1 && r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+  }
+
+  test("boilerplateNgrams: df threshold counts distinct docs only") {
+    // "the same header" appears (duplicated in-doc for doc 3) in 3 docs;
+    // in-doc duplication must not inflate the document frequency.
+    val d = docs(
+      1L -> "the same header unique one",
+      2L -> "the same header unique two",
+      3L -> "the same header the same header",
+      4L -> "totally different text here")
+    val bp = Curation.boilerplateNgrams(d, "doc_id", "text", n = 3, minDocs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bp == Map("the same header" -> 3L))
+  }
+
+  test("splitContamination: counts train docs sharing an n-gram per test doc") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta", // test
+      2L -> "alpha beta gamma delta epsilon eta",  // train: shares 5-gram? no ("..epsilon zeta" vs "..epsilon eta") -> shares "alpha beta gamma delta epsilon"
+      3L -> "unrelated text goes right here now",  // train
+      4L -> "alpha beta gamma delta epsilon zeta extra") // train: shares both 5-grams of doc 1
+    import org.apache.spark.sql.functions.when
+    val split = d.withColumn("split",
+      when(col("doc_id") === 1L, "test").otherwise("train"))
+    val c = Curation.splitContamination(split, "doc_id", "text", "split",
+      n = 5, maxDocFreq = 50)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1's 5-grams: "alpha beta gamma delta epsilon", "beta gamma delta epsilon zeta"
+    // doc 2 shares the first (1 hit), doc 4 shares both (2 hits)
+    assert(c == Map(1L -> ((2L, 3L))))
+  }
+
+  test("splitContamination: capped shingles generate no hits") {
+    val d = docs(
+      1L -> "common words here",
+      2L -> "common words here",
+      3L -> "common words here")
+    val split = d.withColumn("split",
+      when(col("doc_id") === 1L, "test").otherwise("train"))
+    // every shingle has df 3 > cap 2 -> excluded -> no contamination rows
+    val c = Curation.splitContamination(split, "doc_id", "text", "split",
+      n = 3, maxDocFreq = 2)
+    assert(c.count() == 0)
+  }
+}
