@@ -445,6 +445,51 @@ object RelationalQueries {
       |    EXCEPT ALL SELECT s_nationkey::INT FROM supplier)
       |) t GROUP BY 1, 2""".stripMargin
 
+  /** Explicit CROSS JOIN (both sides tiny — the one legitimate use):
+    * full nation × region grid with a home-region flag. */
+  def crossJoinGrid(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nationkey"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      .crossJoin(Tables.region(s, d)
+        .select(col("r_regionkey").cast("long").as("regionkey")))
+      .select(col("nationkey"), col("regionkey"),
+        (col("n_regionkey") === col("regionkey")).as("is_home"))
+
+  val crossJoinGridSql: String =
+    """SELECT n_nationkey::BIGINT AS nationkey, r_regionkey::BIGINT AS regionkey,
+      |  n_regionkey = r_regionkey AS is_home
+      |FROM nation CROSS JOIN region""".stripMargin
+
+  /** Window-analytics breadth: rank / dense_rank / percent_rank /
+    * cume_dist / lag / ntile over a total per-customer order (price
+    * desc, orderkey tiebreak — row-dependent functions need the total
+    * order for determinism). */
+  def windowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cdist"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist,
+      |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+      |  ntile(4) OVER w AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q39_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Q("q40_below_avg_qty", belowAvgQuantity, Some(belowAvgQuantitySql)),
@@ -464,5 +509,7 @@ object RelationalQueries {
     Q("q48_left_join_orders", leftJoinOrders, Some(leftJoinOrdersSql)),
     Q("q49_full_outer_join", fullOuterNations, Some(fullOuterNationsSql)),
     Q("q52_string_functions", stringFunctions, Some(stringFunctionsSql)),
-    Q("q53_multiset_ops", multisetOps, Some(multisetOpsSql)))
+    Q("q53_multiset_ops", multisetOps, Some(multisetOpsSql)),
+    Q("q57_cross_join_grid", crossJoinGrid, Some(crossJoinGridSql)),
+    Q("q58_window_analytics", windowAnalytics, Some(windowAnalyticsSql)))
 }

@@ -54,4 +54,30 @@ class PlanSpec extends SparkSpec {
     val p = plan("q35_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q47: token-packing window is partitioned (never single-partition)") {
+    val p = plan("q47_token_packing")
+    val windowLine = p.linesIterator.find(_.contains("windowspecdefinition")).get
+    // an empty partition spec would read `windowspecdefinition(doc_id ASC`
+    // (no partition columns before the ordering spec)
+    assert(windowLine.contains("windowspecdefinition(shard"))
+  }
+
+  test("q54: per-doc repetition metrics plan no aggregation exchange") {
+    // scan-side metrics: the only exchange allowed is the narrow-source
+    // widening repartition; no HashAggregate anywhere (a shuffle-based
+    // bigram groupBy would reintroduce the corpus-wide multiset shuffle)
+    val p = plan("q54_repetition_quality")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "repetition metrics must stay scan-side")
+  }
+
+  test("q19: capped jaccard never joins candidates back against full shingle sets") {
+    // the capped path's final joins are the small prelim-pair frames;
+    // sort-merge joining two full shingle relations on id columns was
+    // the measured 59M-row hot spot. The shingle self-join on `shingle`
+    // is expected; no CartesianProduct anywhere.
+    val p = plan("q19_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
