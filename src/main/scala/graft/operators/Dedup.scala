@@ -43,6 +43,7 @@ object Dedup {
     * scan has thousands of splits, so this never adds a shuffle at
     * scale). */
   private[operators] def widen(df: DataFrame, idCol: String): DataFrame = {
+    if (df.isStreaming) return df // micro-batch sizing governs parallelism
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     if (df.rdd.getNumPartitions < target) df.repartition(target, col(idCol))
     else df
@@ -195,12 +196,45 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding over (id, mh_*) signatures: docs agreeing on all `rows`
-    * components of any band are candidates. Collision probability for
-    * Jaccard j is 1-(1-j^rows)^bands (≈ step at j ≈ (1/bands)^(1/rows);
-    * 16×4 → ~0.5). Band key = hash of the comma-joined component string
-    * (portable: md5 hex — identical in any engine). */
-  def lshCandidatePairs(
+  /** Scan-side MinHash signatures: the same (id, mh_0 … mh_{k-1}) output
+    * as [[minHashSignatures]], computed per-row with array
+    * higher-order functions (shingle array → distinct → per-permutation
+    * array_min) instead of explode + groupBy. No shuffle and no
+    * aggregation state — so it runs UNCHANGED on a streaming DataFrame
+    * (the aggregation form can't: `distinct()` over exploded shingles is
+    * a stateful streaming agg). Prefer the aggregation form for batch
+    * when the corpus is huge and per-row shingle arrays would be wide;
+    * this form for streams and signature-enrichment pipelines. Each
+    * array is materialized in its own projection before a lambda
+    * references it (lambda-inlined expressions re-evaluate per element). */
+  def withMinHashSignature(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    val n = shingleN
+    val withToks = widen(df, idCol).withColumn("__toks",
+      TextAnalysis.whitespaceTokens(col(textCol)))
+    val toks = col("__toks")
+    val sh0 = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    ).otherwise(array(concat_ws(" ", toks)))
+    val withH = withToks
+      .withColumn("__sh", array_distinct(sh0))
+      .withColumn("__h", transform(col("__sh"),
+        s => pmod(stringHash(s, portable), lit(MersennePrime31))))
+    val sigCols = hashParams(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("__h"),
+        h => pmod(h * a + b, lit(MersennePrime31)))).as(s"mh_$i")
+    }
+    withH.select(col(idCol) +: sigCols: _*)
+  }
+
+  /** (id, band_idx, band_hash) banding rows over (id, mh_*) signatures —
+    * shared by the batch self-join candidate generator and the streaming
+    * stateful bucket matcher. Band key = hash of the comma-joined
+    * component string (portable: md5 hex — identical in any engine). */
+  def bandedSignatures(
       signatures: DataFrame, idCol: String,
       bands: Int, rows: Int, portable: Boolean = false): DataFrame = {
     val bandCols = (0 until bands).map { b =>
@@ -208,11 +242,21 @@ object Dedup {
         (0 until rows).map(r => col(s"mh_${b * rows + r}").cast("string")): _*)
       if (portable) md5(joined).as(s"bh_$b") else xxhash64(joined).cast("string").as(s"bh_$b")
     }
-    val banded = signatures
+    signatures
       .select(col(idCol) +: bandCols: _*)
       .select(col(idCol), posexplode(array((0 until bands).map(b => col(s"bh_$b")): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
+  }
+
+  /** LSH banding over (id, mh_*) signatures: docs agreeing on all `rows`
+    * components of any band are candidates. Collision probability for
+    * Jaccard j is 1-(1-j^rows)^bands (≈ step at j ≈ (1/bands)^(1/rows);
+    * 16×4 → ~0.5). */
+  def lshCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      bands: Int, rows: Int, portable: Boolean = false): DataFrame = {
+    val banded = bandedSignatures(signatures, idCol, bands, rows, portable)
     banded.alias("x").join(banded.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
