@@ -130,6 +130,30 @@ object EventQueries {
        |FROM events
        |GROUP BY CUBE (event_type, epoch_us(date_trunc('day', ts)))""".stripMargin
 
+  /** Explicit GROUPING SETS (neither rollup nor cube): per-type totals,
+    * per-day totals, and the grand total — skipping the (type, day)
+    * detail level — via the SQL surface (the DataFrame API exposes only
+    * rollup/cube; arbitrary set lists are a SQL feature in both
+    * engines). */
+  def groupingSetsDaily(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.registerViews(s, d)
+    s.sql(
+      """SELECT event_type, unix_micros(date_trunc('DAY', ts)) AS day_us,
+        |  count(*) AS n_events,
+        |  sum(CAST(round(value*100,0) AS BIGINT)) AS value_cents
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type),
+        |                        (unix_micros(date_trunc('DAY', ts))), ())""".stripMargin)
+  }
+
+  val groupingSetsDailySql: String =
+    s"""SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+       |  count(*) AS n_events,
+       |  (sum(${sqlCents("value")}))::BIGINT AS value_cents
+       |FROM events
+       |GROUP BY GROUPING SETS ((event_type),
+       |                        (epoch_us(date_trunc('day', ts))), ())""".stripMargin
+
   /** Pivot: per-day event counts spread to one column per type (fixed
     * value list → no extra pass to discover values, stable schema). */
   def pivotDaily(s: SparkSession, d: String): DataFrame = {
@@ -215,5 +239,6 @@ object EventQueries {
     Q("q32_pivot_daily", pivotDaily, Some(pivotDailySql)),
     Q("q33_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
     Q("q34_value_stats", valueStats, Some(valueStatsSql)),
-    Q("q50_cube_daily", cubeDaily, Some(cubeDailySql)))
+    Q("q50_cube_daily", cubeDaily, Some(cubeDailySql)),
+    Q("q59_grouping_sets", groupingSetsDaily, Some(groupingSetsDailySql)))
 }
