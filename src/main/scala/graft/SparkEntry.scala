@@ -17,7 +17,8 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ EventQueries.all ++
       MultimodalQueries.all ++ ScaleQueries.all ++ SketchQueries.all ++
-      SemanticsQueries.all ++ DataMixQueries.all ++ CurationQueries.all
+      SemanticsQueries.all ++ DataMixQueries.all ++ CurationQueries.all ++
+      UpsertQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Components, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Near-duplicate detection coverage on `documents` (SURVEY north-star:
   * n-gram Jaccard, MinHash+LSH, SimHash). The oracle SQL replays the
@@ -51,9 +52,10 @@ object DedupQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, minJaccard = 0.5, maxDocFreq = Some(NgramMaxDocFreq))
 
-  val ngramJaccardSql: String =
-    s"""WITH ${shingleCtes(3)},
-       |freq AS (SELECT shingle, count(*) AS n_df FROM sh GROUP BY 1),
+  /** Capped-candidate common-shingle counts, shared by the pair query
+    * and the cluster query's pair source. */
+  private val cappedCommonCtes: String =
+    s"""freq AS (SELECT shingle, count(*) AS n_df FROM sh GROUP BY 1),
        |rare AS (SELECT sh.doc_id, sh.shingle
        |         FROM sh JOIN freq USING (shingle) WHERE n_df <= $NgramMaxDocFreq),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -63,7 +65,11 @@ object DedupQueries {
        |           FROM cand
        |           JOIN sh a ON a.doc_id = id_a
        |           JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
-       |           GROUP BY 1, 2),
+       |           GROUP BY 1, 2)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH ${shingleCtes(3)},
+       |$cappedCommonCtes,
        |$jaccardTail""".stripMargin
 
   /** MinHash(64)+LSH(16×4) with exact-Jaccard verification ≥ 0.5,
@@ -130,8 +136,39 @@ object DedupQueries {
        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
 
+  /** Near-dup pairs resolved to duplicate CLUSTERS: connected
+    * components over the capped-Jaccard pair graph, one row per doc
+    * that appears in any pair, labelled with its component's smallest
+    * doc id. The oracle replays the whole chain — shingles → capped
+    * pairs → recursive reachability closure → min label — so the
+    * component semantics (not just the pair set) are checked. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
+      "text", n = 3, minJaccard = 0.5, maxDocFreq = Some(NgramMaxDocFreq))
+    Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${shingleCtes(3)},
+       |$cappedCommonCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT id_a, id_b
+       |          FROM common
+       |          JOIN sizes sa ON sa.doc_id = id_a
+       |          JOIN sizes sb ON sb.doc_id = id_b
+       |          WHERE common::DOUBLE/(sa.n_sh + sb.n_sh - common) >= 0.5),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT s, d FROM edges
+       |          UNION
+       |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+       |FROM reach GROUP BY s""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q19_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q20_minhash_lsh", minHashLsh, Some(minHashLshSql)),
-    Q("q21_simhash", simHash, Some(simHashSql)))
+    Q("q21_simhash", simHash, Some(simHashSql)),
+    Q("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql)))
 }

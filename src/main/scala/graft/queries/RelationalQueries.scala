@@ -490,7 +490,31 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey
       |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
 
+  /** Grouped exact quantiles: interpolated p25/p50/p75 over exact cent
+    * values (integral inputs make the interpolation arithmetic exact in
+    * IEEE, so Spark `percentile` and DuckDB `quantile_cont` agree
+    * bit-for-bit regardless of each engine's interpolation formula).
+    * Exact percentile sorts each group — the right tool up to groups of
+    * ~10⁸ rows; beyond that use approx_percentile (t-digest, map-side
+    * combined, no sort) and accept the error bound. */
+  def groupQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("c"), lit(0.25)).as("p25_cents"),
+        percentile(col("c"), lit(0.5)).as("p50_cents"),
+        percentile(col("c"), lit(0.75)).as("p75_cents"))
+
+  val groupQuantilesSql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  quantile_cont(${sqlCents("l_extendedprice")}, 0.25) AS p25_cents,
+       |  quantile_cont(${sqlCents("l_extendedprice")}, 0.5) AS p50_cents,
+       |  quantile_cont(${sqlCents("l_extendedprice")}, 0.75) AS p75_cents
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q62_group_quantiles", groupQuantiles, Some(groupQuantilesSql)),
     Q("q39_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Q("q40_below_avg_qty", belowAvgQuantity, Some(belowAvgQuantitySql)),
     Q("q41_part_supplier_variety", partSupplierVariety, Some(partSupplierVarietySql)),

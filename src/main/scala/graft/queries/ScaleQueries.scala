@@ -56,7 +56,28 @@ object ScaleQueries {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1""".stripMargin
 
+  /** Adaptive variant: only keys with >3 lineitems (most orders at this
+    * sf have up to 7, so both hot and cold paths carry real rows) get
+    * salted/replicated; cold dim rows are never inflated. Oracle is the
+    * plain join — the salting must be invisible in the result. */
+  def adaptiveSaltedQty(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.adaptiveSaltedJoin(Tables.lineitem(s, d), dims, "l_orderkey",
+        n = 8, hotThreshold = 3L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
+  val adaptiveSaltedQtySql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+       |  (sum(l_quantity::BIGINT))::BIGINT AS sum_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q35_range_join", rangeJoinBands, Some(rangeJoinBandsSql)),
-    Q("q36_salted_join", saltedJoinPriority, Some(saltedJoinPrioritySql)))
+    Q("q36_salted_join", saltedJoinPriority, Some(saltedJoinPrioritySql)),
+    Q("q61_adaptive_salted_join", adaptiveSaltedQty, Some(adaptiveSaltedQtySql)))
 }

@@ -21,6 +21,26 @@ class SkewSpec extends SparkSpec {
     assert(plain.size == 92)
   }
 
+  test("adaptive salted join equals plain join at every hotness threshold") {
+    val plain = facts.join(dims, Seq("k")).select($"payload", $"label")
+      .as[(String, String)].collect().toSet
+    for (threshold <- Seq(0L, 10L, 1000L)) { // all hot / only the 90% key / none
+      val adaptive = Skew.adaptiveSaltedJoin(facts, dims, "k", 4, threshold)
+        .select($"payload", $"label").as[(String, String)].collect().toSet
+      assert(adaptive == plain, s"threshold=$threshold")
+    }
+  }
+
+  test("adaptive salting: hot-key rows are spread yet never duplicated") {
+    // threshold 10 → only key 1 (90 fact rows) is hot
+    val hot = facts.groupBy($"k").count().filter($"count" > 10)
+      .select($"k").as[Long].collect().toSet
+    assert(hot == Set(1L))
+    // join cardinality must equal the plain join's (the 4×-replicated
+    // hot dim row matches each fact row on exactly one salt)
+    assert(Skew.adaptiveSaltedJoin(facts, dims, "k", 4, 10L).count() == 92)
+  }
+
   test("left joins preserve unmatched facts") {
     val salted = Skew.saltedJoin(facts, dims, "k", 4, "left")
     assert(salted.count() == 100)
