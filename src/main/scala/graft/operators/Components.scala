@@ -40,7 +40,13 @@ object Components {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
+    // materialize the edge list BEFORE symmetrizing: the union's two
+    // branches otherwise each evaluate `edges` — twice the full
+    // upstream pipeline when edges come from a near-dup pair generator
+    // (measured: the whole capped-Jaccard chain ran 2×)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
     // symmetrize once; min-propagation is insensitive to duplicates so
     // no distinct() (a full shuffle) is needed
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -66,6 +72,7 @@ object Components {
       iter += 1
     }
     sym.unpersist()
+    e.unpersist()
     labels
   }
 

@@ -70,8 +70,70 @@ object CurationQueries {
       |  ON a.shingle = b.shingle AND a.split = 'test' AND b.split = 'train'
       |GROUP BY 1""".stripMargin
 
+  /** The full curation loop composed end-to-end — what a 100 TB
+    * training-data job actually runs, as ONE declarative plan:
+    *
+    *   1. exact dedup (normalized-content fingerprint, keep min id);
+    *   2. quality gate (deterministic heuristic score ≥ 0.6);
+    *   3. near-dup removal: capped-Jaccard pairs over the survivors →
+    *      connected components → drop non-representatives;
+    *   4. deterministic train/test split (portable id-hash).
+    *
+    * Output is one row per (split, lang) with a membership-sensitive
+    * id checksum, so the oracle — which replays every stage in DuckDB,
+    * including the recursive component closure — catches a single
+    * mis-kept document. Stage order matters at scale: the cheap exact
+    * dedup and scan-side quality gate shrink the corpus before the
+    * (shuffle-heavy) near-dup stage runs. */
+  def curateCorpus(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Components, Dedup, TextAnalysis => TA}
+    val docs = Tables.documents(s, d)
+    val keepIds = docs.groupBy(TA.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d1 = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    // the filtered corpus feeds three consumers (pair generation, the
+    // anti-join, the final aggregate) — persist or the dedup join +
+    // quality scan re-run per consumer
+    val d2 = d1.filter(TA.qualityScore(col("text")) >= 0.6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.ngramJaccardPairs(d2, "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxDocFreq = Some(DedupQueries.NgramMaxDocFreq))
+    val d3 = Components.dropNearDuplicates(d2, "doc_id", pairs)
+    val d4 = DataMix.trainTestSplit(d3, "doc_id", testFraction = 0.1)
+    d4.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TA.tokenCount(col("text"))).as("n_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+  }
+
+  val curateCorpusSql: String =
+    s"""WITH RECURSIVE
+       |fp AS (SELECT ${TextQueries.fingerprint} AS fp, min(doc_id) AS keep_id
+       |       FROM documents GROUP BY 1),
+       |d1 AS (SELECT d.* FROM documents d
+       |       JOIN fp ON d.doc_id = fp.keep_id),
+       |d2 AS (SELECT * FROM d1 WHERE ${TextQueries.quality} >= 0.6),
+       |${DedupQueries.shingleCtes(3, from = "d2")},
+       |${DedupQueries.cappedCommonCtes},
+       |${DedupQueries.clusterCtes},
+       |losers AS (SELECT s AS doc_id FROM reach GROUP BY s
+       |           HAVING least(s, min(d)) <> s),
+       |d3 AS (SELECT * FROM d2
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |d4 AS (SELECT *,
+       |  CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || '#42'),1,15))::BIGINT
+       |         % 1000000 < 100000
+       |       THEN 'test' ELSE 'train' END AS split
+       |  FROM d3)
+       |SELECT split, lang, count(*) AS n_docs,
+       |  (sum(len(regexp_extract_all(text, '\\S+'))))::BIGINT AS n_tokens,
+       |  (sum(doc_id))::BIGINT AS id_checksum
+       |FROM d4 GROUP BY 1, 2""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q54_repetition_quality", repetitionQuality, Some(repetitionQualitySql)),
     Q("q55_boilerplate_ngrams", boilerplate, Some(boilerplateSql)),
-    Q("q56_split_contamination", contamination, Some(contaminationSql)))
+    Q("q56_split_contamination", contamination, Some(contaminationSql)),
+    Q("q65_curate_corpus", curateCorpus, Some(curateCorpusSql)))
 }

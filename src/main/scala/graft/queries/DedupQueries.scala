@@ -23,10 +23,11 @@ object DedupQueries {
   private val P = Dedup.MersennePrime31
 
   /** Shared DuckDB CTEs: distinct word n-gram shingles per doc (n=3),
-    * whole-text shingle for short docs — mirrors [[Dedup.shingles]]. */
-  private def shingleCtes(n: Int): String =
+    * whole-text shingle for short docs — mirrors [[Dedup.shingles]].
+    * `from` lets composed pipelines (q65) shingle a filtered relation. */
+  private[queries] def shingleCtes(n: Int, from: String = "documents"): String =
     s"""docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |         FROM documents),
+       |         FROM $from),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
        |       FROM docs, unnest(range(1, greatest(len(toks)-${n - 2}, 2))) t(i))""".stripMargin
 
@@ -54,7 +55,7 @@ object DedupQueries {
 
   /** Capped-candidate common-shingle counts, shared by the pair query
     * and the cluster query's pair source. */
-  private val cappedCommonCtes: String =
+  private[queries] val cappedCommonCtes: String =
     s"""freq AS (SELECT shingle, count(*) AS n_df FROM sh GROUP BY 1),
        |rare AS (SELECT sh.doc_id, sh.shingle
        |         FROM sh JOIN freq USING (shingle) WHERE n_df <= $NgramMaxDocFreq),
@@ -149,10 +150,11 @@ object DedupQueries {
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE ${shingleCtes(3)},
-       |$cappedCommonCtes,
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+  /** sizes→pairs→edges→recursive reachability: the component CTE chain
+    * over an existing `sh`+`common` pair source (requires WITH
+    * RECURSIVE). Shared with the composed curation pipeline (q65). */
+  private[queries] val clusterCtes: String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |pairs AS (SELECT id_a, id_b
        |          FROM common
        |          JOIN sizes sa ON sa.doc_id = id_a
@@ -162,7 +164,12 @@ object DedupQueries {
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |reach AS (SELECT s, d FROM edges
        |          UNION
-       |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${shingleCtes(3)},
+       |$cappedCommonCtes,
+       |$clusterCtes
        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
        |FROM reach GROUP BY s""".stripMargin
 

@@ -54,12 +54,12 @@ object TextQueries {
        |     WHEN $de >= $fr AND $de >= $es THEN 'de'
        |     WHEN $fr >= $es THEN 'fr'
        |     ELSE 'es' END""".stripMargin
-  private val quality =
+  private[queries] val quality =
     s"""least($nTok::DOUBLE / 50.0, 1.0) * 0.4
        | + least($nStop::DOUBLE * 10.0 / greatest($nTok::DOUBLE, 1.0), 1.0) * 0.2
        | + (1.0 - least($nPunct::DOUBLE * 4.0 / greatest($nTok::DOUBLE, 1.0), 1.0)) * 0.2
        | + (CASE WHEN $avgTokLen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2""".stripMargin
-  private val fingerprint =
+  private[queries] val fingerprint =
     """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
 
   val textStatsSql: String =
@@ -133,10 +133,56 @@ object TextQueries {
       |WHERE token <> '' GROUP BY 1
       |ORDER BY n DESC, token LIMIT 50""".stripMargin
 
+  /** TF-IDF-style top terms per language: per-(lang, term) term
+    * frequency × an inverse-document-frequency ratio N/df. The ratio
+    * form (single correctly-rounded IEEE division, then one multiply)
+    * is bit-deterministic across engines, unlike ln()-based idf where
+    * libm implementations differ in the last ulp. Dataflow = two
+    * shuffles over the token relation (tf keyed by (lang,term), df by
+    * term) + a broadcast scalar N + a per-lang top-k window — at
+    * 100 TB the token explosion stays partition-local and both
+    * aggregations combine map-side. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("lang"), col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
+    tf.join(idf, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("__n").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |t AS (SELECT * FROM toks WHERE term <> ''),
+      |tf AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT lang, term, tf, df, tf * ((SELECT n FROM n)::DOUBLE / df) AS score
+      |  FROM tf JOIN idf USING (term)),
+      |ranked AS (SELECT *, row_number()
+      |    OVER (PARTITION BY lang ORDER BY score DESC, term) AS rk
+      |  FROM scored)
+      |SELECT lang, term, tf, df, score FROM ranked WHERE rk <= 10""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q15_text_stats", textStats, Some(textStatsSql)),
     Q("q16_lang_breakdown", langBreakdown, Some(langBreakdownSql)),
     Q("q17_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q18_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)),
-    Q("q51_token_explode", tokenExplode, Some(tokenExplodeSql)))
+    Q("q51_token_explode", tokenExplode, Some(tokenExplodeSql)),
+    Q("q64_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)))
 }
