@@ -52,6 +52,23 @@ object DataMix {
       .drop("__thr")
   }
 
+  /** Exact-size stratified sample: precisely `k` rows per stratum
+    * (fewer when the stratum is smaller), chosen deterministically as
+    * the k smallest portable id-hashes — a hash-ordered "reservoir"
+    * that is partition- and run-invariant, unlike rand()-ranked
+    * sampling. One window pass per stratum; at scale each stratum
+    * sorts only its own partition slice, and a TOP-K-per-group
+    * rewrite (rank ≤ k pushes into a bounded heap under AQE) keeps
+    * memory flat. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), seed), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Sequential token-budget packing (the standard LLM-prep layout:
     * concatenate documents in a deterministic order, cut a new pack
     * whenever the running total crosses the budget — a document is

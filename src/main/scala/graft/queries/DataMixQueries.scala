@@ -81,8 +81,29 @@ object DataMixQueries {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Exact-k stratified sample (20 docs per language), summarized with
+    * a membership-sensitive id checksum: the oracle reproduces the
+    * hash-ordered rank, so the precise sampled SET is verified. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    DataMix.stratifiedSample(Tables.documents(s, d), "doc_id", "lang", k = 20)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(col("n_chars")).as("total_chars"))
+
+  val stratifiedSampleSql: String =
+    s"""WITH r AS (SELECT lang, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY ${sqlBucket("doc_id", 42L)}, doc_id) AS rk
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  (sum(doc_id))::BIGINT AS id_checksum,
+       |  (sum(n_chars))::BIGINT AS total_chars
+       |FROM r WHERE rk <= 20 GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q45_split_stats", splitStats, Some(splitStatsSql)),
     Q("q46_mixture_stats", mixtureStats, Some(mixtureStatsSql)),
-    Q("q47_token_packing", tokenPacking, Some(tokenPackingSql)))
+    Q("q47_token_packing", tokenPacking, Some(tokenPackingSql)),
+    Q("q66_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
 }

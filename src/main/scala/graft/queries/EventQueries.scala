@@ -231,6 +231,50 @@ object EventQueries {
        |FROM g""".stripMargin
   }
 
+  /** Winsorization (outlier clamping) at nearest-rank p01/p99 per
+    * event type: bounds come from an explicit rank window — exact
+    * LONGS, so clamping and the clamped sum stay in integer arithmetic
+    * end-to-end (interpolated percentiles would put engine-ulp doubles
+    * on a comparison boundary). The bounds frame is 5 rows → broadcast
+    * join-back; at 100 TB swap the rank window for approx_percentile
+    * and accept sketch error in the bounds. */
+  def winsorizedStats(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val r = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("c"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val bounds = r.groupBy(col("event_type")).agg(
+      min(when(col("rn") ===
+        greatest(lit(1L), ceil(lit(0.01) * col("n"))), col("c"))).as("lo"),
+      min(when(col("rn") === ceil(lit(0.99) * col("n")), col("c"))).as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(least(greatest(col("c"), col("lo")), col("hi"))).as("clamped_cents"),
+        sum(when(col("c") < col("lo") || col("c") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clamped"))
+  }
+
+  val winsorizedStatsSql: String =
+    s"""WITH e AS (SELECT event_type, ${sqlCents("value")} AS c FROM events),
+       |r AS (SELECT event_type, c,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+       |        count(*) OVER (PARTITION BY event_type) AS n
+       |      FROM e),
+       |b AS (SELECT event_type,
+       |        min(CASE WHEN rn = greatest(1, ceil(0.01*n)::BIGINT)
+       |                 THEN c END) AS lo,
+       |        min(CASE WHEN rn = ceil(0.99*n)::BIGINT THEN c END) AS hi
+       |      FROM r GROUP BY 1)
+       |SELECT e.event_type, count(*) AS n_events,
+       |  (sum(least(greatest(e.c, b.lo), b.hi)))::BIGINT AS clamped_cents,
+       |  (sum(CASE WHEN e.c < b.lo OR e.c > b.hi THEN 1 ELSE 0 END))::BIGINT
+       |    AS n_clamped
+       |FROM e JOIN b USING (event_type) GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q25_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Q("q26_sessionize", sessionize, Some(sessionizeSql)),
@@ -240,5 +284,6 @@ object EventQueries {
     Q("q33_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
     Q("q34_value_stats", valueStats, Some(valueStatsSql)),
     Q("q50_cube_daily", cubeDaily, Some(cubeDailySql)),
-    Q("q59_grouping_sets", groupingSetsDaily, Some(groupingSetsDailySql)))
+    Q("q59_grouping_sets", groupingSetsDaily, Some(groupingSetsDailySql)),
+    Q("q67_winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)))
 }

@@ -72,6 +72,25 @@ class PlanSpec extends SparkSpec {
       "repetition metrics must stay scan-side")
   }
 
+  test("q61: hot-key tagging joins as broadcast on both sides") {
+    // the adaptive salt's hot-key frame must broadcast to facts AND
+    // dims — a shuffled tag join would cost more than the skew it cures
+    val p = plan("q61_adaptive_salted_join")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+  }
+
+  test("q64: the corpus-size scalar joins as broadcast, not a shuffle") {
+    val p = plan("q64_tfidf_top_terms")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q67: winsorization bounds join back as broadcast") {
+    val p = plan("q67_winsorized_stats")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q19: capped jaccard never joins candidates back against full shingle sets") {
     // the capped path's final joins are the small prelim-pair frames;
     // sort-merge joining two full shingle relations on id columns was

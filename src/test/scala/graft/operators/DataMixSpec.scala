@@ -50,4 +50,18 @@ class DataMixSpec extends SparkSpec {
       assert(pid == cum / 500L); cum += t
     }
   }
+
+  test("stratified sample: exactly k per stratum, partition-invariant, capped by stratum size") {
+    val df = (1L to 100L).map(i => (i, if (i <= 80) "big" else "small"))
+      .toDF("id", "stratum")
+    val s1 = DataMix.stratifiedSample(df, "id", "stratum", k = 10)
+      .as[(Long, String)].collect().toSet
+    val s2 = DataMix.stratifiedSample(df.repartition(7), "id", "stratum", k = 10)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2) // membership is a pure function of the ids
+    assert(s1.count(_._2 == "big") == 10)
+    assert(s1.count(_._2 == "small") == 10)
+    val tiny = DataMix.stratifiedSample(df.filter($"id" > 95), "id", "stratum", 10)
+    assert(tiny.count() == 5) // stratum smaller than k → whole stratum
+  }
 }
