@@ -60,6 +60,35 @@ object ProfileScratch {
           Dedup.simHashPairs(docs, "doc_id", "text",
             shingleN = 3, maxHamming = 3, portable = false).count())
 
+      case "components" =>
+        // Connected-components scale smoke: 1M edges over 500k nodes in
+        // two shapes — near-dup-like (250k tiny cliques: diameter 1-2,
+        // plain propagation's home turf) and adversarial (one 200k-node
+        // chain: star contraction's reason to exist).
+        import graft.operators.Components
+        val cliques = spark.range(0, 1000000).select(
+          (col("id") / 4).cast("long").as("a"),
+          ((col("id") / 4).cast("long") * 4 + pmod(col("id"), lit(4))
+            + lit(250000L)).as("b"))
+          .repartition(32)
+        cliques.persist().count()
+        val c1 = t("propagation: 1M-edge clique soup") {
+          Components.connectedComponents(cliques, "a", "b").count()
+        }
+        println(s"  labelled nodes: $c1")
+        val c2 = t("star contraction: 1M-edge clique soup") {
+          Components.connectedComponentsStar(cliques, "a", "b").count()
+        }
+        println(s"  labelled nodes: $c2")
+        val chain = spark.range(1, 200000)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+          .repartition(32)
+        chain.persist().count()
+        val c3 = t("star contraction: 200k-node chain (diameter 200k)") {
+          Components.connectedComponentsStar(chain, "a", "b").count()
+        }
+        println(s"  labelled nodes: $c3 (propagation would need 200k rounds)")
+
       case "closure" =>
         // USNVC-shaped scale smoke: 100k units in 6 250 chains of depth
         // 16 (the reference taxonomy's max depth). Pins closure

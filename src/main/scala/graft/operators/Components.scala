@@ -55,7 +55,7 @@ object Components {
       .distinct()
       .select(col("node"), col("node").as("component"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("component"))).first().getLong(0)
+    var prevSig = labelSignature(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -64,16 +64,103 @@ object Components {
       val next = labels.union(msgs)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("component"))).first().getLong(0)
-      converged = nextSum == prevSum // labels are non-increasing, so an
-      // unchanged sum means no label moved anywhere
-      prevSum = nextSum
+      val nextSig = labelSignature(next)
+      // labels only decrease, so an unchanged (node, label) digest
+      // means no label moved anywhere
+      converged = nextSig == prevSig
+      prevSig = nextSig
       labels = next
       iter += 1
     }
     sym.unpersist()
     e.unpersist()
     labels
+  }
+
+  /** [[connectedComponents]] for ADVERSARIAL diameters: alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Min-label
+    * propagation needs diameter-many rounds — a chain of 10⁴ gradually
+    * mutated documents means 10⁴ shuffles; star contraction halves
+    * component height every alternation, converging in O(log² n)
+    * rounds regardless of shape.
+    *
+    * Per round: large-star hangs every neighbor larger than the node
+    * off the neighborhood minimum; small-star re-hangs the smaller
+    * neighbors (and the node) off it. Both are one groupBy + one
+    * join-back over the current edge set — the same two-shuffle cost
+    * shape as a propagation round, but the edge set contracts toward
+    * stars instead of labels creeping one hop. At fixpoint every
+    * component is a star centered at its minimum; components read off
+    * as each node's neighborhood minimum. Same output contract as
+    * [[connectedComponents]].
+    */
+  def connectedComponentsStar(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // preserve the original node set: contraction may detach a node
+    // from all edges once it hangs directly off its component minimum,
+    // and self-loop-only nodes never enter the edge set at all
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
+      .distinct().localCheckpoint()
+    val e0 = raw.filter(col("u") =!= col("v"))
+    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+
+    def sym(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .union(df.filter(col("u") =!= col("v"))
+          .select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+
+    def star(cur: DataFrame, large: Boolean): DataFrame = {
+      val m = cur.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val joined = cur.join(m, "u")
+      val hung =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else joined.filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m").as("v")))
+      sym(hung)
+    }
+
+    var iter = 0
+    var stable = false
+    var sig = signature(e)
+    while (!stable && iter < maxIter) {
+      e = star(star(e, large = true), large = false).localCheckpoint()
+      val s = signature(e)
+      stable = s == sig
+      sig = s
+      iter += 1
+    }
+    val labels = e.groupBy(col("u"))
+      .agg(least(min(col("v")), first(col("u"))).as("component"))
+      .select(col("u").as("node"), col("component"))
+    // detached nodes (already the center or absorbed) label as themselves
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** Order-insensitive edge-set digest for fixpoint detection (one
+    * cheap action per round, no row-wise diff join). XOR of per-edge
+    * hashes: insensitive to order, no ANSI overflow (a SUM of full
+    * range xxhash64 values overflows under ANSI mode). */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val row = e.agg(count(lit(1)),
+      bit_xor(xxhash64(col("u"), col("v")))).first()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  private def labelSignature(labels: DataFrame): (Long, Long) = {
+    val row = labels.agg(count(lit(1)),
+      bit_xor(xxhash64(col("node"), col("component")))).first()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   /** Canonical-document selection: drop every row whose id belongs to a

@@ -47,6 +47,26 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("star contraction matches union-find on random graphs (incl. self-loops)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 5) {
+      val edges = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val got = Components.connectedComponentsStar(
+        edges.toDF("a", "b"), "a", "b").as[(Long, Long)].collect().toMap
+      assert(got == ufComponents(edges), s"trial $trial")
+    }
+  }
+
+  test("star contraction resolves a 200-chain in far fewer than 200 rounds") {
+    // min-label propagation needs ~200 rounds here; star contraction's
+    // maxIter=30 default would fail unless it genuinely converges in
+    // O(log² n) alternations
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponentsStar(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 200 && got.values.forall(_ == 1L))
+  }
+
   test("dropNearDuplicates keeps one representative per cluster and all singletons") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"doc$i")).toDF("id", "text")
     val pairs = Seq((2L, 4L), (4L, 6L), (3L, 5L)).toDF("id_a", "id_b")
