@@ -53,4 +53,39 @@ object Upsert {
     val touched = latest.select(col(keyCol)).distinct()
     base.join(touched, Seq(keyCol), "left_anti").unionByName(upserts)
   }
+
+  /** History-preserving (SCD type-2) apply: instead of overwriting,
+    * every change CLOSES the key's current version (stamps `validTo`
+    * with the change timestamp) and — unless it is a delete — appends
+    * a new open version. `base` carries `validFrom`/`validTo` columns
+    * with `validTo IS NULL` marking current rows; closed history is
+    * untouched, so the result supports as-of reconstruction (pair with
+    * [[AsOfJoin]] to query any past state).
+    *
+    * Scale shape matches [[applyChanges]]: history and untouched
+    * current rows pass through without a shuffle; only the (small)
+    * change batch joins against current rows, broadcast when small. */
+  def applyChangesScd2(
+      base: DataFrame, changes: DataFrame, keyCol: String,
+      opCol: String = "op", tsCol: String = "ts",
+      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame = {
+    val latest = changes.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).desc, col(opCol).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val payloadCols = base.columns.toIndexedSeq
+      .filterNot(c => c == validFrom || c == validTo)
+    val history = base.filter(col(validTo).isNotNull)
+    val current = base.filter(col(validTo).isNull)
+    val touched = latest.select(col(keyCol), col(tsCol).as("__close_ts"))
+    val closed = current.join(touched, Seq(keyCol), "inner")
+      .withColumn(validTo, col("__close_ts")).drop("__close_ts")
+    val untouched = current.join(touched.select(col(keyCol)),
+      Seq(keyCol), "left_anti")
+    val opened = latest.filter(col(opCol) =!= "delete")
+      .select((payloadCols.map(col) :+ col(tsCol).as(validFrom)): _*)
+      .withColumn(validTo, lit(null).cast(
+        base.schema(validTo).dataType))
+    history.unionByName(untouched).unionByName(closed).unionByName(opened)
+  }
 }

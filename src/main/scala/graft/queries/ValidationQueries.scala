@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Upsert, Validation}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gate + SCD2 history coverage. The quality report runs
+  * one single-pass aggregation per constraint; the SCD2 query applies a
+  * deterministic change feed history-preservingly and summarizes open
+  * vs closed versions — both fully replayed by the DuckDB oracles.
+  */
+object ValidationQueries {
+
+  def qualityReport(s: SparkSession, d: String): DataFrame =
+    Validation.report(Seq(
+      Validation.unique("orders_pk_unique", Tables.orders(s, d),
+        col("o_orderkey")),
+      Validation.referential("lineitem_fk_orders", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      Validation.referential("customer_fk_nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+      Validation.check("orders_price_nonneg", Tables.orders(s, d),
+        col("o_totalprice") < 0),
+      Validation.check("documents_nonempty", Tables.documents(s, d),
+        length(trim(col("text"))) === 0)))
+
+  val qualityReportSql: String =
+    """SELECT 'orders_pk_unique' AS check_name, count(*) AS checked,
+      |  (count(*) - count(DISTINCT o_orderkey))::BIGINT AS violations
+      |FROM orders
+      |UNION ALL
+      |SELECT 'lineitem_fk_orders', count(*),
+      |  (sum(CASE WHEN o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL
+      |            THEN 1 ELSE 0 END))::BIGINT
+      |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |  ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'customer_fk_nation', count(*),
+      |  (sum(CASE WHEN n.n_nationkey IS NULL AND c.c_nationkey IS NOT NULL
+      |            THEN 1 ELSE 0 END))::BIGINT
+      |FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+      |  ON c.c_nationkey = n.n_nationkey
+      |UNION ALL
+      |SELECT 'orders_price_nonneg', count(*),
+      |  (sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END))::BIGINT
+      |FROM orders
+      |UNION ALL
+      |SELECT 'documents_nonempty', count(*),
+      |  (sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END))::BIGINT
+      |FROM documents""".stripMargin
+
+  /** SCD2 apply of the q63 change feed (same deterministic buckets,
+    * timestamp 1) over orders initialized at version 0: updates and
+    * deletes close the current row, non-deletes open a new version.
+    * Summary counts open/closed versions per status with a
+    * membership-sensitive price sum. */
+  def scd2Orders(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val bkt = graft.operators.DataMix.hashBucket(col("o_orderkey"), 7L)
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val deletes = src.filter(bkt < 100000)
+      .select(lit("delete").as("op"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), lit(1L).as("ts"))
+    val updates = src.filter(bkt >= 100000 && bkt < 200000)
+      .select(lit("update").as("op"), col("o_orderkey"),
+        lit("U").as("o_orderstatus"), col("o_totalprice"), lit(1L).as("ts"))
+    val changes = deletes.unionByName(updates)
+    Upsert.applyChangesScd2(base, changes, "o_orderkey")
+      .groupBy(col("o_orderstatus"), col("valid_to").isNull.as("is_current"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+  }
+
+  val scd2OrdersSql: String =
+    s"""WITH b AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+       |    ('0x'||substr(md5(o_orderkey::VARCHAR || '#7'),1,15))::BIGINT
+       |      % 1000000 AS bkt
+       |  FROM orders),
+       |versions AS (
+       |  -- untouched current rows stay open
+       |  SELECT o_orderstatus, o_totalprice, TRUE AS is_current
+       |  FROM b WHERE bkt >= 200000
+       |  UNION ALL
+       |  -- touched rows: the original version is closed at ts 1
+       |  SELECT o_orderstatus, o_totalprice, FALSE
+       |  FROM b WHERE bkt < 200000
+       |  UNION ALL
+       |  -- updates additionally open a new 'U' version
+       |  SELECT 'U', o_totalprice, TRUE
+       |  FROM b WHERE bkt >= 100000 AND bkt < 200000)
+       |SELECT o_orderstatus, is_current, count(*) AS n_versions,
+       |  (sum(${sqlCents("o_totalprice")}))::BIGINT AS price_cents
+       |FROM versions GROUP BY 1, 2""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q68_quality_report", qualityReport, Some(qualityReportSql)),
+    Q("q69_scd2_history", scd2Orders, Some(scd2OrdersSql)))
+}

@@ -42,4 +42,24 @@ class UpsertSpec extends SparkSpec {
     assert(got.contains((2L, "z", 7)))
     assert(got.size == 3)
   }
+
+  test("SCD2 apply closes current versions and opens new ones; history untouched") {
+    val scd = Seq(
+      (1L, "a0", 1, 0L, Some(5L)), // closed history
+      (1L, "a1", 2, 5L, None),     // current
+      (2L, "b0", 3, 0L, None),
+      (3L, "c0", 4, 0L, None)
+    ).toDF("k", "name", "v", "valid_from", "valid_to")
+    val changes = Seq(
+      ("update", 1L, "a2", 9, 7L),
+      ("delete", 2L, "", 0, 7L)).toDF("op", "k", "name", "v", "ts")
+    val got = Upsert.applyChangesScd2(scd, changes, "k")
+      .as[(Long, String, Int, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, "a0", 1, 0L, Some(5L)),  // history kept
+      (1L, "a1", 2, 5L, Some(7L)),  // closed at change ts
+      (1L, "a2", 9, 7L, None),      // new current version
+      (2L, "b0", 3, 0L, Some(7L)),  // delete closes, opens nothing
+      (3L, "c0", 4, 0L, None)))     // untouched
+  }
 }
