@@ -185,6 +185,33 @@ object Similarity {
         col("similarity"))
   }
 
+  /** k-NN graph: EVERY row → its k most similar other rows (not just a
+    * query set) — the all-pairs shape behind diversity sampling and
+    * graph-based dedup. Unblocked this is O(n²); restricting candidates
+    * to a blocking key (LSH bucket, IVF cluster) makes it quadratic
+    * only within blocks, recall governed by the blocking function —
+    * identical cost shape to [[blockedNearDupPairs]] plus a per-node
+    * top-k window that partial-sorts within the node's partition. */
+  def knnGraphBlocked(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bucket: Column, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val b = corpus.select(col(idCol), col(vecCol), bucket.as("bucket"),
+      norm(col(vecCol)).as("__norm"))
+    val w = Window.partitionBy(col(s"x.$idCol"))
+      .orderBy(col("similarity").desc, col(s"y.$idCol"))
+    b.alias("x").join(b.alias("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .withColumn("similarity",
+        round(dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
+          (col("x.__norm") * col("y.__norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(s"x.$idCol").as("id"), col(s"y.$idCol").as("neighbor_id"),
+        col("rank"), col("similarity"))
+  }
+
   /** Embedding near-dup pairs within random-hyperplane LSH buckets — the
     * scale path for embedding-level dedup (sub-quadratic; exact
     * within-bucket verification, LSH-probability recall across buckets).

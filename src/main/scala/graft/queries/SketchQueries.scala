@@ -55,16 +55,19 @@ object SketchQueries {
     Similarity.embeddingNearDupPairs(Tables.embeddings(s, d),
       "vec_id", "embedding", dim = Dim, minSim = MinSim, nBits = NBits)
 
-  val hyperplaneNearDupSql: String = {
-    val planes = Similarity.hyperplanes(Dim, NBits)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
+  /** DuckDB replay of [[Similarity.hyperplaneBucket]]: the seed-derived
+    * plane constants embedded as array literals. */
+  private def bucketSql(nBits: Int): String =
+    Similarity.hyperplanes(Dim, nBits).zipWithIndex.map { case (p, i) =>
       val arr = p.mkString("[", ",", "]") + "::DOUBLE[]"
       s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN 1::BIGINT << $i ELSE 0::BIGINT END)"
     }.mkString("\n    + ")
+
+  val hyperplaneNearDupSql: String = {
     val cos = "round(list_dot_product(x.v, y.v)/(x.nrm * y.nrm), 6)"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT vec_id, v,
-       |    $bucket AS bucket,
+       |    ${bucketSql(NBits)} AS bucket,
        |    sqrt(list_dot_product(v, v)) AS nrm
        |  FROM e)
        |SELECT x.vec_id AS id_a, y.vec_id AS id_b, $cos AS similarity
@@ -72,7 +75,38 @@ object SketchQueries {
        |WHERE $cos >= $MinSim""".stripMargin
   }
 
+  private val GraphBits = 6 // coarser buckets than q38 → denser graph
+  private val GraphK = 5
+
+  /** k-NN graph over the whole embedding set inside coarse LSH buckets
+    * (every vector → top-5 in-bucket neighbors). */
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    Similarity.knnGraphBlocked(Tables.embeddings(s, d), "vec_id",
+      "embedding",
+      Similarity.hyperplaneBucket(col("embedding"), Dim, GraphBits),
+      k = GraphK)
+
+  val knnGraphSql: String = {
+    val cos = "round(list_dot_product(x.v, y.v)/(x.nrm * y.nrm), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    ${bucketSql(GraphBits)} AS bucket,
+       |    sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e),
+       |s AS (SELECT x.vec_id AS id, y.vec_id AS neighbor_id,
+       |        $cos AS similarity
+       |      FROM b x JOIN b y
+       |        ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |r AS (SELECT *, row_number()
+       |        OVER (PARTITION BY id ORDER BY similarity DESC, neighbor_id)
+       |        AS rank
+       |      FROM s)
+       |SELECT id, neighbor_id, rank, similarity FROM r
+       |WHERE rank <= $GraphK""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q37_kmv_distinct", kmvDistinctUsers, Some(kmvDistinctUsersSql)),
-    Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)))
+    Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)),
+    Q("q70_knn_graph", knnGraph, Some(knnGraphSql)))
 }

@@ -77,4 +77,14 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
   }
+
+  test("knnGraphBlocked: every node gets its in-block top-k, both directions") {
+    val g = Similarity.knnGraphBlocked(vecs, "vec_id", "embedding",
+      col("label"), k = 1)
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // block 0 = {1,2,5}: 1↔2 are nearest; 5 points at 2 (cos -0.9939 vs
+    // -1.0 for vec 1); block 1 = {3,4}: mutual orthogonal neighbors
+    assert(g == Map(1L -> 2L, 2L -> 1L, 5L -> 2L, 3L -> 4L, 4L -> 3L))
+  }
 }
