@@ -44,6 +44,19 @@ object EventStreams {
         col("n_events"), col("value_cents"))
   }
 
+  /** Sliding windows (2h span every 30min — each event lands in 4
+    * overlapping windows): same batch/stream duality as
+    * [[hourlyCounts]]; state size is windows-per-event × groups,
+    * bounded by the watermark horizon. */
+  def slidingCounts(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+  }
+
   /** Native session windows (30-min gap): the streaming-first form of
     * EventQueries.sessionize. */
   def sessionWindows(events: DataFrame): DataFrame = {

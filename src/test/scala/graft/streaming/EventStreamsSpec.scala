@@ -31,6 +31,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("sliding windows: stream equals batch; events land in 4 overlapping windows") {
+    val streamed = EventStreams.runToMemory(spark, jsonDir, "sliding",
+      EventStreams.slidingCounts, OutputMode.Complete())
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    val batch = EventStreams.slidingCounts(batchEvents)
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    assert(streamed.toSet == batch.toSet)
+    // overlap factor: each event is counted span/slide = 4 times
+    val total = batch.map(_._3).sum
+    assert(total == batchEvents.count() * 4)
+  }
+
   test("session windows: stream equals batch") {
     val streamed = EventStreams.runToMemory(spark, jsonDir, "sessions",
       EventStreams.sessionWindows, OutputMode.Complete())
