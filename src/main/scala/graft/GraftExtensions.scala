@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{VectorDot, VectorFunctions}
+import graft.functions.{VectorDot, VectorDotRewrite, VectorFunctions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorFunctions.dotName),
       new ExpressionInfo(classOf[VectorDot].getName, VectorFunctions.dotName),
       (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    // HOF-form dot products (aggregate(zip_with(...))) rewrite to the
+    // codegen'd expression — see VectorDotRewrite
+    ext.injectOptimizerRule(_ => VectorDotRewrite)
   }
 }

@@ -99,6 +99,12 @@ object VectorFunctions {
       reg.createOrReplaceTempFunction(dotName,
         exprs => VectorDot(exprs.head, exprs(1)), "built-in")
     }
+    // runtime twin of GraftExtensions' injectOptimizerRule: HOF-form
+    // dot products rewrite to the codegen'd expression
+    if (!spark.experimental.extraOptimizations.contains(VectorDotRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VectorDotRewrite
+    }
   }
 
   /** Codegen'd dot product; caller must have [[register]]ed on the
