@@ -101,4 +101,53 @@ object Curation {
       .agg(countDistinct(col("train_id")).as("n_train_docs"),
         count(lit(1)).as("n_hits"))
   }
+
+  /** Fixed-size sliding-window document chunking — the step that turns
+    * variable-length documents into trainer-shaped sequences. Windows
+    * of `chunkTokens` tokens every `stride` tokens (overlap =
+    * chunkTokens - stride); the last window may be short; docs shorter
+    * than one window yield exactly one chunk. Pure scan-side: token
+    * array → per-window slices → posexplode; no shuffle, no state —
+    * at 100 TB chunking runs at parquet-scan speed and composes with
+    * [[DataMix.packByTokenBudget]] downstream. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      "need 0 < stride <= chunkTokens")
+    val withToks = df.select(col(idCol),
+      TextAnalysis.whitespaceTokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
+    val nChunks = greatest(lit(1L),
+      ceil((size(toks).cast("double") - chunkTokens) / stride).cast("long")
+        + 1L)
+    val chunks = transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(toks, (i * stride + 1).cast("int"),
+        lit(chunkTokens))))
+    withToks
+      .select(col(idCol), posexplode(chunks))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"))
+  }
+
+  /** PII redaction: emails, phone-number-shaped digit runs, and IPv4
+    * addresses replaced with typed placeholders, with per-doc hit
+    * counts for audit. Patterns stay within the regex subset Java and
+    * RE2 evaluate identically, so the oracle replays the scrub
+    * byte-for-byte. Scan-side regexp chain — zero shuffles. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9() -]{7,}[0-9]"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+  }
 }

@@ -131,9 +131,71 @@ object CurationQueries {
        |  (sum(doc_id))::BIGINT AS id_checksum
        |FROM d4 GROUP BY 1, 2""".stripMargin
 
+  /** Sliding-window chunking (64-token windows, stride 48): per-chunk
+    * token counts + content digests, so the oracle verifies exact
+    * window boundaries and chunk text byte-for-byte. */
+  def docChunks(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis => TA}
+    Curation.chunk(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_idx"),
+        TA.tokenCount(col("chunk_text")).as("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+  }
+
+  val docChunksSql: String =
+    """WITH docs AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |c AS (SELECT doc_id, i AS chunk_idx,
+      |        array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+      |      FROM docs, unnest(range(0,
+      |        greatest(1, ceil((len(toks)-64)/48.0)::BIGINT + 1))) t(i))
+      |SELECT doc_id, chunk_idx,
+      |  len(regexp_extract_all(chunk_text, '\S+')) AS n_tokens,
+      |  md5(chunk_text) AS chunk_md5
+      |FROM c""".stripMargin
+
+  /** PII scrub over documents carrying deterministic synthetic PII
+    * (email + IPv4 + phone derived from the doc id — the testdata
+    * corpus itself is synthetic prose with none): per-doc hit counts
+    * and the digest of the scrubbed text. */
+  def piiRedaction(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Curation
+    val withPii = Tables.documents(s, d).withColumn("text",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(" tel +1 (555) 010-"),
+        pmod(col("doc_id"), lit(10000)).cast("string")))
+    Curation.redactPii(withPii, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        md5(col("text")).as("redacted_md5"))
+  }
+
+  val piiRedactionSql: String = {
+    import graft.operators.Curation.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH t AS (SELECT doc_id,
+       |    text || ' contact user' || doc_id::VARCHAR
+       |         || '@example.com or 10.0.0.' || (doc_id % 256)::VARCHAR
+       |         || ' tel +1 (555) 010-' || (doc_id % 10000)::VARCHAR AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+       |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM t""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q54_repetition_quality", repetitionQuality, Some(repetitionQualitySql)),
     Q("q55_boilerplate_ngrams", boilerplate, Some(boilerplateSql)),
     Q("q56_split_contamination", contamination, Some(contaminationSql)),
-    Q("q65_curate_corpus", curateCorpus, Some(curateCorpusSql)))
+    Q("q65_curate_corpus", curateCorpus, Some(curateCorpusSql)),
+    Q("q71_doc_chunks", docChunks, Some(docChunksSql)),
+    Q("q72_pii_redaction", piiRedaction, Some(piiRedactionSql)))
 }

@@ -74,4 +74,30 @@ class CurationSpec extends SparkSpec {
       n = 3, maxDocFreq = 2)
     assert(c.count() == 0)
   }
+
+  test("chunk: sliding windows with overlap; short docs yield one chunk") {
+    import spark.implicits._
+    val d = docs(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens
+      2L -> "just three tokens")
+    val chunks = Curation.chunk(d, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // doc 1: windows start at tokens 1,4,7,10 → ceil((10-4)/3)+1 = 3 → wait
+    // ceil(6/3)+1 = 3 windows: [t1..t4],[t4..t7],[t7..t10]
+    assert(chunks(1L) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(chunks(2L) == Seq("just three tokens"))
+    // overlap invariant: consecutive windows share chunkTokens - stride
+    assert(chunks(1L)(0).split(" ").last == chunks(1L)(1).split(" ").head)
+  }
+
+  test("redactPii replaces emails/ips/phones and counts hits") {
+    import spark.implicits._
+    val d = docs(1L ->
+      "mail a.b@x.org or 192.168.0.1 call +1 (555) 123-4567 done")
+    val r = Curation.redactPii(d, "text")
+      .select($"text", $"n_emails", $"n_ips", $"n_phones")
+      .as[(String, Int, Int, Int)].head()
+    assert(r == ("mail <EMAIL> or <IP> call <PHONE> done", 1, 1, 1))
+  }
 }
