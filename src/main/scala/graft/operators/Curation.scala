@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines — the quality
@@ -137,6 +138,43 @@ object Curation {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val PhoneRe = "\\+[0-9][0-9() -]{7,}[0-9]"
+
+  /** Corpus-wide segment-level dedup (the C4 "remove repeated lines
+    * across the corpus" rule): every segment keeps only its FIRST
+    * occurrence — ordered by (doc id, position) — and documents are
+    * reassembled from their surviving segments. Works over any
+    * segmentation: rows of (id, idx, segment) from [[chunk]], a
+    * sentence split ([[dedupSentences]]), or line explode. Output:
+    * (id, n_segments, n_kept, text) with `text` rebuilt from kept
+    * segments in order.
+    *
+    * Scale: one shuffle keyed on the segment (the first-occurrence
+    * window — hash keys, partitions evenly; a hot boilerplate sentence
+    * is exactly ONE window partition no matter how many copies) and
+    * one keyed on the doc id for reassembly. */
+  def dedupSegments(segs: DataFrame, idCol: String, idxCol: String,
+      segCol: String, joinSep: String): DataFrame = {
+    val firstW = Window.partitionBy(col(segCol))
+      .orderBy(col(idCol), col(idxCol))
+    val marked = segs.withColumn("__keep",
+      row_number().over(firstW) === 1)
+    marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("__keep"), struct(col(idxCol), col(segCol))))),
+          x => x.getField(segCol)), joinSep).as("text"))
+  }
+
+  /** [[dedupSegments]] at sentence granularity (". "-separated). */
+  def dedupSentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val segs = df
+      .select(col(idCol), posexplode(split(col(textCol), "\\. ")))
+      .withColumnRenamed("pos", "__idx")
+      .withColumnRenamed("col", "__seg")
+      .filter(trim(col("__seg")) =!= "")
+    dedupSegments(segs, idCol, "__idx", "__seg", ". ")
+  }
 
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

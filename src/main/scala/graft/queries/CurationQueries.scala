@@ -191,11 +191,42 @@ object CurationQueries {
        |FROM t""".stripMargin
   }
 
+  /** Corpus-wide segment dedup over non-overlapping 8-token segments:
+    * repeated segments keep only their first (doc_id, idx) occurrence,
+    * docs reassemble from survivors. The oracle replays segmentation,
+    * the global first-occurrence window, and the reassembled digest. */
+  def segmentDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Curation
+    val segs = Curation.chunk(Tables.documents(s, d), "doc_id", "text",
+      chunkTokens = 8, stride = 8)
+    Curation.dedupSegments(segs, "doc_id", "chunk_idx", "chunk_text", " ")
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        md5(col("text")).as("kept_md5"))
+  }
+
+  val segmentDedupSql: String =
+    """WITH docs AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |c AS (SELECT doc_id, i AS chunk_idx,
+      |        array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+      |      FROM docs, unnest(range(0,
+      |        greatest(1, ceil((len(toks)-8)/8.0)::BIGINT + 1))) t(i)),
+      |m AS (SELECT doc_id, chunk_idx, seg,
+      |        row_number() OVER (PARTITION BY seg
+      |                           ORDER BY doc_id, chunk_idx) = 1 AS keep
+      |      FROM c)
+      |SELECT doc_id, count(*) AS n_segments,
+      |  (sum(CASE WHEN keep THEN 1 ELSE 0 END))::BIGINT AS n_kept,
+      |  md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+      |                          ORDER BY chunk_idx), '')) AS kept_md5
+      |FROM m GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q54_repetition_quality", repetitionQuality, Some(repetitionQualitySql)),
     Q("q55_boilerplate_ngrams", boilerplate, Some(boilerplateSql)),
     Q("q56_split_contamination", contamination, Some(contaminationSql)),
     Q("q65_curate_corpus", curateCorpus, Some(curateCorpusSql)),
     Q("q71_doc_chunks", docChunks, Some(docChunksSql)),
-    Q("q72_pii_redaction", piiRedaction, Some(piiRedactionSql)))
+    Q("q72_pii_redaction", piiRedaction, Some(piiRedactionSql)),
+    Q("q73_segment_dedup", segmentDedup, Some(segmentDedupSql)))
 }

@@ -91,6 +91,21 @@ class CurationSpec extends SparkSpec {
     assert(chunks(1L)(0).split(" ").last == chunks(1L)(1).split(" ").head)
   }
 
+  test("dedupSentences keeps first occurrence corpus-wide and reassembles") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "alpha beta. gamma delta. unique one",
+      2L -> "gamma delta. alpha beta. unique two")
+    val r = Curation.dedupSentences(d, "doc_id", "text")
+      .select($"doc_id", $"n_segments", $"n_kept", $"text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    // doc 1 owns both shared sentences (lowest doc_id); doc 2 keeps
+    // only its unique tail
+    assert(r == Set(
+      (1L, 3L, 3L, "alpha beta. gamma delta. unique one"),
+      (2L, 3L, 1L, "unique two")))
+  }
+
   test("redactPii replaces emails/ips/phones and counts hits") {
     import spark.implicits._
     val d = docs(1L ->
