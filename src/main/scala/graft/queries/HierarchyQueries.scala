@@ -70,7 +70,43 @@ object HierarchyQueries {
        |  count(*) AS n_children
        |FROM nodes GROUP BY 1""".stripMargin
 
+  /** Subtree aggregates: per node, the count of proper descendants and
+    * the exact-cents account balance rolled up from descendant
+    * customers — closure (ancestor, node) pairs joined to per-node
+    * measures and grouped by ancestor. The classic "total under each
+    * org-tree node" shape: one closure (depth-bounded self-joins) +
+    * one keyed aggregation, instead of a per-node recursive walk. */
+  def subtreeAggregates(s: SparkSession, d: String): DataFrame = {
+    val measures = Tables.customer(s, d)
+      .select((col("c_custkey") + 10000).cast("long").as("id"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val closure = Hierarchy.ancestorClosure(forest(s, d), "id", "parent")
+    closure
+      .join(measures, Seq("id"), "left")
+      .groupBy(col("ancestor").as("node_id"))
+      .agg(count(lit(1)).as("n_descendants"),
+        coalesce(sum(col("bal_cents")), lit(0L)).as("subtree_bal_cents"))
+  }
+
+  val subtreeAggregatesSql: String =
+    s"""WITH RECURSIVE nodes AS ($forestSql),
+       |anc AS (
+       |  SELECT id, parent AS ancestor, 1 AS depth FROM nodes
+       |  WHERE parent IS NOT NULL
+       |  UNION ALL
+       |  SELECT a.id, n.parent, a.depth + 1
+       |  FROM anc a JOIN nodes n ON a.ancestor = n.id
+       |  WHERE n.parent IS NOT NULL),
+       |m AS (SELECT (c_custkey + 10000)::BIGINT AS id,
+       |        ${sqlCents("c_acctbal")} AS bal_cents
+       |      FROM customer)
+       |SELECT anc.ancestor AS node_id, count(*) AS n_descendants,
+       |  (coalesce(sum(m.bal_cents), 0))::BIGINT AS subtree_bal_cents
+       |FROM anc LEFT JOIN m ON anc.id = m.id
+       |GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q13_hierarchy_ancestors", ancestorPath, Some(ancestorPathSql)),
-    Q("q14_hierarchy_children", childrenOf, Some(childrenOfSql)))
+    Q("q14_hierarchy_children", childrenOf, Some(childrenOfSql)),
+    Q("q74_subtree_aggregates", subtreeAggregates, Some(subtreeAggregatesSql)))
 }
