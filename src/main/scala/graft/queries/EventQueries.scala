@@ -275,6 +275,83 @@ object EventQueries {
        |    AS n_clamped
        |FROM e JOIN b USING (event_type) GROUP BY 1""".stripMargin
 
+  /** Time-series gap-fill: the dense (hour × event_type) grid over the
+    * observed span, missing cells as explicit zeros — what every
+    * downstream resampler/chart needs. The grid is generated from one
+    * global min/max (a broadcast scalar), cross-joined with the tiny
+    * type dimension, then left-joined to the hourly aggregate; the
+    * fact table shuffles once on (type, hour). */
+  def gapFillHourly(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"),
+      date_trunc("hour", col("ts")).as("h"), cents(col("value")).as("c"))
+    val bounds = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = bounds
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+      .crossJoin(e.select(col("event_type")).distinct())
+    val agg = e.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+    grid.join(agg, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sc"), lit(0L)).as("value_cents"))
+  }
+
+  val gapFillHourlySql: String =
+    s"""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h,
+       |    ${sqlCents("value")} AS c FROM events),
+       |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+       |grid AS (SELECT t.h, et.event_type
+       |         FROM b, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) t(h)
+       |         CROSS JOIN (SELECT DISTINCT event_type FROM e) et),
+       |a AS (SELECT event_type, h, count(*) AS n, sum(c) AS sc
+       |      FROM e GROUP BY 1, 2)
+       |SELECT g.event_type, g.h AS hour_start,
+       |  (coalesce(n, 0))::BIGINT AS n_events,
+       |  (coalesce(sc, 0))::BIGINT AS value_cents
+       |FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.h = g.h""".stripMargin
+
+  /** Conversion funnel: clicks converting to a purchase by the same
+    * user within one hour, daily. The existence probe is a left-semi
+    * interval join — at scale the same bucketed-range shape as
+    * [[graft.operators.RangeJoin]]; here user_id equi-keys carry the
+    * shuffle so the range predicate only scans within user groups. */
+  def conversionFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val converted = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("ts") &&
+        col("p_ts") <= col("ts") + expr("interval 1 hour"),
+      "left_semi")
+    clicks.groupBy(col("day_us")).agg(count(lit(1)).as("n_clicks"))
+      .join(converted.groupBy(col("day_us")).agg(count(lit(1)).as("n_conv")),
+        Seq("day_us"), "left")
+      .select(col("day_us"), col("n_clicks"),
+        coalesce(col("n_conv"), lit(0L)).as("n_converted"))
+  }
+
+  val conversionFunnelSql: String =
+    """WITH clicks AS (SELECT user_id, ts,
+      |                  epoch_us(date_trunc('day', ts)) AS day_us
+      |                FROM events WHERE event_type = 'click'),
+      |conv AS (SELECT c.day_us, count(*) AS n_conv
+      |         FROM clicks c
+      |         WHERE EXISTS (SELECT 1 FROM events p
+      |                       WHERE p.event_type = 'purchase'
+      |                         AND p.user_id = c.user_id
+      |                         AND p.ts > c.ts
+      |                         AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      |         GROUP BY 1)
+      |SELECT c.day_us, count(*) AS n_clicks,
+      |  (coalesce(max(n_conv), 0))::BIGINT AS n_converted
+      |FROM clicks c LEFT JOIN conv ON conv.day_us = c.day_us
+      |GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q25_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Q("q26_sessionize", sessionize, Some(sessionizeSql)),
@@ -285,5 +362,7 @@ object EventQueries {
     Q("q34_value_stats", valueStats, Some(valueStatsSql)),
     Q("q50_cube_daily", cubeDaily, Some(cubeDailySql)),
     Q("q59_grouping_sets", groupingSetsDaily, Some(groupingSetsDailySql)),
-    Q("q67_winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)))
+    Q("q67_winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
+    Q("q75_gap_fill", gapFillHourly, Some(gapFillHourlySql)),
+    Q("q76_conversion_funnel", conversionFunnel, Some(conversionFunnelSql)))
 }
