@@ -69,6 +69,19 @@ object DataMix {
       .drop("__rk")
   }
 
+  /** Score-weighted sampling: keep each row with probability equal to
+    * its (deterministic, row-derived) score in [0,1] — the
+    * quality-weighted curation move (keep good docs surely, bad docs
+    * rarely) with the same resumable hash-membership guarantee as
+    * [[hashSample]]: membership is a pure function of (id, score,
+    * seed), no RNG state, identical on any cluster or engine. The
+    * score expression must itself be deterministic (e.g.
+    * [[TextAnalysis.qualityScore]]). */
+  def weightedSample(df: DataFrame, idCol: String, score: Column,
+      seed: Long = 42L): DataFrame =
+    df.filter(hashBucket(col(idCol), seed).cast("double") <
+      score * Buckets)
+
   /** Sequential token-budget packing (the standard LLM-prep layout:
     * concatenate documents in a deterministic order, cut a new pack
     * whenever the running total crosses the budget — a document is

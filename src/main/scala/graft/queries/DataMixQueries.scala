@@ -101,9 +101,29 @@ object DataMixQueries {
        |  (sum(n_chars))::BIGINT AS total_chars
        |FROM r WHERE rk <= 20 GROUP BY 1""".stripMargin
 
+  /** Quality-weighted sampling: each doc kept with probability equal
+    * to its deterministic quality score; per-lang survivor stats with
+    * a membership-sensitive checksum so the oracle verifies the exact
+    * kept set, not just rates. */
+  def weightedSampleStats(s: SparkSession, d: String): DataFrame =
+    DataMix.weightedSample(Tables.documents(s, d), "doc_id",
+        TA.qualityScore(col("text")), seed = 42L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"))
+
+  val weightedSampleStatsSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  (sum(doc_id))::BIGINT AS id_checksum
+       |FROM documents
+       |WHERE (${sqlBucket("doc_id", 42L)})::DOUBLE
+       |      < (${TextQueries.quality}) * 1000000
+       |GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q45_split_stats", splitStats, Some(splitStatsSql)),
     Q("q46_mixture_stats", mixtureStats, Some(mixtureStatsSql)),
     Q("q47_token_packing", tokenPacking, Some(tokenPackingSql)),
-    Q("q66_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
+    Q("q66_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("q77_weighted_sample", weightedSampleStats, Some(weightedSampleStatsSql)))
 }

@@ -44,6 +44,17 @@ object EventStreams {
         col("n_events"), col("value_cents"))
   }
 
+  /** Stream-static enrichment join: per-type totals against a static
+    * dimension. The static side is broadcast and re-resolved every
+    * micro-batch (so a refreshed dim file picks up mid-stream) — the
+    * standard pattern for joining a firehose to reference data without
+    * any stream-stream state. */
+  def enrichedTotals(events: DataFrame, userTiers: DataFrame): DataFrame =
+    events.join(broadcast(userTiers), Seq("user_id"), "left")
+      .groupBy(coalesce(col("tier"), lit("unknown")).as("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+
   /** Sliding windows (2h span every 30min — each event lands in 4
     * overlapping windows): same batch/stream duality as
     * [[hourlyCounts]]; state size is windows-per-event × groups,

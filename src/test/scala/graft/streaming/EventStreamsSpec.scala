@@ -31,6 +31,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment join: stream equals batch") {
+    val tiers = spark.range(0, 1000)
+      .selectExpr("id AS user_id",
+        "CASE pmod(id, 3) WHEN 0 THEN 'gold' WHEN 1 THEN 'silver' ELSE 'bronze' END AS tier")
+    val streamed = EventStreams.runToMemory(spark, jsonDir, "enriched",
+      EventStreams.enrichedTotals(_, tiers), OutputMode.Complete())
+      .as[(String, Long, Long)].collect().toSet
+    val batch = EventStreams.enrichedTotals(batchEvents, tiers)
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.map(_._2).sum == batchEvents.count())
+  }
+
   test("sliding windows: stream equals batch; events land in 4 overlapping windows") {
     val streamed = EventStreams.runToMemory(spark, jsonDir, "sliding",
       EventStreams.slidingCounts, OutputMode.Complete())
