@@ -60,6 +60,28 @@ object ProfileScratch {
           Dedup.simHashPairs(docs, "doc_id", "text",
             shingleN = 3, maxHamming = 3, portable = false).count())
 
+      case "dedup10x" =>
+        // MinHash+LSH scaling check: 10× the sf0.1 corpus (50k docs)
+        // via id-offset self-union. Linear-ish growth here means the
+        // banded-candidate path holds; super-linear growth would mean
+        // a hot bucket (the quadratic term) is back.
+        val base = Tables.documents(spark, d)
+          .select(col("doc_id"), col("text"))
+        val docs10 = (0 until 10).map(i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("text"))).reduce(_ union _)
+          .repartition(32).persist()
+        println(s"  corpus: ${docs10.count()} docs")
+        t("minhash+LSH FAST at 10x sf0.1") {
+          Dedup.minHashPairs(docs10, "doc_id", "text",
+            shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+            seed = 42L, portable = false).count()
+        }
+        t("simhash FAST at 10x sf0.1") {
+          Dedup.simHashPairs(docs10, "doc_id", "text",
+            shingleN = 3, maxHamming = 3, portable = false).count()
+        }
+
       case "components" =>
         // Connected-components scale smoke: 1M edges over 500k nodes in
         // two shapes — near-dup-like (250k tiny cliques: diameter 1-2,
