@@ -135,6 +135,34 @@ object EventStreams {
       }
   }
 
+  final case class Milestone(user_id: Long, milestone_cents: Long)
+
+  /** Multi-output keyed state (flatMapGroupsWithState): emit one record
+    * per 10 000-cent spending milestone a user crosses, however many a
+    * batch crosses at once — the zero-or-many-outputs state-machine
+    * shape mapGroupsWithState (exactly-one-output) can't express.
+    * Events must be fed in event-time order per user for deterministic
+    * milestones (a sorted batch, or an upstream watermark+sort). */
+  def spendingMilestones(events: Dataset[Event]): Dataset[Milestone] = {
+    import events.sparkSession.implicits._
+    val step = 10000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Milestone](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Milestone]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val next = total + math.round(e.value * 100)
+            var m = total / step + 1
+            while (m * step <= next) { out += Milestone(uid, m * step); m += 1 }
+            total = next
+          }
+          state.update(total)
+          out.result().iterator
+      }
+  }
+
   /** Run a streaming query over `inputDir` into an in-memory table,
     * processing everything currently available, and return the result.
     * (Utility for tests/demos; production would use a durable sink.) */

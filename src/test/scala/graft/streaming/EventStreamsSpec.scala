@@ -124,4 +124,29 @@ class EventStreamsSpec extends SparkSpec {
       assert(totals(uid).total_cents == cents)
     }
   }
+
+  test("flatMapGroupsWithState emits each spending milestone exactly once") {
+    // values are non-negative, so per-user totals are monotone: every
+    // 10000-cent milestone <= the final total must be emitted exactly
+    // once, regardless of micro-batch boundaries or arrival order
+    val stream = EventStreams.readJsonStream(spark, jsonDir)
+      .as[EventStreams.Event]
+    val q = EventStreams.spendingMilestones(stream)
+      .writeStream.format("memory").queryName("milestones")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("milestones")
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed.size == streamed.toSet.size, "duplicate milestone emitted")
+    val expected = batchEvents.groupBy($"user_id")
+      .agg(sum(round($"value" * 100, 0).cast("long")).as("cents"))
+      .as[(Long, Long)].collect()
+      .flatMap { case (uid, cents) =>
+        (1L to cents / 10000L).map(m => (uid, m * 10000L))
+      }.toSet
+    assert(streamed.toSet == expected)
+    assert(expected.nonEmpty)
+  }
 }
