@@ -61,7 +61,8 @@ object UsnvcPipeline {
     val ctx = Preprocess(spark, dir)
     val rowJson = ctx.nvcsUnits.select(
       col("element_global_id"),
-      to_json(struct(ctx.nvcsUnits.columns.map(col): _*)).as("__row_json"))
+      to_json(struct(ctx.nvcsUnits.columns.toIndexedSeq.map(col): _*))
+        .as("__row_json"))
     val init = rowJson.select(
       col("element_global_id").cast("string").as("change_id"),
       lit("Initialize").as("change_name"),

@@ -106,6 +106,32 @@ class CurationSpec extends SparkSpec {
       (2L, 3L, 1L, "unique two")))
   }
 
+  test("chunk property: random docs — full coverage, exact windows, correct count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(30) { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }
+    for ((chunkTok, stride) <- Seq((8, 8), (8, 5), (16, 4))) {
+      val got = Curation.chunk(rows.toDF("doc_id", "text"), "doc_id", "text",
+          chunkTok, stride)
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      rows.foreach { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val expN = math.max(1,
+          math.ceil((toks.size - chunkTok).toDouble / stride).toInt + 1)
+        val exp = (0 until expN).map(i =>
+          toks.slice(i * stride, i * stride + chunkTok).mkString(" "))
+        assert(got(id) == exp, s"doc $id (${toks.size} toks, $chunkTok/$stride)")
+        // coverage: every token appears in at least one window
+        assert(toks.forall(t => got(id).exists(_.contains(t))))
+      }
+    }
+  }
+
   test("redactPii replaces emails/ips/phones and counts hits") {
     import spark.implicits._
     val d = docs(1L ->
