@@ -82,6 +82,28 @@ object DataMix {
     df.filter(hashBucket(col(idCol), seed).cast("double") <
       score * Buckets)
 
+  /** Temperature-flattened source mixture (α = 0.5): each source kept
+    * at rate sqrt(n_min / n_source), so kept counts ∝ sqrt(n_source ·
+    * n_min) — big sources are damped toward the smallest, the standard
+    * multilingual/multi-domain rebalancing. Expressed with ONLY
+    * correctly-rounded IEEE ops (one division, one sqrt — no
+    * cross-source sum whose accumulation order could differ between
+    * engines), so membership is bit-reproducible anywhere. Rates
+    * derive from a tiny per-source count frame, broadcast back. */
+  def temperatureFlatten(df: DataFrame, idCol: String, sourceCol: String,
+      seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(sourceCol),
+        sqrt(col("__n_min").cast("double") / col("__n").cast("double"))
+          .as("__rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashBucket(col(idCol), seed).cast("double") <
+        col("__rate") * Buckets)
+      .drop("__rate")
+  }
+
   /** Sequential token-budget packing (the standard LLM-prep layout:
     * concatenate documents in a deterministic order, cut a new pack
     * whenever the running total crosses the budget — a document is

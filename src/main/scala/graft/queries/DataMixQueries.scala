@@ -120,10 +120,32 @@ object DataMixQueries {
        |      < (${TextQueries.quality}) * 1000000
        |GROUP BY 1""".stripMargin
 
+  /** Temperature-flattened (α=0.5) source mixture: per-source keep rate
+    * sqrt(n_min/n_source); survivor stats with membership checksums.
+    * The rate uses only correctly-rounded IEEE ops, so the oracle's
+    * membership decisions are bit-identical. */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame =
+    DataMix.temperatureFlatten(Tables.documents(s, d), "doc_id", "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("id_checksum"))
+
+  val temperatureMixtureSql: String =
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |r AS (SELECT source,
+       |        sqrt((SELECT min(n) FROM c)::DOUBLE / n::DOUBLE) AS rate
+       |      FROM c)
+       |SELECT d.source, count(*) AS n_kept,
+       |  (sum(doc_id))::BIGINT AS id_checksum
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE (${sqlBucket("doc_id", 42L)})::DOUBLE < rate * 1000000
+       |GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q45_split_stats", splitStats, Some(splitStatsSql)),
     Q("q46_mixture_stats", mixtureStats, Some(mixtureStatsSql)),
     Q("q47_token_packing", tokenPacking, Some(tokenPackingSql)),
     Q("q66_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    Q("q77_weighted_sample", weightedSampleStats, Some(weightedSampleStatsSql)))
+    Q("q77_weighted_sample", weightedSampleStats, Some(weightedSampleStatsSql)),
+    Q("q78_temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)))
 }

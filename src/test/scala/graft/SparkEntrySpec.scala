@@ -12,8 +12,8 @@ class SparkEntrySpec extends AnyFunSuite {
       s"duplicates: ${names.diff(names.distinct)}")
   }
 
-  test("77 queries registered, all but q31 oracle-checked") {
-    assert(SparkEntry.queries.size == 77)
+  test("78 queries registered, all but q31 oracle-checked") {
+    assert(SparkEntry.queries.size == 78)
     val withoutOracle = SparkEntry.registered.filter(_.oracle.isEmpty).map(_.name)
     assert(withoutOracle == Seq("q31_media_features"))
   }
@@ -26,6 +26,6 @@ class SparkEntrySpec extends AnyFunSuite {
   test("query names follow the qNN_ naming scheme, numbered contiguously") {
     val nums = SparkEntry.registered.map(_.name)
       .map(n => n.split("_")(0).drop(1).toInt).sorted
-    assert(nums == (1 to 77))
+    assert(nums == (1 to 78))
   }
 }

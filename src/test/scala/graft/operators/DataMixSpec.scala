@@ -51,6 +51,22 @@ class DataMixSpec extends SparkSpec {
     }
   }
 
+  test("temperature flattening damps big sources toward the smallest") {
+    val df = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("id", "source")
+    val kept = DataMix.temperatureFlatten(df, "id", "source")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    // small source: rate 1.0 → all kept; big: rate sqrt(100/900) = 1/3
+    assert(kept("small") == 100)
+    assert(math.abs(kept("big") - 300L) < 60, s"big kept ${kept("big")}")
+    // deterministic under repartitioning
+    val again = DataMix.temperatureFlatten(df.repartition(7), "id", "source")
+      .select($"id").as[Long].collect().toSet
+    val first = DataMix.temperatureFlatten(df, "id", "source")
+      .select($"id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
   test("stratified sample: exactly k per stratum, partition-invariant, capped by stratum size") {
     val df = (1L to 100L).map(i => (i, if (i <= 80) "big" else "small"))
       .toDF("id", "stratum")
