@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` shape (event_id, ts,
@@ -161,6 +161,44 @@ object EventStreams {
           state.update(total)
           out.result().iterator
       }
+  }
+
+  /** [[runningUserTotals]] re-expressed on Spark 4's transformWithState
+    * — the successor arbitrary-state API: typed state handles
+    * (ValueState/ListState/MapState) with per-state TTL, timers, and
+    * schema evolution, backed by the RocksDB state store. Semantics
+    * here are identical to the mapGroupsWithState form (the spec pins
+    * the equivalence); the win at scale is incremental state
+    * checkpointing and TTL-bounded growth without hand-rolled timeout
+    * logic. Requires
+    * `spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider`.
+    */
+  class UserTotalsProcessor
+      extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserTotal(key, 0L, 0L)
+      val now = rows.foldLeft(prev) { (acc, e) =>
+        UserTotal(key, acc.n_events + 1,
+          acc.total_cents + math.round(e.value * 100))
+      }
+      totals.update(now)
+      Iterator.single(now)
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Run a streaming query over `inputDir` into an in-memory table,

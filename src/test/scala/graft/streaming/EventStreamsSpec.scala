@@ -125,6 +125,41 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState (RocksDB) matches mapGroupsWithState totals") {
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readJsonStream(spark, jsonDir)
+        .as[EventStreams.Event]
+      val q = EventStreams.runningUserTotalsTws(stream)
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // update mode appends one row per (user, batch); the final state
+      // per user is the row with the highest event count
+      val finals = spark.table("tws_totals")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      val expected = EventStreams.runningUserTotals(
+        batchEvents.as[EventStreams.Event])
+        .collect().map(t => t.user_id -> t).toMap
+      assert(finals.keySet == expected.keySet)
+      finals.foreach { case (u, (_, n, cents)) =>
+        assert(n == expected(u).n_events && cents == expected(u).total_cents,
+          s"user $u")
+      }
+    } finally prevProvider match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("flatMapGroupsWithState emits each spending milestone exactly once") {
     // values are non-negative, so per-user totals are monotone: every
     // 10000-cent milestone <= the final total must be emitted exactly
