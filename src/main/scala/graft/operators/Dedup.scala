@@ -288,6 +288,26 @@ object Dedup {
     jaccardOverPairs(sh, idCol, common, minJaccard)
   }
 
+  /** Incremental near-dup candidates: a NEW batch's banded signatures
+    * probed against a persisted banded index of the existing corpus —
+    * the build-once / probe-per-batch lifecycle that avoids re-scanning
+    * 100 TB for every daily increment. The index side is
+    * (id, band_idx, band_hash) rows from [[bandedSignatures]], written
+    * out once (partition by band_idx for pruning); each batch costs
+    * one keyed join of batch-bands against index-bands plus the
+    * verification of colliding pairs. Emits (new_id, indexed_id)
+    * candidates; verify with exact Jaccard over the batch's shingles
+    * as usual. */
+  def lshCandidatesAgainstIndex(
+      newBanded: DataFrame, indexBanded: DataFrame,
+      idCol: String): DataFrame =
+    newBanded.alias("n").join(indexBanded.alias("ix"),
+        col("n.band_idx") === col("ix.band_idx") &&
+          col("n.band_hash") === col("ix.band_hash"))
+      .select(col(s"n.$idCol").as("new_id"),
+        col(s"ix.$idCol").as("indexed_id"))
+      .distinct()
+
   /** SimHash signatures over distinct n-gram shingles: per-shingle 60/64
     * bit hash, ±1 votes per bit, sign → bit. One group-by; the per-bit
     * sums partial-aggregate map-side. nBits = 60 portable / 64 fast. */

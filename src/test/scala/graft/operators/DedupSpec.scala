@@ -105,4 +105,24 @@ class DedupSpec extends SparkSpec {
       assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
     }
   }
+
+  test("incremental LSH probe: new batch against a persisted index finds corpus dups") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_ix").toString
+    // "corpus" = docs 1-5; build + persist its banded index once
+    val sigs = Dedup.withMinHashSignature(docs, "id", "text")
+    Dedup.bandedSignatures(sigs, "id", bands = 16, rows = 4)
+      .write.mode("overwrite").partitionBy("band_idx").parquet(dir)
+    val index = spark.read.parquet(dir)
+    // new batch: one near-dup of doc 1, one novel doc
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "totally novel words appear in this fresh document")
+    ).toDF("id", "text")
+    val batchBanded = Dedup.bandedSignatures(
+      Dedup.withMinHashSignature(batch, "id", "text"), "id", 16, 4)
+    val cands = Dedup.lshCandidatesAgainstIndex(batchBanded, index, "id")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((100L, 1L)) && cands.contains((100L, 4L)))
+    assert(!cands.exists(_._1 == 101L))
+  }
 }
