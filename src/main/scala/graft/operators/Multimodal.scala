@@ -104,6 +104,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[withFeatures]] with FIXED-SIZE MICRO-BATCHING inside each
+    * partition — the GPU/accelerator inference shape: a model scores
+    * `batchSize` payloads per call (amortizing per-call overhead and
+    * filling device memory), rows stream through without materializing
+    * the partition. The batch function receives the raw byte payloads
+    * of one micro-batch and returns one feature array per payload,
+    * order-preserving; null payloads bypass the batch (null features).
+    * [[FakeCodec]] stands in for the model; the batching, ordering,
+    * and null contracts are the real thing. */
+  def withFeaturesBatched(df: DataFrame, binCol: String, dim: Int,
+      batchSize: Int,
+      featCol: String = "features"): DataFrame = {
+    require(batchSize > 0)
+    val schema = df.schema.add(featCol, ArrayType(FloatType), nullable = true)
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloads = batch.collect {
+          case r if !r.isNullAt(idx) => r.getAs[Array[Byte]](idx)
+        }
+        // one "model call" per micro-batch (here: FakeCodec per item)
+        val feats = payloads.map(FakeCodec.features(_, dim)).iterator
+        batch.map { r =>
+          val f = if (r.isNullAt(idx)) null else feats.next()
+          Row.fromSeq(r.toSeq :+ f)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame-sampling pass for "video" payloads: every-nth-frame offsets
     * as an exploded (id, frame_idx, byte_offset) frame table. */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,

@@ -39,6 +39,20 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L).toSeq != f(3L).toSeq)
   }
 
+  test("batched features equal per-row features for every batch size incl. nulls") {
+    val perRow = Multimodal.withFeatures(withNull, "payload", dim = 8)
+      .select($"id", $"features").as[(Long, Option[Array[Float]])]
+      .collect().map { case (i, f) => i -> f.map(_.toSeq) }.toMap
+    for (bs <- Seq(1, 2, 3, 100)) {
+      val batched = Multimodal.withFeaturesBatched(withNull, "payload",
+        dim = 8, batchSize = bs)
+        .select($"id", $"features").as[(Long, Option[Array[Float]])]
+        .collect().map { case (i, f) => i -> f.map(_.toSeq) }.toMap
+      assert(batched == perRow, s"batchSize=$bs")
+    }
+    assert(perRow(99L).isEmpty) // null payload → null features
+  }
+
   test("sampleFrames explodes every-nth-frame offsets, skips nulls") {
     val frames = Multimodal.sampleFrames(withNull, "id", "payload",
       frameCount = 24, everyN = 6)
