@@ -111,6 +111,17 @@ object ProfileScratch {
         }
         println(s"  labelled nodes: $c3 (propagation would need 200k rounds)")
 
+      case "query" =>
+        // Generic single-query profiler: warmup at sf0.001, then two
+        // timed noop-sink runs at $SPARK_GRAFT_SF_DIR.
+        val name = args(1)
+        val fn = SparkEntry.queries(name)
+        def run(dir: String): Unit =
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+        t(s"$name warmup sf0.001")(run("/root/testdata/sf0.001"))
+        t(s"$name @$d run1")(run(d))
+        t(s"$name @$d run2")(run(d))
+
       case "closure" =>
         // USNVC-shaped scale smoke: 100k units in 6 250 chains of depth
         // 16 (the reference taxonomy's max depth). Pins closure

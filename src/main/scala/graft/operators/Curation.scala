@@ -85,22 +85,42 @@ object Curation {
     */
   def splitContamination(split: DataFrame, idCol: String, textCol: String,
       splitCol: String, n: Int, maxDocFreq: Int): DataFrame = {
-    val sh = Dedup.shingles(split, idCol, textCol, n)
-      .join(split.select(col(idCol), col(splitCol).as("__split")), idCol)
+    // Shingle generation carries the split label through (no join back
+    // to the corpus) and dedups per-doc with scan-side array_distinct
+    // (no corpus-wide (doc, shingle) DISTINCT shuffle — round-3 rewrite,
+    // 8.7s → see NOTES). The df-count pass stays SEPARATE from the pair
+    // join on purpose: counting first is a skew-safe partial aggregate,
+    // whereas collecting doc lists per shingle before the cap filter
+    // would buffer a corpus-hot shingle's full posting list in one
+    // aggregation buffer.
+    val src = Dedup.widen(split, idCol)
+    val withToks = src.select(col(idCol), col(splitCol).as("__split"),
+      TextAnalysis.whitespaceTokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
+    val shArr = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    ).otherwise(array(concat_ws(" ", toks)))
+    val docSh = withToks
+      .select(col(idCol), col("__split"), explode(array_distinct(shArr)).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sh.groupBy(col("shingle"))
+    val rare = docSh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
       .select(col("shingle"))
-    val rareSh = sh.join(rare, "shingle")
+    val rareSh = docSh.join(rare, "shingle")
     val testSh = rareSh.filter(col("__split") === "test")
       .select(col(idCol).as("test_id"), col("shingle"))
     val trainSh = rareSh.filter(col("__split") === "train")
       .select(col(idCol).as("train_id"), col("shingle"))
+    // countDistinct would EXPAND the joined pairs 2x; pre-aggregating on
+    // (test, train) keeps both phases map-side-combinable.
     testSh.join(trainSh, "shingle")
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("__hits"))
       .groupBy(col("test_id"))
-      .agg(countDistinct(col("train_id")).as("n_train_docs"),
-        count(lit(1)).as("n_hits"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(col("__hits")).as("n_hits"))
   }
 
   /** Fixed-size sliding-window document chunking — the step that turns

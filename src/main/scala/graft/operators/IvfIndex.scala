@@ -65,7 +65,6 @@ object IvfIndex {
       .withColumn("__r", row_number().over(routeW))
       .filter(col("__r") <= nprobe)
       .select(col(queryIdCol), col("__qvec"), col("__qnorm"), col("__mc"))
-      .cache()
 
     // literal probe set -> parquet partition pruning on the vectors scan
     val probeClusters = probed.select(col("__mc")).distinct()
@@ -84,6 +83,11 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol).as("neighbor_id"),
         col("rank"), col("similarity"))
+    // `probed` is deliberately NOT cached: routing is |queries|×|medoids|
+    // broadcast work, so recomputing it once for the collect() and once
+    // for the join is cheaper than leaking one pinned frame per topK
+    // call in a long-lived session (IvfIndexSpec asserts zero persistent
+    // RDDs remain after queries complete).
     out
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` shape (event_id, ts,
@@ -199,6 +199,102 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[UserTotalsProcessor]] with TTL-BOUNDED state: a user idle longer
+    * than `ttl` has their running total evicted by the state store (no
+    * hand-rolled timeout bookkeeping), so the next event starts from
+    * zero. This is how unbounded-keyspace state (user ids, session ids,
+    * device ids) stays finite on a forever-running stream — eviction is
+    * the store's job, enforced at RocksDB compaction, not per-key code.
+    * TTL is wall-clock based, so it requires TimeMode.ProcessingTime. */
+  class TtlUserTotalsProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotal], TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserTotal(key, 0L, 0L)
+      val now = rows.foldLeft(prev) { (acc, e) =>
+        UserTotal(key, acc.n_events + 1,
+          acc.total_cents + math.round(e.value * 100))
+      }
+      totals.update(now) // update resets the entry's TTL clock
+      Iterator.single(now)
+    }
+  }
+
+  def runningUserTotalsTtl(events: Dataset[Event],
+      ttl: java.time.Duration): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlUserTotalsProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      total_cents: Long, closed_at_ms: Long)
+  final case class SessionAcc(n_events: Long, total_cents: Long,
+      last_ts_ms: Long)
+
+  /** Gap-session summaries via EVENT-TIME TIMERS: each input row extends
+    * the open session and re-arms the key's single timer at
+    * (last event time + gap); nothing is emitted until the WATERMARK
+    * passes that expiry, at which point [[handleExpiredTimer]] emits
+    * exactly ONE summary row and clears the key's state. This is the
+    * timer-driven-emission shape the built-in `session_window` can't
+    * express when closing needs custom logic (e.g. emit-once summaries,
+    * side effects, state machines) — and because timers key off the
+    * watermark, results are deterministic under replay, unlike
+    * processing-time timeouts. State per key = one struct + one timer,
+    * bounded by the active-session count, not stream length. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionSummary] {
+    @transient private var acc: ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SessionAcc]("acc",
+        org.apache.spark.sql.Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      val prev = if (acc.exists()) acc.get() else SessionAcc(0L, 0L, 0L)
+      val now = rows.foldLeft(prev) { (a, e) =>
+        SessionAcc(a.n_events + 1,
+          a.total_cents + math.round(e.value * 100),
+          math.max(a.last_ts_ms, e.ts.getTime))
+      }
+      // one timer per key: re-arm at the extended session's close time
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(now.last_ts_ms + gapMs)
+      acc.update(now)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      if (!acc.exists()) Iterator.empty
+      else {
+        val a = acc.get()
+        acc.clear()
+        Iterator.single(SessionSummary(key, a.n_events, a.total_cents,
+          expiredTimerInfo.getExpiryTimeInMs()))
+      }
+    }
+  }
+
+  /** `events` must carry a watermark on `ts` (event-time timers fire as
+    * the watermark advances past session close times). */
+  def timerSessions(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Run a streaming query over `inputDir` into an in-memory table,

@@ -12,10 +12,17 @@ class SparkEntrySpec extends AnyFunSuite {
       s"duplicates: ${names.diff(names.distinct)}")
   }
 
-  test("78 queries registered, all but q31 oracle-checked") {
+  /** Queries allowed to ship rows-only (no DuckDB oracle). Empty today:
+    * q31 got a FLOAT4-replayed oracle in round 3. Add a name here ONLY
+    * with a written justification — this guard exists so a future
+    * rows-only query can't slip in silently. */
+  private val rowsOnlyAllowlist: Set[String] = Set.empty
+
+  test("78 queries registered, every one oracle-checked unless allowlisted") {
     assert(SparkEntry.queries.size == 78)
     val withoutOracle = SparkEntry.registered.filter(_.oracle.isEmpty).map(_.name)
-    assert(withoutOracle == Seq("q31_media_features"))
+    assert(withoutOracle.toSet == rowsOnlyAllowlist,
+      s"rows-only queries not in allowlist: ${withoutOracle.toSet -- rowsOnlyAllowlist}")
   }
 
   test("oracle keys are exactly the oracle-bearing query names") {

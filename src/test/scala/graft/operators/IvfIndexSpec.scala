@@ -46,6 +46,20 @@ class IvfIndexSpec extends SparkSpec {
       s"expected a literal cluster partition filter in:\n$plan")
   }
 
+  test("topK leaves no cached frames behind (long-lived session safety)") {
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.filter(col("vec_id") < 20)
+    val idx = IvfIndex.load(spark, indexPath, "vec_id", "embedding", "label")
+    // delta-based: the test session is JVM-shared, so other suites'
+    // (legitimately) persisted frames may already be registered
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (1 to 3).foreach { _ =>
+      IvfIndex.topK(idx, queries, k = 5, nprobe = 2).count()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"topK leaked cached RDDs: $leaked")
+  }
+
   test("build precomputes norms so queries add no norm scan column") {
     val idx = IvfIndex.load(spark, indexPath, "vec_id", "embedding", "label")
     assert(idx.vectors.columns.contains("__norm"))
