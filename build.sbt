@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17's default posix_spawn launch intermittently fails under load
+  // in this sandbox ("Failed to exec spawn helper", helper TERMed) —
+  // and with no native-hadoop lib, Hadoop Shell forks chmod/rm for
+  // every local checkpoint op, so a flaky spawn path livelocks
+  // streaming state commits. Plain fork() needs no helper process.
+  "-Djdk.lang.Process.launchMechanism=FORK",
 )

@@ -23,16 +23,26 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try exec(fn, warmupDir) catch { case _: Throwable => () }
     }
+    // 3 timed runs per query, report the MEDIAN: r2→r3 showed 2-5×
+    // run-to-run swings on individual queries (warmup/ordering noise)
+    // that masked a real regression (q65); medians cut that band to
+    // where a 20% drift is signal. min/max ship alongside as "spread".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exec(fn, sfDir) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(fn, sfDir) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (name, times(1), times.head, times.last)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, lo, hi) =>
+      s"\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     println(json)
     // Also persist the whole JSON line to a file: the driver's stdout
     // capture head-truncates long lines, which cost round 2 its q01-q19

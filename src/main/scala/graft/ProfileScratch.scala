@@ -111,6 +111,32 @@ object ProfileScratch {
         }
         println(s"  labelled nodes: $c3 (propagation would need 200k rounds)")
 
+      case "quantiles" =>
+        // exact group percentiles: plain per-group sort vs the
+        // (value, frequency) pre-aggregation, on the two shapes that
+        // decide which to use — high duplication (distinct ≪ rows,
+        // rewrite wins) and near-unique (rewrite is overhead)
+        val n = 20000000L
+        def timeBoth(label: String, nDistinct: Long): Unit = {
+          val df = spark.range(0, n).select(
+            (col("id") % 5).cast("string").as("g"),
+            pmod(col("id") * 2654435761L, lit(nDistinct)).as("v"))
+            .persist()
+          df.count()
+          t(s"$label plain percentile (sort ${n} rows/group)") {
+            df.groupBy(col("g")).agg(count(lit(1)).as("n"),
+              percentile(col("v"), lit(0.5)).as("p50")).count()
+          }
+          t(s"$label freq percentile (sort distinct=${nDistinct})") {
+            df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("f"))
+              .groupBy(col("g")).agg(sum(col("f")).as("n"),
+                percentile(col("v"), lit(0.5), col("f")).as("p50")).count()
+          }
+          df.unpersist()
+        }
+        timeBoth("high-dup", 2000L)
+        timeBoth("near-unique", n / 2)
+
       case "query" =>
         // Generic single-query profiler: warmup at sf0.001, then two
         // timed noop-sink runs at $SPARK_GRAFT_SF_DIR.
@@ -121,6 +147,120 @@ object ProfileScratch {
         t(s"$name warmup sf0.001")(run("/root/testdata/sf0.001"))
         t(s"$name @$d run1")(run(d))
         t(s"$name @$d run2")(run(d))
+
+      case "usnvc1m" =>
+        // USNVC fidelity at 100×: a synthetic export with N units
+        // (depth-16 chains, descriptions with entity chains, a link
+        // table per unit) written as SHARDED TSVs — the layout a real
+        // large export lands in — then the full pipeline end-to-end.
+        // Pins: wall-time, docs==units+1, zero validation errors,
+        // broadcast dims staying broadcast, level-partitioned sink.
+        import graft.usnvc.UsnvcPipeline
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val root = java.nio.file.Files.createTempDirectory("usnvc_scale").toString
+        val levels = Seq("Class", "Subclass", "Formation", "Division",
+          "Macrogroup", "Group", "Alliance", "Association",
+          "Cultural Class", "Cultural Subclass", "Cultural Formation",
+          "Cultural Subformation", "Cultural Group", "Cultural Subgroup",
+          "Cultural Type", "Cultural Subtype")
+        def writeTsv(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+          df.write.option("sep", "\t").option("header", "true")
+            .option("encoding", "ISO-8859-1").option("escape", "\"")
+            .mode("overwrite").csv(s"$root/$name")
+        def writeSmall(name: String, rows: Seq[Seq[String]]): Unit =
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(root, name),
+            rows.map(_.mkString("\t")).mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+        t(s"generate $n-unit export") {
+          val base = spark.range(0, n).select(col("id").as("i"),
+            (col("id") + 2000000L).as("egid")).repartition(32)
+          val li = pmod(col("i"), lit(16))
+          writeTsv(base.select(
+            col("egid").cast("string").as("element_global_id"),
+            when(li === 0, lit(null).cast("string"))
+              .otherwise((col("egid") - 1).cast("string")).as("parent_id"),
+            (pmod(col("i"), lit(2)) + 1).cast("int").as("classif_confidence_id"),
+            concat(lit("DB"), col("egid")).as("databasecode"),
+            concat(lit("CC"), col("i")).as("classificationcode"),
+            concat(lit("Species "), col("egid")).as("scientificname"),
+            concat(lit("<i>Species "), col("egid"), lit("</i>"))
+              .as("formattedscientificname"),
+            when(pmod(col("i"), lit(7)) === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("Translated &amp; "), col("egid")))
+              .as("translatedname"),
+            when(pmod(col("i"), lit(10)) === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("Colloquial "), col("egid")))
+              .as("colloquialname"),
+            element_at(array(levels.map(lit): _*), (li + 1).cast("int"))
+              .as("hierarchylevel"),
+            (li + 1).cast("string").as("d_classification_level_id"),
+            col("i").cast("string").as("unitsort"),
+            lit("").as("parentkey"), lit("").as("parentname")), "unit.txt")
+          val blankDesc = Seq("rationale", "classificationcomments",
+            "othercomments", "similarnvctypescomments", "physiognomy",
+            "floristics", "dynamics", "environment", "spatialpattern",
+            "subnations", "omernikecoregions", "plotsummary", "plottypal",
+            "plotarchived", "plotconsistency", "plotsize", "plotmethods",
+            "confidencecomments", "grankreviewdate", "grankauthor",
+            "grankreasons", "lineage", "synonymy", "primaryconceptsource",
+            "descriptionauthor", "acknowledgements")
+          writeTsv(base.select(Seq(
+            col("egid").cast("string").as("element_global_id"),
+            concat(lit("Concept &amp;lt;sentence&amp;gt; "), col("egid"))
+              .as("typeconceptsentence"),
+            concat(lit("Concept &amp; "), col("egid")).as("typeconcept"),
+            lit("Has &lt;canopy&gt;").as("diagnosticcharacteristics"),
+            lit("US, CA?").as("nations"),
+            lit("42").as("tncecoregions"),
+            lit("7").as("federallands"),
+            lit("12").as("plotcount"),
+            lit("G5").as("grank"),
+            lit("2018-03-01").as("versiondate"),
+            concat(lit("Range "), col("egid")).as("range")) ++
+            blankDesc.map(c => lit("").as(c)): _*), "unitDescription.txt")
+          writeTsv(base.select(
+            col("egid").cast("string").as("element_global_id"),
+            lit("r1").as("reference_id")), "UnitXReference.txt")
+          writeTsv(base.filter(li === 7).select(
+            col("egid").cast("string").as("element_global_id"),
+            lit("10").as("subnation_id"),
+            lit("1").as("d_curr_presence_absence_id"),
+            lit("1").as("d_dist_confidence_id")), "UnitXSubnation.txt")
+          writeSmall("d_classif_confidence.txt", Seq(
+            Seq("D_CLASSIF_CONFIDENCE_ID", "CLASSIF_CONFIDENCE_DESC",
+              "DISPLAY_ORDER", "STATUS"),
+            Seq("1", "High", "1", "Y"), Seq("2", "Moderate", "2", "Y")))
+          writeSmall("d_curr_presence_absence.txt", Seq(
+            Seq("D_CURR_PRESENCE_ABSENCE_ID", "CURR_PRESENCE_ABSENCE_DESC",
+              "CURR_PRESENCE_ABSENCE_CD"),
+            Seq("1", "Present", "P")))
+          writeSmall("d_dist_confidence.txt", Seq(
+            Seq("D_DIST_CONFIDENCE_ID", "DIST_CONFIDENCE_CD",
+              "DIST_CONFIDENCE_DESC"),
+            Seq("1", "C", "Confident")))
+          writeSmall("d_subnation.txt", Seq(
+            Seq("subnation_id", "iso_nation_cd", "subnation_code",
+              "subnation_name"),
+            Seq("10", "US", "MA", "Massachusetts")))
+          writeSmall("reference.txt", Seq(
+            Seq("reference_id", "shortcitation", "fullcitation"),
+            Seq("r1", "Smith 1990", "Smith, J. 1990. Forests.")))
+        }
+        val outDir = s"$root/__out"
+        t(s"UsnvcPipeline.run $n units end-to-end") {
+          UsnvcPipeline.run(spark, root, outDir)
+        }
+        val docs = spark.read.text(s"$outDir/docs").count()
+        val errs = try spark.read.json(s"$outDir/errors").count()
+          catch { case _: Throwable => 0L }
+        println(s"  docs written: $docs (expect ${n + 1}), errors: $errs")
+        val plan = UsnvcPipeline.docsJson(spark, root)
+          .queryExecution.executedPlan.toString()
+        println(s"  broadcast dim joins: ${"BroadcastHashJoin".r.findAllIn(plan).size}")
+        val levelsOnDisk = new java.io.File(s"$outDir/docs").listFiles()
+          .count(_.getName.startsWith("level="))
+        println(s"  level partitions in sink: $levelsOnDisk")
 
       case "closure" =>
         // USNVC-shaped scale smoke: 100k units in 6 250 chains of depth

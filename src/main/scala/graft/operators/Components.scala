@@ -69,12 +69,19 @@ object Components {
       // means no label moved anywhere
       converged = nextSig == prevSig
       prevSig = nextSig
+      // next is materialized (eager checkpoint): the previous round's
+      // blocks are dead — free them now (GC-driven cleanup never fires
+      // in practice, see Lifecycle), bounding peak storage at 2 frames
+      Lifecycle.releaseLocalCheckpoint(labels)
       labels = next
       iter += 1
     }
+    // final labels leave as a scratch table; every interim block frees
+    val out = Lifecycle.materializeToScratch(labels)
+    Lifecycle.releaseLocalCheckpoint(labels)
     sym.unpersist()
     e.unpersist()
-    labels
+    out
   }
 
   /** [[connectedComponents]] for ADVERSARIAL diameters: alternating
@@ -132,19 +139,26 @@ object Components {
     var stable = false
     var sig = signature(e)
     while (!stable && iter < maxIter) {
-      e = star(star(e, large = true), large = false).localCheckpoint()
-      val s = signature(e)
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val s = signature(next)
       stable = s == sig
       sig = s
+      // next is materialized — the previous round's blocks are dead
+      Lifecycle.releaseLocalCheckpoint(e)
+      e = next
       iter += 1
     }
     val labels = e.groupBy(col("u"))
       .agg(least(min(col("v")), first(col("u"))).as("component"))
       .select(col("u").as("node"), col("component"))
     // detached nodes (already the center or absorbed) label as themselves
-    nodes.join(labels, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("component"), col("node")).as("component"))
+    val out = Lifecycle.materializeToScratch(
+      nodes.join(labels, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("component"), col("node")).as("component")))
+    Lifecycle.releaseLocalCheckpoint(e)
+    Lifecycle.releaseLocalCheckpoint(nodes)
+    out
   }
 
   /** Order-insensitive edge-set digest for fixpoint detection (one

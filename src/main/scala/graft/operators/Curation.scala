@@ -115,12 +115,15 @@ object Curation {
       .select(col(idCol).as("train_id"), col("shingle"))
     // countDistinct would EXPAND the joined pairs 2x; pre-aggregating on
     // (test, train) keeps both phases map-side-combinable.
-    testSh.join(trainSh, "shingle")
+    val out = testSh.join(trainSh, "shingle")
       .groupBy(col("test_id"), col("train_id"))
       .agg(count(lit(1)).as("__hits"))
       .groupBy(col("test_id"))
       .agg(count(lit(1)).as("n_train_docs"),
         sum(col("__hits")).as("n_hits"))
+    // EAGER (see [[Lifecycle]]): the report materializes now and the
+    // pinned (doc, shingle) frame unpins before return.
+    Lifecycle.materializeThenRelease(out, docSh)
   }
 
   /** Fixed-size sliding-window document chunking — the step that turns

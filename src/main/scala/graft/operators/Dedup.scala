@@ -94,10 +94,25 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double,
       maxDocFreq: Option[Int] = None): DataFrame = {
+    // EAGER: runs the pair job now, then frees the pinned shingle /
+    // candidate frames (see [[Lifecycle]] — the lazy-return-plus-
+    // internal-persist combination leaks pinned corpus-sized frames
+    // in long-lived sessions). The returned pairs are materialized,
+    // lineage-free, GC-bounded.
+    val (out, pinned) =
+      ngramJaccardPairsLazy(df, idCol, textCol, n, minJaccard, maxDocFreq)
+    Lifecycle.materializeThenRelease(out, pinned: _*)
+  }
+
+  /** The un-materialized plan + the frames it pins (plan-shape tests
+    * inspect this; production callers use [[ngramJaccardPairs]]). */
+  private[graft] def ngramJaccardPairsLazy(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double,
+      maxDocFreq: Option[Int]): (DataFrame, Seq[DataFrame]) = {
     // the shingle relation feeds both join sides and the size counts;
     // column-pruned variants don't canonicalize to one exchange, so
-    // without persist() Spark scans+reshingles the corpus 3x (ctx
-    // cleaner unpersists when the plan is GC'd)
+    // without persist() Spark scans+reshingles the corpus 3x
     val sh = shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     maxDocFreq match {
@@ -108,7 +123,7 @@ object Dedup {
               col(s"a.$idCol") < col(s"b.$idCol"))
           .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
           .agg(count(lit(1)).as("common"))
-        jaccardOverPairs(sh, idCol, common, minJaccard)
+        (jaccardOverPairs(sh, idCol, common, minJaccard), Seq(sh))
       case Some(maxDf) =>
         // Capped path. Candidates = pairs sharing >=1 rare shingle;
         // their common count over the FULL sets splits into
@@ -150,13 +165,14 @@ object Dedup {
             Seq("id_b", "shingle"))
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("common_freq"))
-        prelim.join(commonFreq, Seq("id_a", "id_b"), "left")
+        val out = prelim.join(commonFreq, Seq("id_a", "id_b"), "left")
           .withColumn("common",
             col("common_rare") + coalesce(col("common_freq"), lit(0L)))
           .withColumn("jaccard", col("common").cast("double") /
             (col("n_a") + col("n_b") - col("common")))
           .filter(col("jaccard") >= minJaccard)
           .select(col("id_a"), col("id_b"), col("jaccard"))
+        (out, Seq(sh, prelim))
     }
   }
 
@@ -275,7 +291,9 @@ object Dedup {
       seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // one persisted shingle pass feeds signatures, the verify join
-    // (both sides), and the size counts — otherwise 5 full re-scans
+    // (both sides), and the size counts — otherwise 5 full re-scans.
+    // EAGER (see [[Lifecycle]]): pairs materialize now, the shingle
+    // frame unpins before return.
     val sh = shingles(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minHashSignaturesFromShingles(sh, idCol, numHashes, seed, portable)
@@ -285,7 +303,8 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
-    jaccardOverPairs(sh, idCol, common, minJaccard)
+    Lifecycle.materializeThenRelease(
+      jaccardOverPairs(sh, idCol, common, minJaccard), sh)
   }
 
   /** Incremental near-dup candidates: a NEW batch's banded signatures
@@ -338,6 +357,8 @@ object Dedup {
     val nBits = if (portable) 60 else 64
     val bandBits = nBits / 4
     val mask = (1L << bandBits) - 1
+    // EAGER (see [[Lifecycle]]): the signature frame feeds both sides
+    // of the banded self-join; pairs materialize now, signatures unpin.
     val sigs = simHashSignatures(df, idCol, textCol, shingleN, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col(idCol), col("simhash"),
@@ -345,7 +366,7 @@ object Dedup {
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-    banded.alias("x").join(banded.alias("y"),
+    val out = banded.alias("x").join(banded.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -353,5 +374,6 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    Lifecycle.materializeThenRelease(out, sigs)
   }
 }

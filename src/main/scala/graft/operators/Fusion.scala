@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Doc-level multimodal fusion: the composition the individual
+  * operators exist for — image-text pair deduplication where candidate
+  * pairs come from EITHER modality's blocking (text MinHash+LSH bands ∪
+  * image embedding LSH buckets) and survive a fused verification score
+  * over both modalities (exact text Jaccard + image cosine).
+  *
+  * A text-only near-dup pass misses pairs whose prose was rewritten
+  * around the same image; an image-only pass misses pairs with the same
+  * caption over re-encoded images. The union of blocked candidate sets
+  * catches both, and the fused score keeps a pair only when the
+  * modalities agree enough in aggregate.
+  *
+  * Image embeddings come from [[Multimodal.withFeatures]] (stub codec —
+  * md5-derived, so the whole pipeline replays bit-exactly in the
+  * oracle; swap the codec for a real model without touching the
+  * dataflow).
+  *
+  * Scale: both candidate generators are blocked (banding / bucket
+  * equi-joins — keyed shuffles, quadratic only within blocks);
+  * verification touches candidates only, never the pair space. The
+  * per-doc signal tables (embedding+bucket+norm, banded signatures)
+  * materialize once as scratch tables — at 100 TB these are the
+  * enriched-metadata tables a multimodal pipeline persists anyway.
+  * Storage lifecycle per [[Lifecycle]]: nothing stays pinned.
+  */
+object Fusion {
+
+  /** @param minFused keep pairs with (jaccard + cosine)/2 ≥ this.
+    * @return (id_a, id_b, jaccard, cosine, fused), materialized.
+    */
+  def imageTextNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String, binCol: String,
+      dim: Int, shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      nBits: Int = 8, minFused: Double = 0.6, seed: Long = 42L,
+      planeSeed: Long = 7L, portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.VectorFunctions.register(df.sparkSession)
+
+    // per-doc image signals: embedding + hyperplane LSH bucket + norm
+    val signals = Lifecycle.materializeToScratch(
+      Multimodal.withFeatures(df.select(col(idCol), col(binCol)), binCol, dim)
+        .select(col(idCol), col("features"),
+          Similarity.hyperplaneBucket(col("features"), dim, nBits, planeSeed)
+            .as("ibucket"),
+          Similarity.norm(col("features")).as("inorm")))
+
+    // text-modality candidates: scan-side MinHash signatures → banding
+    val banded = Lifecycle.materializeToScratch(
+      Dedup.bandedSignatures(
+        Dedup.withMinHashSignature(df, idCol, textCol, shingleN,
+          numHashes, seed, portable),
+        idCol, bands, numHashes / bands, portable))
+    val textCand = banded.alias("x").join(banded.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+
+    // image-modality candidates: same-bucket self-join
+    val imgCand = signals.alias("x").join(signals.alias("y"),
+        col("x.ibucket") === col("y.ibucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+
+    // union of modality candidate sets, then verified once per pair
+    val cand = Lifecycle.materializeToScratch(
+      textCand.union(imgCand).distinct())
+
+    // exact text Jaccard over full shingle sets, candidates only; a
+    // banded-only pair sharing zero shingles scores jaccard 0
+    val sh = Dedup.shingles(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val c = coalesce(col("common"), lit(0L))
+    val out = cand
+      .join(common, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        c.cast("double") / (col("n_a") + col("n_b") - c))
+      .join(signals.select(col(idCol).as("id_a"),
+        col("features").as("__fa"), col("inorm").as("__na")), "id_a")
+      .join(signals.select(col(idCol).as("id_b"),
+        col("features").as("__fb"), col("inorm").as("__nb")), "id_b")
+      .withColumn("cosine",
+        round(Similarity.dot(col("__fa"), col("__fb")) /
+          (col("__na") * col("__nb")), 6))
+      .withColumn("fused", round((col("jaccard") + col("cosine")) / 2, 6))
+      .filter(col("fused") >= minFused)
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("cosine"),
+        col("fused"))
+    Lifecycle.materializeThenRelease(out, sh)
+  }
+}

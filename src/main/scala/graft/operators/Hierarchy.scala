@@ -35,11 +35,14 @@ object Hierarchy {
     // accumulated union-of-joins plan grows O(depth²) and the driver
     // chokes on plan analysis long before data size matters. (On a real
     // cluster with a checkpoint dir, `checkpoint()` gives the same
-    // truncation with executor-failure tolerance.)
+    // truncation with executor-failure tolerance.) The closure leaves
+    // as a scratch table and every frontier's blocks free on exit —
+    // checkpoint blocks are never GC-reclaimed in practice (Lifecycle).
     var frontier = edges0.filter(col("parent").isNotNull)
       .select(col("id"), col("parent").as("ancestor"), lit(1).as("depth"))
       .localCheckpoint()
     var acc = frontier
+    val rounds = scala.collection.mutable.ListBuffer(frontier)
     var depth = 1
     var continue = frontier.limit(1).count() > 0
     while (continue && depth < maxDepth) {
@@ -49,10 +52,13 @@ object Hierarchy {
         .select(col("f.id"), col("e.parent").as("ancestor"),
           (col("f.depth") + 1).as("depth"))
         .localCheckpoint()
+      rounds += next
       continue = next.limit(1).count() > 0
       if (continue) { acc = acc.union(next); frontier = next; depth += 1 }
     }
-    acc
+    val out = Lifecycle.materializeToScratch(acc)
+    rounds.foreach(Lifecycle.releaseLocalCheckpoint)
+    out
   }
 
   /** Engine-native alternative: Spark 4 recursive CTE. Same output as

@@ -93,10 +93,15 @@ object CurationQueries {
       .select(col("doc_id"))
     val d1 = docs.join(keepIds, Seq("doc_id"), "left_semi")
     // the filtered corpus feeds three consumers (pair generation, the
-    // anti-join, the final aggregate) — persist or the dedup join +
-    // quality scan re-run per consumer
-    val d2 = d1.filter(TA.qualityScore(col("text")) >= 0.6)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // anti-join, the final aggregate) — without materialization the
+    // dedup join + quality scan re-run per consumer. Scratch-table
+    // materialization (not persist): the round-3 persist here pinned
+    // the frame in the CacheManager for the session lifetime, leaking
+    // across bench runs ("Asked to cache already cached data") and
+    // making q65 timings cache-state-dependent. At 100 TB this IS the
+    // curated intermediate table a real pipeline writes between stages.
+    val d2 = graft.operators.Lifecycle.materializeToScratch(
+      d1.filter(TA.qualityScore(col("text")) >= 0.6))
     val pairs = Dedup.ngramJaccardPairs(d2, "doc_id", "text",
       n = 3, minJaccard = 0.5, maxDocFreq = Some(DedupQueries.NgramMaxDocFreq))
     val d3 = Components.dropNearDuplicates(d2, "doc_id", pairs)

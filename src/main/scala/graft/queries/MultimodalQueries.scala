@@ -76,8 +76,97 @@ object MultimodalQueries {
        |FROM documents""".stripMargin
   }
 
+  /** Doc-level multimodal FUSION (the composition the pieces exist
+    * for): image-text pair dedup where candidates come from either
+    * modality's blocking (text MinHash bands ∪ image LSH buckets) and
+    * pairs survive a fused Jaccard+cosine score. The oracle replays
+    * EVERYTHING: the FLOAT4 stub-codec embedding, the literal
+    * hyperplane projections, the md5-portable MinHash banding, exact
+    * shingle Jaccard, and the fused-score arithmetic. */
+  def multimodalFusion(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        encode(col("text"), "UTF-8").as("payload"))
+    graft.operators.Fusion.imageTextNearDupPairs(withPayload,
+      "doc_id", "text", "payload", dim = 16, shingleN = 3,
+      numHashes = 16, bands = 4, nBits = 8, minFused = 0.6,
+      seed = 42L, planeSeed = 7L, portable = true)
+  }
+
+  val multimodalFusionSql: String = {
+    import graft.operators.{Dedup, Similarity}
+    val P = Dedup.MersennePrime31
+    // FLOAT4 stub-codec features (q31 replay), kept as FLOAT4 columns;
+    // every consumer widens with ::DOUBLE exactly like the JVM
+    val featCols = (0 until 16).map { j =>
+      val k = (j * 7 + 3) % 16
+      s"((('0x'||substr(md5(text),${k * 2 + 1},2))::INT::FLOAT4 / 255::FLOAT4) * 2::FLOAT4 - 1::FLOAT4) AS f$j"
+    }.mkString(",\n  ")
+    // hyperplane projections: strict left-to-right Σ f_j * plane_ij in
+    // double — the VectorDot fold order
+    val planes = Similarity.hyperplanes(dim = 16, nBits = 8, seed = 7L)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val proj = (0 until 16).map(j => s"f$j::DOUBLE * (${p(j)})").mkString(" + ")
+      s"(CASE WHEN ($proj) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    val normExpr = (0 until 16).map(j => s"f$j::DOUBLE * f$j::DOUBLE")
+      .mkString("sqrt(", " + ", ")")
+    val dotExpr = (0 until 16).map(j => s"fa.f$j::DOUBLE * fb.f$j::DOUBLE")
+      .mkString(" + ")
+    // portable MinHash(16) + 4×4 banding (q20 replay at 16 hashes)
+    val mins = Dedup.hashParams(16, 42L).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h*$a + $b) % $P) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { b =>
+      val comps = (0 until 4).map(r => s"mh_${b * 4 + r}").mkString(",")
+      s"SELECT doc_id, $b AS band_idx, md5(array_to_string([$comps], ',')) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${DedupQueries.shingleCtes(3)},
+       |f AS (SELECT doc_id,
+       |  $featCols
+       |  FROM documents),
+       |b AS (SELECT doc_id, $bucketExpr AS ibucket, $normExpr AS inorm FROM f),
+       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
+       |      FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |tc AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |       FROM bands x JOIN bands y
+       |         ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       |        AND x.doc_id < y.doc_id),
+       |ic AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |       FROM b x JOIN b y
+       |         ON x.ibucket = y.ibucket AND x.doc_id < y.doc_id),
+       |cand AS (SELECT id_a, id_b FROM tc UNION SELECT id_a, id_b FROM ic),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (SELECT id_a, id_b, count(*) AS common
+       |           FROM cand
+       |           JOIN sh a ON a.doc_id = id_a
+       |           JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
+       |           GROUP BY 1, 2),
+       |v AS (SELECT c.id_a, c.id_b,
+       |        coalesce(cm.common, 0)::DOUBLE
+       |          / (sa.n_sh + sb.n_sh - coalesce(cm.common, 0)) AS jaccard,
+       |        round(($dotExpr) / (na.inorm * nb.inorm), 6) AS cosine
+       |      FROM cand c
+       |      LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+       |      JOIN sizes sa ON sa.doc_id = c.id_a
+       |      JOIN sizes sb ON sb.doc_id = c.id_b
+       |      JOIN f fa ON fa.doc_id = c.id_a
+       |      JOIN f fb ON fb.doc_id = c.id_b
+       |      JOIN b na ON na.doc_id = c.id_a
+       |      JOIN b nb ON nb.doc_id = c.id_b)
+       |SELECT id_a, id_b, jaccard, cosine,
+       |  round((jaccard + cosine) / 2, 6) AS fused
+       |FROM v WHERE round((jaccard + cosine) / 2, 6) >= 0.6""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q29_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q30_frame_sample", frameSample, Some(frameSampleSql)),
-    Q("q31_media_features", mediaFeatures, Some(mediaFeaturesSql)))
+    Q("q31_media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    Q("q79_multimodal_fusion", multimodalFusion, Some(multimodalFusionSql)))
 }

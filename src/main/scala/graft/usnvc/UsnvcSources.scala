@@ -17,10 +17,13 @@ object UsnvcSources {
 
   /** Recursive `*.txt` discovery: file name → absolute path. Later
     * occurrences win, matching `os.walk` overwrite semantics
-    * (`usnvc.py:101-104`). */
+    * (`usnvc.py:101-104`). A DIRECTORY named `*.txt` is yielded as one
+    * table (its shard files scan in parallel) — the multi-part layout a
+    * real-scale export lands in; `spark.read.csv` takes either form. */
   def discover(path: String): Map[String, String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      if (f.isDirectory && !f.getName.endsWith(".txt"))
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     walk(new java.io.File(path))
       .filter(_.getName.endsWith(".txt"))

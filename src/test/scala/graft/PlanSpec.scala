@@ -95,8 +95,15 @@ class PlanSpec extends SparkSpec {
     // the capped path's final joins are the small prelim-pair frames;
     // sort-merge joining two full shingle relations on id columns was
     // the measured 59M-row hot spot. The shingle self-join on `shingle`
-    // is expected; no CartesianProduct anywhere.
-    val p = plan("q19_ngram_jaccard")
+    // is expected; no CartesianProduct anywhere. Inspect the LAZY plan:
+    // the public operator eagerly materializes (Lifecycle), so its
+    // returned plan is just a checkpoint scan.
+    val docs = Tables.documents(spark, d)
+    val (lazyPairs, pinned) = graft.operators.Dedup.ngramJaccardPairsLazy(
+      docs, "doc_id", "text", n = 3, minJaccard = 0.5,
+      maxDocFreq = Some(queries.DedupQueries.NgramMaxDocFreq))
+    val p = lazyPairs.queryExecution.explainString(FormattedMode)
+    pinned.foreach(_.unpersist(false))
     assert(!p.contains("CartesianProduct"))
   }
 }

@@ -18,6 +18,13 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4.1's checkpoint-file checksumming deadlocks under load:
+      // RocksDB upload tasks park forever in
+      // ChecksumCancellableFSDataOutputStream.close awaiting checksum
+      // futures (observed hanging StateTtlTimerSpec for 30+ min in a
+      // long suite run). Corruption detection adds nothing on local
+      // tmpfs checkpoints — off for tests.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.VectorFunctions.register(s)

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Long-lived-session safety for every operator that materializes
+  * intermediates (dedup/curation pair generators, iterative closure /
+  * components): after the call returns, ZERO new entries may remain in
+  * `sc.getPersistentRDDs` — internals are either unpersisted
+  * explicitly or left as scratch tables on disk, never pinned in
+  * executor storage. The round-3 q65 regression was exactly this
+  * class of leak (persisted shingle frames surviving across bench
+  * runs, making timings cache-state-dependent); GC-driven
+  * ContextCleaner cleanup cannot be relied on (measured: dropped
+  * checkpoint RDDs survive repeated full GCs — see Lifecycle).
+  */
+class PersistLifecycleSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def assertReleasesAll(op: => Unit): Unit = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    op
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"operator left pinned storage behind: " +
+        leaked.map(id => s"$id=${sc.getPersistentRDDs(id).name}"))
+  }
+
+  private def docs = Tables.documents(spark, d)
+
+  test("ngramJaccardPairs (capped) releases shingle + candidate frames") {
+    assertReleasesAll {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = Some(50)).count()
+    }
+  }
+
+  test("ngramJaccardPairs (exact) releases the shingle frame") {
+    assertReleasesAll {
+      Dedup.ngramJaccardPairs(docs.limit(100), "doc_id", "text",
+        n = 3, minJaccard = 0.5).count()
+    }
+  }
+
+  test("minHashPairs releases the shingle frame") {
+    assertReleasesAll {
+      Dedup.minHashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5).count()
+    }
+  }
+
+  test("simHashPairs releases the signature frame") {
+    assertReleasesAll {
+      Dedup.simHashPairs(docs, "doc_id", "text",
+        shingleN = 3, maxHamming = 3).count()
+    }
+  }
+
+  test("splitContamination releases the (doc, shingle) frame") {
+    assertReleasesAll {
+      val split = DataMix.trainTestSplit(docs, "doc_id", 0.2)
+      Curation.splitContamination(split, "doc_id", "text", "split",
+        n = 5, maxDocFreq = 50).count()
+    }
+  }
+
+  test("connectedComponents releases edge + every round's label frame") {
+    assertReleasesAll {
+      val edges = spark.range(0, 3000).select(
+        col("id").as("a"), (col("id") % 700).as("b"))
+      Components.connectedComponents(edges, "a", "b").count()
+    }
+  }
+
+  test("connectedComponentsStar releases node + every round's edge frame") {
+    assertReleasesAll {
+      val chain = spark.range(1, 2000)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      Components.connectedComponentsStar(chain, "a", "b").count()
+    }
+  }
+
+  test("ancestorClosure releases every frontier") {
+    assertReleasesAll {
+      val nodes = spark.range(1, 5000).select(col("id"),
+        when(col("id") <= 250, lit(null).cast("long"))
+          .otherwise(col("id") - 250).as("parent"))
+      Hierarchy.ancestorClosure(nodes, "id", "parent", maxDepth = 32).count()
+    }
+  }
+
+  test("q65 curate-corpus composition leaves nothing pinned") {
+    // the flagship composed pipeline: exact dedup -> quality gate ->
+    // near-dup components -> split, all internally materialized
+    assertReleasesAll {
+      graft.queries.CurationQueries.curateCorpus(spark, d).count()
+    }
+  }
+
+  test("repeated minHashPairs calls do not accrete pinned storage") {
+    // the per-batch service shape: N calls, zero monotone growth
+    assertReleasesAll {
+      (1 to 3).foreach { _ =>
+        Dedup.minHashPairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5).count()
+      }
+    }
+  }
+}

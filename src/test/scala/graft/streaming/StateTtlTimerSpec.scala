@@ -84,43 +84,79 @@ class StateTtlTimerSpec extends SparkSpec {
   test("TTL state: idle key restarts from zero, in-TTL key keeps its total") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
+      // Phased queries against a shared checkpoint instead of a
+      // long-lived ProcessingTime(0) query: a ProcessingTime-mode
+      // transformWithState query NEVER quiesces — TTL needs periodic
+      // evaluation, so `shouldRunAnotherBatch` is permanently true and
+      // both processAllAvailable and AvailableNow termination livelock
+      // (observed: suite hung here 30+ min). Each phase emits through
+      // foreachBatch (the one sink that supports checkpoint recovery),
+      // polls for its expected emission, and force-stops; the wall
+      // clock advances between phases, which is what TTL keys off.
+      def phase(in: MemoryStream[EventStreams.Event],
+          got: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)],
+          ttl: java.time.Duration, ckpt: String, expectRows: Int): Unit = {
+        // rows surface DURING the batch, but the offset commit lands
+        // AFTER foreachBatch returns — stop() before the commit file
+        // exists and the next phase would replay the batch. Wait for
+        // both the rows and a NEW entry in the commit log.
+        def commits(): Int = {
+          val d = new java.io.File(s"$ckpt/commits")
+          if (!d.exists()) 0
+          else d.listFiles().count(f => f.getName.forall(_.isDigit))
+        }
+        val commitsBefore = commits()
+        val q = EventStreams.runningUserTotalsTtl(in.toDS(), ttl)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[EventStreams.UserTotal],
+                _: Long) =>
+              batch.collect().foreach(u =>
+                got.add((u.user_id, u.n_events, u.total_cents)))
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          val deadline = System.currentTimeMillis() + 120000
+          while ((got.size < expectRows || commits() <= commitsBefore) &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(100)
+          assert(got.size >= expectRows, s"phase never emitted $expectRows rows")
+          assert(commits() > commitsBefore, "phase never committed its batch")
+        } finally q.stop()
+      }
+      def newBuf() =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+      import scala.jdk.CollectionConverters._
+      val ckS = java.nio.file.Files.createTempDirectory("ttl_s").toString
+      val ckL = java.nio.file.Files.createTempDirectory("ttl_l").toString
       // short-TTL stream: user idle > 2s loses the running total
       val inShort = MemoryStream[EventStreams.Event]
-      val short = EventStreams.runningUserTotalsTtl(
-        inShort.toDS(), java.time.Duration.ofSeconds(2))
-      val qs = short.writeStream.format("memory").queryName("ttl_short")
-        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
       // long-TTL control: same feed pattern, TTL 1h -> total survives
       val inLong = MemoryStream[EventStreams.Event]
-      val long = EventStreams.runningUserTotalsTtl(
-        inLong.toDS(), java.time.Duration.ofHours(1))
-      val ql = long.writeStream.format("memory").queryName("ttl_long")
-        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
-      try {
-        inShort.addData(ev(1, "2026-01-01 10:00:00", 7, 1.0),
-          ev(2, "2026-01-01 10:00:01", 7, 2.0))
-        qs.processAllAvailable()
-        inLong.addData(ev(1, "2026-01-01 10:00:00", 7, 1.0),
-          ev(2, "2026-01-01 10:00:01", 7, 2.0))
-        ql.processAllAvailable()
 
-        Thread.sleep(3500) // > short TTL, << long TTL
+      val s1 = newBuf(); val l1 = newBuf()
+      inShort.addData(ev(1, "2026-01-01 10:00:00", 7, 1.0),
+        ev(2, "2026-01-01 10:00:01", 7, 2.0))
+      phase(inShort, s1, java.time.Duration.ofSeconds(2), ckS, 1)
+      inLong.addData(ev(1, "2026-01-01 10:00:00", 7, 1.0),
+        ev(2, "2026-01-01 10:00:01", 7, 2.0))
+      phase(inLong, l1, java.time.Duration.ofHours(1), ckL, 1)
+      assert(s1.asScala.toSet == Set((7L, 2L, 300L)))
+      assert(l1.asScala.toSet == Set((7L, 2L, 300L)))
 
-        inShort.addData(ev(3, "2026-01-01 10:00:02", 7, 1.0))
-        qs.processAllAvailable()
-        inLong.addData(ev(3, "2026-01-01 10:00:02", 7, 1.0))
-        ql.processAllAvailable()
+      Thread.sleep(3500) // > short TTL, << long TTL
 
-        val shortRows = spark.table("ttl_short")
-          .as[(Long, Long, Long)].collect().toSet
-        val longRows = spark.table("ttl_long")
-          .as[(Long, Long, Long)].collect().toSet
-        // batch 1 emitted (7, 2, 300) on both; after the idle gap the
-        // short-TTL state was evicted -> restart (7, 1, 100), while the
-        // long-TTL control accumulated -> (7, 3, 400)
-        assert(shortRows == Set((7L, 2L, 300L), (7L, 1L, 100L)))
-        assert(longRows == Set((7L, 2L, 300L), (7L, 3L, 400L)))
-      } finally { qs.stop(); ql.stop() }
+      val s2 = newBuf(); val l2 = newBuf()
+      inShort.addData(ev(3, "2026-01-01 10:00:02", 7, 1.0))
+      phase(inShort, s2, java.time.Duration.ofSeconds(2), ckS, 1)
+      inLong.addData(ev(3, "2026-01-01 10:00:02", 7, 1.0))
+      phase(inLong, l2, java.time.Duration.ofHours(1), ckL, 1)
+      // after the idle gap the short-TTL state was evicted -> restart
+      // (7, 1, 100), while the long-TTL control accumulated -> (7, 3, 400)
+      assert(s2.asScala.toSet == Set((7L, 1L, 100L)))
+      assert(l2.asScala.toSet == Set((7L, 3L, 400L)))
     }
   }
 }
