@@ -27,10 +27,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // JDK 17's default posix_spawn launch intermittently fails under load
-  // in this sandbox ("Failed to exec spawn helper", helper TERMed) —
-  // and with no native-hadoop lib, Hadoop Shell forks chmod/rm for
-  // every local checkpoint op, so a flaky spawn path livelocks
-  // streaming state commits. Plain fork() needs no helper process.
-  "-Djdk.lang.Process.launchMechanism=FORK",
 )
+// JDK 17's default posix_spawn launch intermittently fails under the
+// LOADED TEST JVM in this sandbox ("Failed to exec spawn helper",
+// helper TERMed) — and with no native-hadoop lib, Hadoop Shell forks
+// chmod/rm per local-FS commit op, so a flaky spawn path livelocks
+// streaming state commits. Plain fork() needs no helper process, but
+// each fork copies the full heap's page tables: measured ~8 s of pure
+// fork overhead PER parquet-writing query in the run JVM. So: FORK
+// only where the flakiness was observed (tests); the run/bench JVM
+// keeps the fast posix_spawn default (overridable via GRAFT_LAUNCH_MECH).
+Test / javaOptions += "-Djdk.lang.Process.launchMechanism=FORK"
+run / javaOptions +=
+  s"-Djdk.lang.Process.launchMechanism=${sys.env.getOrElse("GRAFT_LAUNCH_MECH", "POSIX_SPAWN")}"
