@@ -246,6 +246,62 @@ object ProfileScratch {
           writeSmall("reference.txt", Seq(
             Seq("reference_id", "shortcitation", "fullcitation"),
             Seq("r1", "Smith 1990", "Smith, J. 1990. Forests.")))
+          // ecoregion links: every 3rd unit in 1994, every 5th in 2007
+          writeTsv(base.filter(pmod(col("i"), lit(3)) === 0).select(
+            col("egid").cast("string").as("element_global_id"),
+            lit("500").as("usfs_ecoregion_id"),
+            lit("1").as("d_occurrence_status_id")), "UnitXEcoregionUsfs1994.txt")
+          writeTsv(base.filter(pmod(col("i"), lit(5)) === 0).select(
+            col("egid").cast("string").as("element_global_id"),
+            lit("700").as("usfs_ecoregion_2007_id"),
+            lit("1").as("d_occurrence_status_id")), "UnitXEcoregionUsfs2007.txt")
+          // similar-unit links point at the chain neighbor
+          writeTsv(base.filter(li === 7).select(
+            col("egid").cast("string").as("element_global_id"),
+            (col("egid") - 1).cast("string").as("simglobal_id"),
+            lit("Similar &amp; related").as("simnote"),
+            concat(lit("G"), col("i")).as("simelcode"),
+            concat(lit("Similar "), col("egid")).as("simname"),
+            lit("Standard").as("simusstatus"),
+            lit("6").as("simlevelid")), "UnitXSimilarUnit.txt")
+          writeTsv(base.filter(pmod(col("i"), lit(11)) === 0).select(
+            col("egid").cast("string").as("element_global_id"),
+            (col("egid") + n).cast("string").as("predecessor_id"),
+            concat(lit("OLD"), col("i")).as("predecessorcode"),
+            concat(lit("Old Assoc "), col("i")).as("predecessorname"),
+            concat(lit("Acer old "), col("i")).as("predecessorsciname"),
+            lit("Old Swamp").as("predecessorcolloquialname"),
+            lit("2000-01-01").as("lineagedate"),
+            lit("split").as("lineagenote"),
+            lit("Panel").as("lineageauthorizedby")), "unitPredecessor.txt")
+          writeTsv(base.filter(pmod(col("i"), lit(13)) === 0).select(
+            col("egid").cast("string").as("element_global_id"),
+            concat(lit("Old Name "), col("i")).as("obsoletename"),
+            lit("renamed").as("obsoletenote"),
+            lit("2001-01-01").as("obsoletedate"),
+            lit("Panel").as("obsoleteauthority")), "unitObsoleteName.txt")
+          writeTsv(base.filter(pmod(col("i"), lit(17)) === 0).select(
+            col("egid").cast("string").as("element_global_id"),
+            concat(lit("X"), col("i")).as("obsoleteparentcode"),
+            lit("Old Div").as("obsoletedivision"),
+            lit("Old Parent").as("obsoleteparentname"),
+            lit("moved").as("obsoletenote"),
+            lit("2002-02-02").as("obsoletedate"),
+            lit("Panel").as("obsoleteauthority")), "unitObsoleteParent.txt")
+          writeSmall("d_occurrence_status.txt", Seq(
+            Seq("D_OCCURRENCE_STATUS_ID", "OCCURRENCE_STATUS_CD",
+              "OCCURRENCE_STATUS_DESC"),
+            Seq("1", "C", "Confirmed")))
+          writeSmall("d_usfs_ecoregion1994.txt", Seq(
+            Seq("USFS_ECOREGION_ID", "PARENT_USFS_ECOREGION_ID",
+              "D_USFS_ECOREGION_LEVEL_ID", "USFS_ECOREGION_NAME",
+              "USFS_ECOREGION_CLASS_CD", "USFS_ECOREGION_CONCAT_CD"),
+            Seq("500", "", "1", "Adirondack", "M212", "M212")))
+          writeSmall("d_usfs_ecoregion2007.txt", Seq(
+            Seq("usfs_ecoregion_2007_id", "parent_usfs_ecoregion_2007_id",
+              "d_usfs_ecoregion_level_id", "usfs_ecoregion_2007_name",
+              "usfs_ecoregion_2007_concat_cd"),
+            Seq("700", "", "1", "Northeastern Mixed", "211")))
         }
         val outDir = s"$root/__out"
         t(s"UsnvcPipeline.run $n units end-to-end") {

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Components, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Near-duplicate detection coverage on `documents` (SURVEY north-star:
   * n-gram Jaccard, MinHash+LSH, SimHash). The oracle SQL replays the
@@ -173,9 +173,71 @@ object DedupQueries {
        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
        |FROM reach GROUP BY s""".stripMargin
 
+  /** Incremental (ingestion-order) MinHash+LSH dedup: docs arrive in 4
+    * batches (doc_id % 4), each batch dedups against itself (smaller-id
+    * wins) and against the admitted-so-far signature index — the
+    * steady-state shape of corpus dedup ([[StreamingDedup]]; the
+    * streaming ingester shares this exact per-batch step, pinned by
+    * StreamingDedupSpec). Returns the admitted (doc_id, ingest_batch).
+    * 16 hashes × 4 bands so collisions actually occur at corpus scale. */
+  def incrementalDedupQ(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingDedup.incrementalDedup(
+      Tables.documents(s, d), "doc_id", "text",
+      pmod(col("doc_id"), lit(4)).cast("int"), nBatches = 4,
+      shingleN = 3, numHashes = 16, bands = 4, seed = 42L,
+      portable = true)
+
+  val incrementalDedupSql: String = {
+    val params = Dedup.hashParams(16, 42L)
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h*$a + $b) % $P) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { b =>
+      val comps = (0 until 4).map(r => s"mh_${b * 4 + r}").mkString(",")
+      s"SELECT doc_id, $b AS band_idx, md5(array_to_string([$comps], ',')) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    // novelty unrolls across the 4 batches: novel_k = batch-k docs with
+    // no same-batch smaller-id collision (w) and no collision with any
+    // earlier batch's NOVEL docs — the index only ever holds admitted
+    // signatures, exactly like StreamingDedup.processBatch.
+    val novelCtes = (0 until 4).map { k =>
+      val cross = if (k == 0) "" else {
+        val prev = (0 until k).map(j => s"SELECT doc_id FROM novel$j")
+          .mkString(" UNION ALL ")
+        s"""
+           |  AND NOT EXISTS (SELECT 1 FROM bands x JOIN bands y
+           |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+           |    WHERE x.doc_id = bt.doc_id AND y.doc_id IN ($prev))""".stripMargin
+      }
+      s"""novel$k AS (SELECT doc_id FROM bt WHERE b = $k
+         |  AND NOT EXISTS (SELECT 1 FROM w WHERE w.doc_id = bt.doc_id)$cross)""".stripMargin
+    }.mkString(",\n")
+    val admitted = (0 until 4).map(k => s"SELECT doc_id FROM novel$k")
+      .mkString(" UNION ALL ")
+    s"""WITH ${shingleCtes(3)},
+       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
+       |      FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |bt AS (SELECT doc_id, (doc_id % 4)::INT AS b FROM documents),
+       |w AS (SELECT DISTINCT y.doc_id
+       |      FROM bands x JOIN bands y
+       |        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       |       AND x.doc_id < y.doc_id
+       |      JOIN bt bx ON bx.doc_id = x.doc_id
+       |      JOIN bt byy ON byy.doc_id = y.doc_id AND byy.b = bx.b),
+       |$novelCtes
+       |SELECT doc_id, b AS ingest_batch FROM bt
+       |WHERE doc_id IN ($admitted)""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q19_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q20_minhash_lsh", minHashLsh, Some(minHashLshSql)),
     Q("q21_simhash", simHash, Some(simHashSql)),
-    Q("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql)))
+    Q("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("q80_incremental_dedup", incrementalDedupQ, Some(incrementalDedupSql)))
 }

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental-dedup invariants: the streaming ingester and the batch
+  * fold share one per-batch step, so their admitted sets must be
+  * IDENTICAL when the micro-batches line up with the fold's batch
+  * assignment; recovery replays must be idempotent (partition
+  * overwrite, index filtered to committed batches); and nothing may
+  * stay pinned (the operators are Lifecycle-eager). */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** 4 batches keyed doc_id % 4. Within-corpus duplicates: text is
+    * identical for ids in the same dup group, so they collide on ALL
+    * bands; distinct texts share no shingles. Groups span batches to
+    * exercise the index path, and batch 2 holds a within-batch pair. */
+  private def mkDocs: Seq[(Long, String)] = {
+    def t(tag: Long) = (0 until 12).map(i => s"w${tag}x$i").mkString(" ")
+    Seq(
+      0L -> t(100), 4L -> t(100), 9L -> t(100), // group A: batches 0,0-dup,1-dup... (0,4)->b0, 9->b1
+      1L -> t(200), 7L -> t(200),               // group B: b1 keeps 1? 1->b1, 7->b3 dup
+      2L -> t(300), 6L -> t(300),               // group C: within-batch pair in b2 (2,6)
+      3L -> t(400), 5L -> t(401), 8L -> t(402), // singletons
+      10L -> t(403), 11L -> t(404))
+  }
+
+  /** One file per fold batch; distinct mtimes pin the file-source pickup
+    * order so micro-batch k == fold batch k. */
+  private def writeBatchFiles(dir: String, ks: Range = 0 until 4): Unit =
+    ks.foreach { k =>
+      val rows = mkDocs.filter(_._1 % 4 == k)
+        .map { case (id, tx) => s"""{"doc_id":$id,"text":"$tx"}""" }
+      val p = java.nio.file.Paths.get(dir, f"batch$k%02d.json")
+      java.nio.file.Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+      p.toFile.setLastModified(1600000000000L + k * 60000L)
+    }
+
+  private def foldResult: Set[(Long, Int)] = {
+    val docs = mkDocs.toDF("doc_id", "text")
+    StreamingDedup.incrementalDedup(docs, "doc_id", "text",
+      pmod(col("doc_id"), lit(4)).cast("int"), nBatches = 4)
+      .as[(Long, Int)].collect().toSet
+  }
+
+  test("batch fold admits first-seen docs only (hand-checked corpus)") {
+    val got = foldResult
+    // group A: 0 admitted (b0), 4 dup-within-b0, 9 dup-vs-index (b1)
+    // group B: 1 admitted (b1), 7 dup-vs-index (b3)
+    // group C: 2 admitted (b2), 6 dup-within-b2
+    // singletons all admitted
+    val expect = Set(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 5L -> 1,
+      8L -> 0, 10L -> 2, 11L -> 3)
+    assert(got == expect)
+  }
+
+  test("streaming ingester equals the batch fold, one file per micro-batch") {
+    val in = java.nio.file.Files.createTempDirectory("sdedup_in").toString
+    val out = java.nio.file.Files.createTempDirectory("sdedup_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("sdedup_ix").toString
+    val cp = java.nio.file.Files.createTempDirectory("sdedup_cp").toString
+    writeBatchFiles(in)
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    StreamingDedup.start(stream, "doc_id", "text", ix, out, cp)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == foldResult)
+    // the index holds exactly the admitted docs' bands, no duplicates
+    val ixIds = spark.read.parquet(ix).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(ixIds == foldResult.map(_._1))
+  }
+
+  test("restart continues batch ids and replays idempotently") {
+    val in = java.nio.file.Files.createTempDirectory("sdedup2_in").toString
+    val out = java.nio.file.Files.createTempDirectory("sdedup2_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("sdedup2_ix").toString
+    val cp = java.nio.file.Files.createTempDirectory("sdedup2_cp").toString
+    // phase 1: only batches 0 and 1 exist
+    writeBatchFiles(in, 0 until 2)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      StreamingDedup.start(stream, "doc_id", "text", ix, out, cp)
+        .awaitTermination()
+    }
+    run()
+    val phase1 = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(phase1 == Set(0L, 1L, 5L, 8L))
+    // phase 2: the remaining files land; restart from the checkpoint
+    writeBatchFiles(in, 2 until 4)
+    run()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == foldResult)
+    // a third run with nothing new must change nothing (idempotent)
+    run()
+    val again = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(again == got)
+  }
+
+  test("fold leaves zero persistent RDDs") {
+    foldResult
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).toList.toString)
+  }
+}
