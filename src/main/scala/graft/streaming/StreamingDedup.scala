@@ -126,11 +126,13 @@ object StreamingDedup {
       val (novel, novelBanded) = processBatch(
         withB.filter(col("ingest_batch") === k), index, idCol, textCol,
         shingleN, numHashes, bands, seed, portable)
-      val out = Lifecycle.materializeToScratch(
-        novel.select(col(idCol), col("ingest_batch")))
+      // only the SIGNATURES feed later batches — materialize those for
+      // the index; the per-batch novel outputs stay lazy (they are
+      // cheap joins over already-scratch-materialized bandings) and
+      // evaluate once in the final union
       val nb = Lifecycle.materializeToScratch(novelBanded)
       index = Some(index.map(_.union(nb)).getOrElse(nb))
-      out
+      novel.select(col(idCol), col("ingest_batch"))
     }.reduce(_ union _)
   }
 }
