@@ -164,9 +164,92 @@ object MultimodalQueries {
        |FROM v WHERE round((jaccard + cosine) / 2, 6) >= 0.6""".stripMargin
   }
 
+  /** Ingestion-order multimodal dedup: q80's incremental fold with
+    * q79's fused blocking — docs arrive in 4 batches (doc_id % 4) and
+    * a doc is admitted only if NEITHER its text MinHash bands NOR its
+    * image hyperplane bucket collide with a same-batch smaller id or
+    * an earlier-batch admitted doc ([[graft.streaming.StreamingDedup
+    * .fusedBlocks]]). The steady-state shape of multimodal corpus
+    * ingestion. */
+  def fusedIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        encode(col("text"), "UTF-8").as("payload"))
+    graft.streaming.StreamingDedup.incrementalDedupBlocked(
+      withPayload, "doc_id",
+      pmod(col("doc_id"), lit(4)).cast("int"), nBatches = 4,
+      graft.streaming.StreamingDedup.fusedBlocks("doc_id", "text",
+        "payload", dim = 16, shingleN = 3, numHashes = 16, bands = 4,
+        nBits = 16, seed = 42L, planeSeed = 7L, portable = true))
+  }
+
+  val fusedIncrementalDedupSql: String = {
+    import graft.operators.{Dedup, Similarity}
+    val P = Dedup.MersennePrime31
+    val featCols = (0 until 16).map { j =>
+      val k = (j * 7 + 3) % 16
+      s"((('0x'||substr(md5(text),${k * 2 + 1},2))::INT::FLOAT4 / 255::FLOAT4) * 2::FLOAT4 - 1::FLOAT4) AS f$j"
+    }.mkString(",\n  ")
+    val planes = Similarity.hyperplanes(dim = 16, nBits = 16, seed = 7L)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val proj = (0 until 16).map(j => s"f$j::DOUBLE * (${p(j)})").mkString(" + ")
+      s"(CASE WHEN ($proj) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    val mins = Dedup.hashParams(16, 42L).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h*$a + $b) % $P) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { b =>
+      val comps = (0 until 4).map(r => s"mh_${b * 4 + r}").mkString(",")
+      s"SELECT doc_id, $b AS band_idx, md5(array_to_string([$comps], ',')) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    // same novelty unrolling as q80, over the fused block-key relation
+    val novelCtes = (0 until 4).map { k =>
+      val cross = if (k == 0) "" else {
+        val prev = (0 until k).map(j => s"SELECT doc_id FROM novel$j")
+          .mkString(" UNION ALL ")
+        s"""
+           |  AND NOT EXISTS (SELECT 1 FROM blocks x JOIN blocks y
+           |    ON x.bk = y.bk
+           |    WHERE x.doc_id = bt.doc_id AND y.doc_id IN ($prev))""".stripMargin
+      }
+      s"""novel$k AS (SELECT doc_id FROM bt WHERE b = $k
+         |  AND NOT EXISTS (SELECT 1 FROM w WHERE w.doc_id = bt.doc_id)$cross)""".stripMargin
+    }.mkString(",\n")
+    val admitted = (0 until 4).map(k => s"SELECT doc_id FROM novel$k")
+      .mkString(" UNION ALL ")
+    s"""WITH ${DedupQueries.shingleCtes(3)},
+       |f AS (SELECT doc_id,
+       |  $featCols
+       |  FROM documents),
+       |ib AS (SELECT doc_id, $bucketExpr AS ibucket FROM f),
+       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
+       |      FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |blocks AS (SELECT doc_id,
+       |             't:'||band_idx::VARCHAR||':'||band_hash AS bk
+       |           FROM bands
+       |           UNION ALL
+       |           SELECT doc_id, 'i:'||ibucket::VARCHAR FROM ib),
+       |bt AS (SELECT doc_id, (doc_id % 4)::INT AS b FROM documents),
+       |w AS (SELECT DISTINCT y.doc_id
+       |      FROM blocks x JOIN blocks y
+       |        ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |      JOIN bt bx ON bx.doc_id = x.doc_id
+       |      JOIN bt byy ON byy.doc_id = y.doc_id AND byy.b = bx.b),
+       |$novelCtes
+       |SELECT doc_id, b AS ingest_batch FROM bt
+       |WHERE doc_id IN ($admitted)""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q29_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q30_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q31_media_features", mediaFeatures, Some(mediaFeaturesSql)),
-    Q("q79_multimodal_fusion", multimodalFusion, Some(multimodalFusionSql)))
+    Q("q79_multimodal_fusion", multimodalFusion, Some(multimodalFusionSql)),
+    Q("q81_fused_incremental_dedup", fusedIncrementalDedup,
+      Some(fusedIncrementalDedupSql)))
 }

@@ -118,4 +118,56 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       spark.sparkContext.getPersistentRDDs.values.map(_.name).toList.toString)
   }
+
+  /** (id, text, payload): 20/21 share payload bytes with different
+    * prose (image-side dup); 22/23 share prose with different payloads
+    * (text-side dup); 24 is unique in both modalities. */
+  private def mkFusedDocs = {
+    def t(tag: Long) = (0 until 12).map(i => s"w${tag}x$i").mkString(" ")
+    Seq(
+      (20L, t(500), "IMG_A"), (21L, t(501), "IMG_A"),
+      (22L, t(502), "IMG_B"), (23L, t(502), "IMG_C"),
+      (24L, t(503), "IMG_D"))
+  }
+
+  private def fusedBlockFn: DataFrame => DataFrame = df =>
+    StreamingDedup.fusedBlocks("doc_id", "text", "payload_bin",
+      dim = 16)(df.withColumn("payload_bin",
+        encode(col("payload"), "UTF-8")))
+
+  test("fused blocking drops either-modality duplicates in the fold") {
+    val docs = mkFusedDocs.toDF("doc_id", "text", "payload")
+    val got = StreamingDedup.incrementalDedupBlocked(docs, "doc_id",
+      pmod(col("doc_id"), lit(2)).cast("int"), nBatches = 2,
+      fusedBlockFn)
+      .as[(Long, Int)].collect().toSet
+    // batch 0 = {20, 22, 24}, batch 1 = {21, 23}; 21 collides on the
+    // image bucket vs admitted 20, 23 on text bands vs admitted 22
+    assert(got == Set(20L -> 0, 22L -> 0, 24L -> 0))
+  }
+
+  test("fused streaming ingester equals the fused fold") {
+    val in = java.nio.file.Files.createTempDirectory("sfused_in").toString
+    val out = java.nio.file.Files.createTempDirectory("sfused_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("sfused_ix").toString
+    val cp = java.nio.file.Files.createTempDirectory("sfused_cp").toString
+    (0 until 2).foreach { k =>
+      val rows = mkFusedDocs.filter(_._1 % 2 == k)
+        .map { case (id, tx, pl) =>
+          s"""{"doc_id":$id,"text":"$tx","payload":"$pl"}""" }
+      val p = java.nio.file.Paths.get(in, f"batch$k%02d.json")
+      java.nio.file.Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+      p.toFile.setLastModified(1600000000000L + k * 60000L)
+    }
+    val schema = StructType(docSchema.fields :+
+      StructField("payload", StringType))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    StreamingDedup.start(stream, "doc_id", fusedBlockFn, ix, out, cp)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set(20L -> 0, 22L -> 0, 24L -> 0))
+  }
 }
