@@ -102,6 +102,8 @@ object Curation {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     ).otherwise(array(concat_ws(" ", toks)))
     val docSh = withToks
+      // null-text docs contribute no shingles (Dedup.shingles NULL rule)
+      .filter(toks.isNotNull)
       .select(col(idCol), col("__split"), explode(array_distinct(shArr)).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = docSh.groupBy(col("shingle"))

@@ -57,7 +57,13 @@ object Dedup {
     val sh = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    ).otherwise(array(concat_ws(" ", toks)))
+    ).otherwise(array(when(toks.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws(" ", toks))))
+    // null-text docs carry a NULL shingle: they survive per-doc counts
+    // but can never equi-join, so they participate in no near-dup
+    // relation — matching the SQL-oracle semantics where NULL never
+    // matches NULL (concat_ws alone would silently turn them into ""
+    // and pair them with genuinely-empty docs). Pinned by NullTextSpec.
     withToks.select(col(idCol), explode(sh).as("shingle")).distinct()
   }
 
@@ -236,6 +242,10 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     ).otherwise(array(concat_ws(" ", toks)))
     val withH = withToks
+      // null-text docs have no shingles, hence no signature and no LSH
+      // blocks — they can never near-dup-match anything (NullTextSpec;
+      // mirrors [[shingles]]' NULL-shingle rule)
+      .filter(col("__toks").isNotNull)
       .withColumn("__sh", array_distinct(sh0))
       .withColumn("__h", transform(col("__sh"),
         s => pmod(stringHash(s, portable), lit(MersennePrime31))))

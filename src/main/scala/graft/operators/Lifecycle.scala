@@ -91,4 +91,33 @@ private[graft] object Lifecycle {
           .asInstanceOf[org.apache.spark.rdd.RDD[_]]
           .unpersist(blocking = false)
     }
+
+  /** Deletes the scratch tables behind `dfs`' plans (file scans whose
+    * root lives under [[scratchRoot]]; scans elsewhere are untouched).
+    * The DISK side of the lifecycle contract: eager operators return
+    * scans over scratch parquet, which otherwise lives until JVM exit
+    * (local default) or forever (caller-owned `graft.scratch.dir`) — a
+    * long-lived service calls this once a result is consumed, exactly
+    * as it would unpersist a cached frame. The frame is unusable
+    * afterwards. */
+  def release(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      val root = Paths.get(scratchRoot(df.sparkSession))
+        .toAbsolutePath.normalize
+      df.queryExecution.analyzed.foreach { p =>
+        if (p.getClass.getSimpleName == "LogicalRelation") {
+          val rel = p.getClass.getMethod("relation").invoke(p)
+          if (rel.getClass.getSimpleName == "HadoopFsRelation") {
+            val loc = rel.getClass.getMethod("location").invoke(rel)
+            loc.getClass.getMethod("rootPaths").invoke(loc)
+              .asInstanceOf[Seq[org.apache.hadoop.fs.Path]]
+              .foreach { hp =>
+                val local = Paths.get(hp.toUri.getPath)
+                  .toAbsolutePath.normalize
+                if (local.startsWith(root)) deleteRecursively(local)
+              }
+          }
+        }
+      }
+    }
 }

@@ -108,4 +108,44 @@ class PersistLifecycleSpec extends SparkSpec {
       }
     }
   }
+
+  test("Lifecycle.release deletes the scratch tables behind a result") {
+    // the DISK side of the contract: a long-lived service frees a
+    // consumed result's scratch files the way it unpersists a cache
+    val m = Lifecycle.materializeToScratch(
+      spark.range(100).toDF("id"))
+    def backingDirs(df: org.apache.spark.sql.DataFrame): Seq[java.io.File] = {
+      val root = java.nio.file.Paths.get(
+        Lifecycle.scratchRoot(spark)).toAbsolutePath.normalize
+      var out = List.empty[java.io.File]
+      df.queryExecution.analyzed.foreach { p =>
+        if (p.getClass.getSimpleName == "LogicalRelation") {
+          val rel = p.getClass.getMethod("relation").invoke(p)
+          val loc = rel.getClass.getMethod("location").invoke(rel)
+          loc.getClass.getMethod("rootPaths").invoke(loc)
+            .asInstanceOf[Seq[org.apache.hadoop.fs.Path]]
+            .foreach { hp =>
+              val f = new java.io.File(hp.toUri.getPath)
+              if (f.toPath.toAbsolutePath.normalize.startsWith(root))
+                out ::= f
+            }
+        }
+      }
+      out
+    }
+    val dirs = backingDirs(m)
+    assert(dirs.nonEmpty && dirs.forall(_.exists()))
+    assert(m.count() == 100)
+    Lifecycle.release(m)
+    assert(dirs.forall(!_.exists()))
+    // an eager operator's result releases the same way, and scans
+    // OUTSIDE the scratch root are never touched
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+    val pDirs = backingDirs(pairs)
+    assert(pDirs.nonEmpty)
+    Lifecycle.release(pairs, docs)
+    assert(pDirs.forall(!_.exists()))
+    assert(docs.count() > 0) // source table unaffected
+  }
 }
