@@ -66,10 +66,38 @@ object BrokerSource {
     * (identical schema to [[EventStreams.readJsonStream]]). Works on
     * batch and streaming frames alike. */
   def jsonEvents(records: DataFrame): DataFrame =
+    decodeJson(records, EventStreams.eventSchema)
+
+  /** Generic fake broker over ANY JSON-lines table shape: records keyed
+    * and partitioned by `keyField` (the way a producer keyed on it
+    * would land them), offset = `offsetField`. Lets any entity stream —
+    * documents into [[StreamingDedup]], CDC rows into
+    * [[CdcTable]] — ride the verbatim broker record schema, so the
+    * real-Kafka swap stays one source line for those pipelines too. */
+  def readFakeBrokerStreamJson(spark: SparkSession, dir: String,
+      schema: StructType, keyField: String, offsetField: String,
+      topic: String = "records", nPartitions: Int = 4,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val lines = spark.readStream.options(options).text(dir)
+    val e = from_json(col("value"), schema)
+    lines.select(
+      encode(e.getField(keyField).cast("string"), "UTF-8").as("key"),
+      encode(col("value"), "UTF-8").as("value"),
+      lit(topic).as("topic"),
+      pmod(e.getField(keyField).cast("long"), lit(nPartitions))
+        .cast("int").as("partition"),
+      e.getField(offsetField).cast("long").as("offset"),
+      lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+        .as("timestamp"),
+      lit(0).as("timestampType"))
+  }
+
+  /** Generic consumer decode: broker records → the typed frame the
+    * producer serialized. Batch and streaming alike. */
+  def decodeJson(records: DataFrame, schema: StructType): DataFrame =
     records
-      .select(from_json(col("value").cast("string"),
-        EventStreams.eventSchema).as("e"))
-      .select(col("e.*"))
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .select(col("r.*"))
 
   /** [[EventStreams.runToMemory]] over the broker adapter: same
     * transform surface, broker-shaped source. */

@@ -170,4 +170,35 @@ class StreamingDedupSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet
     assert(got == Set(20L -> 0, 22L -> 0, 24L -> 0))
   }
+
+  test("fused dedup over the broker-shaped source equals the fold") {
+    // the full ingestion composition: broker records -> decode ->
+    // fused multimodal dedup -> admitted corpus + index
+    val in = java.nio.file.Files.createTempDirectory("sbk_in").toString
+    val out = java.nio.file.Files.createTempDirectory("sbk_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("sbk_ix").toString
+    val cp = java.nio.file.Files.createTempDirectory("sbk_cp").toString
+    (0 until 2).foreach { k =>
+      val rows = mkFusedDocs.filter(_._1 % 2 == k)
+        .map { case (id, tx, pl) =>
+          s"""{"doc_id":$id,"text":"$tx","payload":"$pl"}""" }
+      val p = java.nio.file.Paths.get(in, f"batch$k%02d.json")
+      java.nio.file.Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+      p.toFile.setLastModified(1600000000000L + k * 60000L)
+    }
+    val schema = StructType(docSchema.fields :+
+      StructField("payload", StringType))
+    val records = BrokerSource.readFakeBrokerStreamJson(spark, in,
+      schema, keyField = "doc_id", offsetField = "doc_id",
+      options = Map("maxFilesPerTrigger" -> "1"))
+    assert(records.schema.map(f => (f.name, f.dataType)) ==
+      BrokerSource.recordSchema.map(f => (f.name, f.dataType)))
+    val docs = BrokerSource.decodeJson(records, schema)
+    StreamingDedup.start(docs, "doc_id", fusedBlockFn, ix, out, cp)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set(20L -> 0, 22L -> 0, 24L -> 0))
+  }
 }
