@@ -19,15 +19,23 @@ object Bench {
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
+    // Optional subset (comma-separated names): perf experiments that
+    // need the full-suite harness shape but only some queries — e.g.
+    // isolating whether a query's in-suite cost comes from a
+    // predecessor's storage still draining (the r4→r5 q20 question).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val warmupDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try exec(fn, warmupDir) catch { case _: Throwable => () }
     }
     // 3 timed runs per query, report the MEDIAN: r2→r3 showed 2-5×
     // run-to-run swings on individual queries (warmup/ordering noise)
     // that masked a real regression (q65); medians cut that band to
     // where a 20% drift is signal. min/max ship alongside as "spread".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try exec(fn, sfDir) catch { case _: Throwable => () }
@@ -47,7 +55,9 @@ object Bench {
     // Also persist the whole JSON line to a file: the driver's stdout
     // capture head-truncates long lines, which cost round 2 its q01-q19
     // numbers; a file survives whole.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    val outFile =
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LOCAL.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }

@@ -345,6 +345,12 @@ object Dedup {
       shingleN: Int = 3, portable: Boolean = false): DataFrame = {
     val nBits = if (portable) 60 else 64
     val sh = shingles(df, idCol, textCol, shingleN)
+      // null-text docs carry a single NULL shingle: unfiltered, they
+      // would all vote to simhash 0 and pair with each other at
+      // hamming 0 (NullTextSpec pins that nulls join no near-dup
+      // relation; mirrors withMinHashSignature's token filter and the
+      // oracle's WHERE shingle IS NOT NULL)
+      .filter(col("shingle").isNotNull)
       .withColumn("h", stringHash(col("shingle"), portable))
     val votes = (0 until nBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)

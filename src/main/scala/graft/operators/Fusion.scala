@@ -44,6 +44,11 @@ object Fusion {
     // per-doc image signals: embedding + hyperplane LSH bucket + norm
     val signals = Lifecycle.materializeToScratch(
       Multimodal.withFeatures(df.select(col(idCol), col(binCol)), binCol, dim)
+        // null-payload docs join no near-dup relation (NullTextSpec's
+        // rule): unfiltered they'd take hyperplane bucket 0 (NULL
+        // projections bit by bit) and generate candidates that only
+        // die at verification
+        .filter(col("features").isNotNull)
         .select(col(idCol), col("features"),
           Similarity.hyperplaneBucket(col("features"), dim, nBits, planeSeed)
             .as("ibucket"),

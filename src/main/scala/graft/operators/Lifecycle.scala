@@ -37,15 +37,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Lifecycle {
 
+  /** The private[sql] surface the release paths reflect on, asserted
+    * resolvable AT CLASS LOAD so a Spark upgrade that moves or renames
+    * any of it fails loudly here — with a message naming the member —
+    * instead of silently never matching `getSimpleName` and leaking
+    * every intermediate. */
+  private val reflectedSurface: Seq[(String, String)] = Seq(
+    ("org.apache.spark.sql.execution.LogicalRDD", "rdd"),
+    ("org.apache.spark.sql.execution.datasources.LogicalRelation", "relation"),
+    ("org.apache.spark.sql.execution.datasources.HadoopFsRelation", "location"),
+    ("org.apache.spark.sql.execution.datasources.FileIndex", "rootPaths"))
+  private[graft] def assertReflectedSurface(): Unit =
+    reflectedSurface.foreach { case (cls, method) =>
+      val ok = try Class.forName(cls).getMethods.exists(_.getName == method)
+        catch { case _: ClassNotFoundException => false }
+      require(ok, s"graft Lifecycle: $cls.$method no longer resolves — " +
+        "the bundled Spark version moved the reflected storage-release " +
+        "surface; update Lifecycle.release/releaseLocalCheckpoint")
+    }
+  assertReflectedSurface()
+
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Scratch root: `graft.scratch.dir` conf, else a per-application
-    * tmpdir subtree (registered for recursive delete at JVM exit). */
+  /** Scratch root: `graft.scratch.dir` conf namespaced by the Spark
+    * applicationId (two concurrent or restarted applications sharing
+    * one configured root must not clobber each other's scratch-table
+    * numbering), else a per-application tmpdir subtree (registered for
+    * recursive delete at JVM exit). */
   def scratchRoot(spark: SparkSession): String = {
     val conf = spark.conf.get("graft.scratch.dir", "")
-    if (conf.nonEmpty) conf
+    if (conf.nonEmpty)
+      s"${conf.stripSuffix("/")}/${spark.sparkContext.applicationId}"
     else {
       val root = Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft-scratch-${spark.sparkContext.applicationId}").toString
@@ -102,8 +126,10 @@ private[graft] object Lifecycle {
     * afterwards. */
   def release(dfs: DataFrame*): Unit =
     dfs.foreach { df =>
-      val root = Paths.get(scratchRoot(df.sparkSession))
-        .toAbsolutePath.normalize
+      val spark = df.sparkSession
+      val hconf = spark.sessionState.newHadoopConf()
+      val rootPath = new org.apache.hadoop.fs.Path(scratchRoot(spark))
+      val root = rootPath.getFileSystem(hconf).makeQualified(rootPath)
       df.queryExecution.analyzed.foreach { p =>
         if (p.getClass.getSimpleName == "LogicalRelation") {
           val rel = p.getClass.getMethod("relation").invoke(p)
@@ -112,12 +138,51 @@ private[graft] object Lifecycle {
             loc.getClass.getMethod("rootPaths").invoke(loc)
               .asInstanceOf[Seq[org.apache.hadoop.fs.Path]]
               .foreach { hp =>
-                val local = Paths.get(hp.toUri.getPath)
-                  .toAbsolutePath.normalize
-                if (local.startsWith(root)) deleteRecursively(local)
+                // delete via the Hadoop FileSystem of the path, so an
+                // HDFS/S3 scratch root releases the same as a local one
+                val fs = hp.getFileSystem(hconf)
+                val q = fs.makeQualified(hp)
+                if (isUnder(q, root)) fs.delete(q, true)
               }
           }
         }
       }
     }
+
+  private def isUnder(p: org.apache.hadoop.fs.Path,
+      root: org.apache.hadoop.fs.Path): Boolean =
+    p == root || p.toString.startsWith(root.toString.stripSuffix("/") + "/")
+
+  /** Retention policy for the scratch root: delete scratch tables older
+    * than `ttlMillis`, then — oldest first — until the total size is
+    * under `maxBytes`. The TTL/size hook for a long-lived service whose
+    * caller-owned `graft.scratch.dir` would otherwise grow without
+    * bound (the tmpdir default already deletes at JVM exit).
+    *
+    * Call when quiescent, or with a TTL comfortably above the longest
+    * operator's lifetime: a scratch table is unreferenced the moment
+    * every frame scanning it is dropped, but this method cannot see
+    * live frames — it prunes by age, exactly like a shared-cluster
+    * scratch janitor. Goes through the Hadoop FileSystem, so it works
+    * on any scheme. */
+  def pruneScratch(spark: SparkSession, ttlMillis: Long,
+      maxBytes: Long = Long.MaxValue): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(scratchRoot(spark))
+    val fs = rootPath.getFileSystem(hconf)
+    if (!fs.exists(rootPath)) return
+    val now = System.currentTimeMillis()
+    val entries = fs.listStatus(rootPath).toSeq.map { st =>
+      (st.getPath, st.getModificationTime,
+        fs.getContentSummary(st.getPath).getLength)
+    }
+    val (expired, kept) = entries.partition {
+      case (_, mtime, _) => now - mtime > ttlMillis
+    }
+    expired.foreach { case (p, _, _) => fs.delete(p, true) }
+    var total = kept.map(_._3).sum
+    kept.sortBy(_._2).foreach { case (p, _, bytes) =>
+      if (total > maxBytes) { fs.delete(p, true); total -= bytes }
+    }
+  }
 }

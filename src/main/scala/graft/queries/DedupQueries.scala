@@ -91,7 +91,7 @@ object DedupQueries {
     }.mkString("\n  UNION ALL ")
     s"""WITH ${shingleCtes(3)},
        |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
-       |      FROM sh),
+       |      FROM sh WHERE shingle IS NOT NULL),
        |sig AS (SELECT doc_id,
        |  $mins
        |  FROM h GROUP BY doc_id),
@@ -121,7 +121,8 @@ object DedupQueries {
     val bits = (0 until 60).map(i =>
       s"(CASE WHEN v_$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
     s"""WITH ${shingleCtes(3)},
-       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT AS h FROM sh),
+       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT AS h
+       |      FROM sh WHERE shingle IS NOT NULL),
        |votes AS (SELECT doc_id,
        |  $votes
        |  FROM h GROUP BY doc_id),
@@ -216,7 +217,7 @@ object DedupQueries {
       .mkString(" UNION ALL ")
     s"""WITH ${shingleCtes(3)},
        |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
-       |      FROM sh),
+       |      FROM sh WHERE shingle IS NOT NULL),
        |sig AS (SELECT doc_id,
        |  $mins
        |  FROM h GROUP BY doc_id),

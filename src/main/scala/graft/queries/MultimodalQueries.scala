@@ -124,10 +124,10 @@ object MultimodalQueries {
     s"""WITH ${DedupQueries.shingleCtes(3)},
        |f AS (SELECT doc_id,
        |  $featCols
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |b AS (SELECT doc_id, $bucketExpr AS ibucket, $normExpr AS inorm FROM f),
        |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
-       |      FROM sh),
+       |      FROM sh WHERE shingle IS NOT NULL),
        |sig AS (SELECT doc_id,
        |  $mins
        |  FROM h GROUP BY doc_id),
@@ -220,10 +220,10 @@ object MultimodalQueries {
     s"""WITH ${DedupQueries.shingleCtes(3)},
        |f AS (SELECT doc_id,
        |  $featCols
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |ib AS (SELECT doc_id, $bucketExpr AS ibucket FROM f),
        |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
-       |      FROM sh),
+       |      FROM sh WHERE shingle IS NOT NULL),
        |sig AS (SELECT doc_id,
        |  $mins
        |  FROM h GROUP BY doc_id),

@@ -84,8 +84,12 @@ object BrokerSource {
       encode(e.getField(keyField).cast("string"), "UTF-8").as("key"),
       encode(col("value"), "UTF-8").as("value"),
       lit(topic).as("topic"),
-      pmod(e.getField(keyField).cast("long"), lit(nPartitions))
-        .cast("int").as("partition"),
+      // key-hash partitioning (the way a real producer lands keyed
+      // records): casting a string key to long would yield NULL
+      // partitions; xxhash64 of NULL is its seed, so even a null key
+      // gets a concrete partition
+      pmod(xxhash64(e.getField(keyField).cast("string")),
+        lit(nPartitions.toLong)).cast("int").as("partition"),
       e.getField(offsetField).cast("long").as("offset"),
       lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
         .as("timestamp"),

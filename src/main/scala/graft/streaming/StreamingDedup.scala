@@ -71,6 +71,11 @@ object StreamingDedup {
       bands, seed, portable)(df)
     val img = Multimodal.withFeatures(df.select(col(idCol), col(binCol)),
         binCol, dim)
+      // null-payload docs must join no near-dup relation (NullTextSpec
+      // pins the same rule for text): without this filter they'd all
+      // land in hyperplane bucket 0 (NULL projections take the
+      // `otherwise` branch bit by bit) and spuriously collide
+      .filter(col("features").isNotNull)
       .select(col(idCol), concat(lit("i:"),
         Similarity.hyperplaneBucket(col("features"), dim, nBits,
           planeSeed).cast("string")).as("block_key"))
@@ -101,16 +106,87 @@ object StreamingDedup {
     (novel, blocks.join(dupIds, Seq(idCol), "left_anti"))
   }
 
+  /** Index child directories by prefix, via the Hadoop FileSystem of
+    * `indexPath` — NOT java.io.File, so the index works on any scheme
+    * (HDFS/S3/file:) exactly as the object doc promises. Returns
+    * (numeric suffix, fully-qualified path) pairs. */
+  private def listIndexDirs(spark: SparkSession, indexPath: String,
+      prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => (s.getPath.getName.stripPrefix(prefix).toLong, s.getPath))
+  }
+
   /** Block-key index accumulated by batches strictly below
-    * `beforeBatch`; None when no batch has committed yet. */
+    * `beforeBatch`; None when no batch has committed yet. Reads the
+    * newest generation file ≤ `beforeBatch` (see [[compactIndex]]) plus
+    * the per-batch partitions it does not cover. Listing goes through
+    * the Hadoop FileSystem API, so a shared-FS (`hdfs://`/`s3a://`)
+    * index path behaves identically to a local one — with
+    * java.io.File listing this silently returned None on a cluster and
+    * admitted every duplicate. */
   def readIndex(spark: SparkSession, indexPath: String,
       beforeBatch: Long): Option[DataFrame] = {
-    val dirs = Option(new java.io.File(indexPath).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
-      .filter(_.getName.stripPrefix("ingest_batch=").toLong < beforeBatch)
-      .map(_.getAbsolutePath)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    val gens = listIndexDirs(spark, indexPath, "gen=")
+      .filter(_._1 <= beforeBatch)
+    val gen = if (gens.isEmpty) None else Some(gens.maxBy(_._1))
+    val covered = gen.map(_._1).getOrElse(Long.MinValue)
+    val batches = listIndexDirs(spark, indexPath, "ingest_batch=")
+      .filter { case (b, _) => b >= covered && b < beforeBatch }
+    val paths = (gen.toSeq ++ batches).map(_._2.toString)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
+
+  /** Compacts committed `ingest_batch=` partitions strictly below
+    * `upTo` into one generation file set `gen=<upTo>`, then deletes the
+    * partitions (and older generations) it covers. Retention for a
+    * long-lived ingester: the index directory stays O(generations + 1)
+    * instead of accumulating one small parquet dir per micro-batch
+    * forever, and [[readIndex]] scans one consolidated table instead of
+    * thousands of fragments. Crash-safe in the same way the ingester
+    * is: the generation is written BEFORE the covered partitions are
+    * deleted, and a crash between the two only leaves batch dirs that
+    * `readIndex` already excludes (it reads batches from the newest
+    * generation forward) — duplication and loss are both impossible.
+    *
+    * `upTo` must not exceed the highest committed batch id + 1: a
+    * compacted batch can never be replayed (Structured Streaming only
+    * replays the batch after the last checkpoint commit). The no-arg
+    * overload compacts below the highest batch partition present,
+    * which is always safe — every batch below it has committed. */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      upTo: Long): Unit = {
+    val oldGens = listIndexDirs(spark, indexPath, "gen=")
+      .filter(_._1 < upTo)
+    val covered = oldGens.map(_._1).maxOption.getOrElse(Long.MinValue)
+    val allBatches = listIndexDirs(spark, indexPath, "ingest_batch=")
+      .filter(_._1 < upTo)
+    // read only what the newest generation doesn't cover; batch dirs
+    // BELOW it are crash leftovers readIndex already ignores — they
+    // are reclaimed (deleted) but never re-read (no duplication)
+    val batches = allBatches.filter(_._1 >= covered)
+    val srcs = (oldGens.filter(_._1 == covered) ++ batches).map(_._2.toString)
+    if (srcs.nonEmpty) {
+      // no explicit coalesce: the scan packs small fragments into
+      // ~maxPartitionBytes-sized read splits, so the write comes out
+      // consolidated without a single-task bottleneck at scale
+      spark.read.parquet(srcs: _*)
+        .write.mode("overwrite").parquet(s"$indexPath/gen=$upTo")
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      (oldGens ++ allBatches).foreach { case (_, p) => fs.delete(p, true) }
+    }
+  }
+
+  /** [[compactIndex]] below the highest `ingest_batch=` partition
+    * present (everything below it is committed — safe with no
+    * knowledge of the checkpoint). */
+  def compactIndex(spark: SparkSession, indexPath: String): Unit =
+    listIndexDirs(spark, indexPath, "ingest_batch=").map(_._1).maxOption
+      .foreach(maxB => compactIndex(spark, indexPath, maxB))
 
   /** Streaming ingester: each micro-batch of `docs` (a streaming frame
     * with at least idCol + the columns `blockRows` reads) is
@@ -134,6 +210,11 @@ object StreamingDedup {
           .parquet(s"$outPath/ingest_batch=$batchId")
         novelBlocks.write.mode("overwrite")
           .parquet(s"$indexPath/ingest_batch=$batchId")
+        // both outputs are on durable storage now — free this batch's
+        // scratch-materialized blocking (novelBlocks scans it), or a
+        // long-lived ingester accumulates one scratch table per
+        // micro-batch until JVM exit
+        Lifecycle.release(novelBlocks)
         ()
       }
       .start()

@@ -148,4 +148,71 @@ class PersistLifecycleSpec extends SparkSpec {
     assert(pDirs.forall(!_.exists()))
     assert(docs.count() > 0) // source table unaffected
   }
+
+  test("caller-owned scratch root is namespaced by applicationId") {
+    // two applications (or a restarted one) sharing one configured
+    // scratch dir must not clobber each other's m<N> tables
+    val owned = java.nio.file.Files.createTempDirectory("owned_scratch")
+    spark.conf.set("graft.scratch.dir", owned.toString)
+    try {
+      val root = Lifecycle.scratchRoot(spark)
+      assert(root ==
+        s"$owned/${spark.sparkContext.applicationId}")
+      val m = Lifecycle.materializeToScratch(spark.range(10).toDF("id"))
+      assert(m.count() == 10)
+      val appDir = new java.io.File(root)
+      assert(appDir.isDirectory && appDir.list().nonEmpty)
+      Lifecycle.release(m) // Hadoop-FS delete works on the owned root
+      assert(appDir.list().isEmpty)
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
+  test("pruneScratch enforces TTL then size cap, oldest first") {
+    val owned = java.nio.file.Files.createTempDirectory("prune_scratch")
+    spark.conf.set("graft.scratch.dir", owned.toString)
+    try {
+      val frames = (1 to 4).map { i =>
+        Lifecycle.materializeToScratch(
+          spark.range(100L * i).toDF("id"))
+      }
+      val root = new java.io.File(Lifecycle.scratchRoot(spark))
+      val dirs = root.listFiles().sortBy(_.getName.stripPrefix("m").toLong)
+      assert(dirs.length == 4)
+      // age the first two past a 1-hour TTL
+      val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+      dirs.take(2).foreach { d =>
+        d.setLastModified(old)
+        d.listFiles().foreach(_.setLastModified(old))
+      }
+      Lifecycle.pruneScratch(spark, ttlMillis = 3600 * 1000L)
+      assert(!dirs(0).exists() && !dirs(1).exists())
+      assert(dirs(2).exists() && dirs(3).exists())
+      // size cap: dirs(3) alone is under any sane cap; dirs(2)+dirs(3)
+      // exceed a cap of dirs(3)'s size, so the OLDER dirs(2) goes
+      // (mtimes pinned — same-millisecond creation would make
+      // oldest-first ambiguous)
+      dirs(2).setLastModified(System.currentTimeMillis() - 60000L)
+      dirs(3).setLastModified(System.currentTimeMillis())
+      val keepBytes = dirs(3).listFiles().map(_.length()).sum
+      Lifecycle.pruneScratch(spark, ttlMillis = Long.MaxValue,
+        maxBytes = keepBytes + 1)
+      assert(!dirs(2).exists() && dirs(3).exists())
+      frames.foreach(_ => ()) // frames beyond pruned ones unused
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
+  test("the reflected private[sql] surface resolves on the bundled Spark") {
+    // Lifecycle also asserts this at class load; the spec names the
+    // same members so a Spark upgrade fails here with a clear message
+    Lifecycle.assertReflectedSurface()
+    Seq(
+      ("org.apache.spark.sql.execution.LogicalRDD", "rdd"),
+      ("org.apache.spark.sql.execution.datasources.LogicalRelation", "relation"),
+      ("org.apache.spark.sql.execution.datasources.HadoopFsRelation", "location"),
+      ("org.apache.spark.sql.execution.datasources.FileIndex", "rootPaths")
+    ).foreach { case (cls, m) =>
+      assert(Class.forName(cls).getMethods.exists(_.getName == m),
+        s"$cls.$m missing")
+    }
+  }
 }

@@ -75,6 +75,35 @@ class BrokerSourceSpec extends SparkSpec {
     assert(broker == file)
   }
 
+  test("string-keyed record shapes get non-null key-hash partitions") {
+    // regression: partitioning by key.cast(long) sent every non-numeric
+    // key to partition NULL, breaking the keyed-partitioning invariant
+    val dir = java.nio.file.Files.createTempDirectory("bk_str").toString
+    val lines = (0 until 24).map(i => s"""{"k":"user-${i % 8}","i":$i}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "r.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType)))
+    val rec = BrokerSource.readFakeBrokerStreamJson(spark, dir, schema,
+      keyField = "k", offsetField = "i")
+    val q = rec.writeStream.format("memory").queryName("bk_strkey")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("bk_strkey")
+      .select(decode(col("key"), "UTF-8"), col("partition"))
+      .as[(String, Option[Int])].collect()
+    assert(rows.length == 24)
+    assert(rows.forall { case (_, p) => p.exists(v => v >= 0 && v < 4) })
+    // a producer's key hash is a function of the key alone
+    assert(rows.groupBy(_._1).values
+      .forall(_.map(_._2).distinct.size == 1))
+  }
+
   test("keyed state (running user totals) over the adapter equals batch totals") {
     val updates = BrokerSource.runToMemory(spark, jsonDir, "bk_totals",
       df => EventStreams.runningUserTotals(

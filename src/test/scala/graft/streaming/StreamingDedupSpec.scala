@@ -67,6 +67,42 @@ class StreamingDedupSpec extends SparkSpec {
     val ix = java.nio.file.Files.createTempDirectory("sdedup_ix").toString
     val cp = java.nio.file.Files.createTempDirectory("sdedup_cp").toString
     writeBatchFiles(in)
+    // compute the fold expectation FIRST: the fold legitimately leaves
+    // scratch tables (its per-batch outputs stay lazy); the snapshot
+    // below isolates the INGESTER's scratch behavior
+    val expected = foldResult
+    val scratch = new java.io.File(
+      graft.operators.Lifecycle.scratchRoot(spark))
+    def scratchDirs: Set[String] =
+      Option(scratch.list()).map(_.toSet).getOrElse(Set.empty)
+    val scratchBefore = scratchDirs
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    StreamingDedup.start(stream, "doc_id", "text", ix, out, cp)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == expected)
+    // the index holds exactly the admitted docs' bands, no duplicates
+    val ixIds = spark.read.parquet(ix).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(ixIds == expected.map(_._1))
+    // steady-state storage: each micro-batch released its blocking
+    // scratch table after committing its outputs — zero net growth
+    assert(scratchDirs == scratchBefore,
+      s"ingester leaked scratch tables: ${scratchDirs -- scratchBefore}")
+  }
+
+  test("readIndex goes through the Hadoop FileSystem (scheme-qualified index path)") {
+    // regression: java.io.File listing of an `hdfs://`/`s3a://` (here:
+    // explicit `file:`) index path returned null, so every batch saw an
+    // empty index and silently admitted cross-batch duplicates
+    val in = java.nio.file.Files.createTempDirectory("sdhfs_in").toString
+    val out = java.nio.file.Files.createTempDirectory("sdhfs_out").toString
+    val ix = "file:" + java.nio.file.Files.createTempDirectory("sdhfs_ix")
+    val cp = java.nio.file.Files.createTempDirectory("sdhfs_cp").toString
+    writeBatchFiles(in)
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1).json(in)
     StreamingDedup.start(stream, "doc_id", "text", ix, out, cp)
@@ -75,10 +111,43 @@ class StreamingDedupSpec extends SparkSpec {
       .select(col("doc_id"), col("ingest_batch").cast("int"))
       .as[(Long, Int)].collect().toSet
     assert(got == foldResult)
-    // the index holds exactly the admitted docs' bands, no duplicates
-    val ixIds = spark.read.parquet(ix).select("doc_id").distinct()
-      .as[Long].collect().toSet
-    assert(ixIds == foldResult.map(_._1))
+  }
+
+  test("index compaction preserves semantics and bounds the directory") {
+    val in = java.nio.file.Files.createTempDirectory("sdc_in").toString
+    val out = java.nio.file.Files.createTempDirectory("sdc_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("sdc_ix").toString
+    val cp = java.nio.file.Files.createTempDirectory("sdc_cp").toString
+    // phase 1: batches 0 and 1 ingest, then the index is compacted
+    writeBatchFiles(in, 0 until 2)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      StreamingDedup.start(stream, "doc_id", "text", ix, out, cp)
+        .awaitTermination()
+    }
+    run()
+    val before = StreamingDedup.readIndex(spark, ix, 2).get
+      .as[(Long, String)].collect().toSet
+    StreamingDedup.compactIndex(spark, ix)
+    val dirs = new java.io.File(ix).list().toSet
+      .filterNot(_.startsWith("_")) // ignore commit markers if any
+    assert(dirs == Set("gen=1", "ingest_batch=1"), dirs.toString)
+    // same keys visible after compaction, for the next batch AND for a
+    // replay of the newest (potentially uncommitted) batch
+    assert(StreamingDedup.readIndex(spark, ix, 2).get
+      .as[(Long, String)].collect().toSet == before)
+    StreamingDedup.compactIndex(spark, ix) // idempotent no-op
+    assert(StreamingDedup.readIndex(spark, ix, 2).get
+      .as[(Long, String)].collect().toSet == before)
+    // phase 2: remaining batches land on the compacted index; the
+    // admitted corpus must still equal the uncompacted fold
+    writeBatchFiles(in, 2 until 4)
+    run()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == foldResult)
   }
 
   test("restart continues batch ids and replays idempotently") {

@@ -9,10 +9,25 @@ import java.nio.file.{Files, Path}
   * encoding path). Forest:
   *
   *   1000001 Class (root)          1000006 Cultural Class (root)
-  *     └ 1000002 Division            └ 1000007 Cultural Subclass
-  *         └ 1000003 Macrogroup              (null colloquial/translated)
-  *             └ 1000004 Group
-  *                 └ 1000005 Association
+  *     ├ 1000002 Division            └ 1000007 Cultural Subclass
+  *     │   └ 1000003 Macrogroup              (null colloquial/translated)
+  *     │       └ 1000004 Group                 └ 1000012 Cultural Formation
+  *     │           ├ 1000005 Association         └ 1000013 C. Subformation
+  *     │           └ 1000010 Alliance               └ 1000014 C. Group
+  *     │               └ 1000011 Association          └ 1000015 C. Subgroup
+  *     │                   (adversarial: embedded       └ 1000016 C. Type
+  *     │                    tab + doubled quote,           └ 1000017 C. Subtype
+  *     │                    high-byte ISO-8859-1)              (max depth)
+  *     └ 1000008 Subclass
+  *         └ 1000009 Formation (full description row)
+  *
+  * The r5 extension hardens the fidelity surface: every Display-Title
+  * CASE branch has a unit (Subclass/Formation via colloquial, Alliance
+  * + all six deep Cultural levels via the otherwise-branch), the
+  * cultural chain runs to max depth, and 1000011 carries text a real
+  * export can legally contain — quoted TSV fields with embedded tabs
+  * and doubled quotes (pandas-default quoting, which the reader
+  * mirrors with escape='"').
   */
 object Fixtures {
 
@@ -44,7 +59,55 @@ object Fixtures {
         "9", "7", "", ""),
       Seq("1000007", "1000006", "1", "CS01", "7.A", "Cultura herbacea",
         "herbacée", "", "", "Cultural Subclass", "10", "7.A",
-        "CC01", "Cultural"))
+        "CC01", "Cultural"),
+      // r5: second natural branch — Subclass + Formation pin the
+      // colloquial CASE branch at the two levels the original forest
+      // skipped
+      Seq("1000008", "1000001", "2", "S01", "1.B", "Forestia umbra",
+        "<i>F. umbra</i>", "Shade Forest & Scrub", "Shade Forest",
+        "Subclass", "2", "1.B", "C01", "Forest"),
+      Seq("1000009", "1000008", "1", "F01", "1.B.1", "Forestia æstuosa",
+        "<i>F. æstuosa</i>", "Humid Shade Forest", "Humid Forest",
+        "Formation", "3", "1.B.1", "S01", "Shade Forest"),
+      // r5: Alliance level (otherwise-branch title) between Group and
+      // a second Association
+      Seq("1000010", "1000004", "2", "A0100", "A100",
+        "Acer rubrum Alliance", "<i>A. rubrum</i>", "Red Maple Alliance",
+        "Red Maple All.", "Alliance", "7", "1.A.M1.G1.A100", "G01",
+        "Red Maple Forest"),
+      // r5: adversarial text — embedded tab + doubled quote land in
+      // QUOTED TSV fields (legal pandas output); ISO-8859-1 high bytes
+      Seq("1000011", "1000010", "1", "CEGL002", "A2",
+        "Acer \"rubrum\" swampensis", "<i>Acer</i>\t\"tabbed\"",
+        "Quoted & Tabbed Forêt", "Tab\there", "Association", "8",
+        "1.A.M1.G1.A100.A2", "A0100", "Red Maple Alliance"),
+      // r5: cultural chain to MAX DEPTH (all six deeper cultural
+      // levels; 1000016 has empty translated name → null Display Title
+      // at depth, 1000017 is the deepest leaf)
+      Seq("1000012", "1000007", "1", "CF01", "7.A.1", "Cultura arvensis",
+        "<i>C. arvensis</i>", "Cropland Formation", "Cropland",
+        "Cultural Formation", "11", "7.A.1", "CS01", ""),
+      Seq("1000013", "1000012", "2", "CSF01", "7.A.1.a",
+        "Cultura arvensis rotata", "<i>C. a. rotata</i>",
+        "Row Crop Subformation", "Row Crops", "Cultural Subformation",
+        "12", "7.A.1.a", "CF01", "Cropland Formation"),
+      Seq("1000014", "1000013", "1", "CG01", "7.A.1.a.1",
+        "Cultura arvensis zea", "<i>C. a. zea</i>", "Corn Group",
+        "Corn", "Cultural Group", "13", "7.A.1.a.1", "CSF01",
+        "Row Crop Subformation"),
+      Seq("1000015", "1000014", "2", "CSG01", "7.A.1.a.1.a",
+        "Cultura arvensis zea irrigata", "<i>C. a. z. irrigata</i>",
+        "Irrigated Corn Subgroup", "Irrigated Corn", "Cultural Subgroup",
+        "14", "7.A.1.a.1.a", "CG01", "Corn Group"),
+      Seq("1000016", "1000015", "1", "CT01", "7.A.1.a.1.a.1",
+        "Cultura arvensis zea pivotalis", "<i>pivotalis</i>", "",
+        "Pivot Corn", "Cultural Type", "15", "7.A.1.a.1.a.1", "CSG01",
+        "Irrigated Corn Subgroup"),
+      Seq("1000017", "1000016", "2", "CST01", "7.A.1.a.1.a.1.a",
+        "Cultura arvensis zea pivotalis annua", "<i>annua</i>",
+        "Annual Pivot Corn Subtype", "Annual Pivot Corn",
+        "Cultural Subtype", "16", "7.A.1.a.1.a.1.a", "CT01",
+        "Pivot Corn"))
   }
 
   val unitDescriptionRows: Seq[Seq[String]] = {
@@ -71,11 +134,38 @@ object Fixtures {
       // 1000005: minimal description, no nations, no ints
       Seq("1000005") ++ blank(36),
       // 1000007: no description row at all (left-join null side covers 1000002/3/4/6)
+      // r5 1000009: EVERY text section present at Formation level — the
+      // full-presence side of the P7 type-presence matrix
+      Seq("1000009", "Humid shade.", "Humid &amp; shady",
+        "Moss &lt;mats&gt;", "Rationale text", "Classif comments",
+        "Other comments", "Similar comments", "Open canopy",
+        "Sphagnum spp.", "Flood-adapted", "Lowlands", "Linear",
+        "Coastal plain", "US", "US:MA", "3", "8", "2", "5",
+        "Summary text", "Typal", "Archived", "Consistent", "0.1 ha",
+        "Releve", "Conf comments", "G3", "2016-06-15", "B. Author",
+        "Reasons text", "Lineage 9", "Synonymy 9", "Source 9",
+        "Author 9", "Ack 9", "2017-11-30"),
+      // r5 1000011: adversarial quoted text — embedded tab + doubled
+      // quotes + entity chain in ONE field exercises clean_string after
+      // quote-aware TSV parsing
+      Seq("1000011", "Quotes \"inside\" &amp; tabs\there.",
+        "Deep &amp;lt;nest&amp;gt;", "Has\ttab") ++ blank(10) ++
+        Seq("US", "US:VT", "1") ++ blank(2) ++ Seq("3") ++ blank(16) ++
+        Seq("2019-05-05"),
+      // r5 1000017: sparse-weird — ONLY an int-gated field and a grank
+      // date present (presence predicates must fire independently)
+      Seq("1000017") ++ blank(16) ++ Seq("4") ++ blank(10) ++
+        Seq("2015-02-03") ++ blank(8)
     )
   }
 
+  private def cell(s: String): String =
+    if (s.exists(c => c == '\t' || c == '"' || c == '\n'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
   private def tsv(rows: Seq[Seq[String]]): String =
-    rows.map(_.mkString(T)).mkString("\n") + "\n"
+    rows.map(_.map(cell).mkString(T)).mkString("\n") + "\n"
 
   val tables: Map[String, String] = Map(
     "unit.txt" -> tsv(unitRows),
@@ -114,7 +204,8 @@ object Fixtures {
     "UnitXReference.txt" -> tsv(Seq(
       Seq("element_global_id", "reference_id"),
       Seq("1000001", "r1"),
-      Seq("1000001", "r2"))),
+      Seq("1000001", "r2"),
+      Seq("1000011", "r1"))),
     "UnitXSimilarUnit.txt" -> tsv(Seq(
       Seq("element_global_id", "simglobal_id", "simnote", "simelcode",
         "simname", "simusstatus", "simlevelid"),

@@ -19,7 +19,7 @@ class UsnvcPipelineSpec extends SparkSpec {
   private def doc(id: String): String = docs(id)
 
   test("emits root + one doc per unit") {
-    assert(docs.size == 8) // 7 units + synthetic root
+    assert(docs.size == 18) // 17 units + synthetic root
   }
 
   test("root doc: title, children = parentless units, unitsort '0'") {
@@ -56,8 +56,42 @@ class UsnvcPipelineSpec extends SparkSpec {
   }
 
   test("children collected; leaves get []") {
-    assert(doc("1000001").contains("\"children\":[1000002]"))
+    assert(doc("1000001").contains("\"children\":[1000002,1000008]"))
     assert(doc("1000005").contains("\"children\":[]"))
+  }
+
+  test("display title: colloquial branch at Subclass/Formation; otherwise-branch at Alliance + cultural depth") {
+    assert(doc("1000008").contains("\"Display Title\":\"1.B Shade Forest Subclass\""))
+    assert(doc("1000009").contains("\"Display Title\":\"1.B.1 Humid Forest Formation\""))
+    // Alliance + cultural levels fall to databasecode + translated
+    assert(doc("1000010").contains("\"Display Title\":\"A0100 Red Maple Alliance\""))
+    assert(doc("1000017").contains("\"Display Title\":\"CST01 Annual Pivot Corn Subtype\""))
+  }
+
+  test("max-depth cultural chain: ancestors nearest-first to the cultural root") {
+    assert(doc("1000017").contains("\"ancestors\":[1000016,1000015,1000014," +
+      "1000013,1000012,1000007,1000006]"))
+  }
+
+  test("adversarial TSV: embedded tab and doubled quote survive quote-aware parsing") {
+    val d = doc("1000011")
+    // scientificname had a doubled quote inside a quoted field
+    assert(d.contains("\"Scientific Name\":\"Acer \\\"rubrum\\\" swampensis\""))
+    // colloquialname had an embedded tab (JSON-encoded as \t)
+    assert(d.contains("\"Colloquial Name\":\"Tab\\there\""))
+    // entity chain inside a quoted field still double-unescapes
+    assert(d.contains("\"Type Concept Sentence\":\"Quotes \\\"inside\\\" & tabs\\there.\""))
+    assert(d.contains("\"Type Concept\":\"Deep <nest>\""))
+    // ISO-8859-1 high bytes in the quoted translated name
+    assert(d.contains("Forêt"))
+  }
+
+  test("sparse-weird description: independent presence predicates fire alone") {
+    val d = doc("1000017")
+    assert(d.contains("\"Omernik Ecoregions\":4"))
+    assert(!d.contains("\"TNC Ecoregions\""))
+    assert(!d.contains("\"Federal Lands\""))
+    assert(d.contains("2015-02-03"))
   }
 
   test("cached hierarchy = ancestors + self + children with titles") {
@@ -128,8 +162,8 @@ class UsnvcPipelineSpec extends SparkSpec {
 
   test("ledger: one Initialize per unit + one Process per doc") {
     val l = UsnvcPipeline.ledger(spark, dir)
-    assert(l.filter(col("change_name") === "Initialize").count() == 7)
-    assert(l.filter(col("change_name") === "Process").count() == 7)
+    assert(l.filter(col("change_name") === "Initialize").count() == 17)
+    assert(l.filter(col("change_name") === "Process").count() == 17)
   }
 
   test("ledger events carry the reference's full field set incl. result") {
@@ -178,7 +212,7 @@ class UsnvcPipelineSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("usnvc_out").toString
     UsnvcPipeline.run(spark, dir, out)
     val written = spark.read.text(s"$out/docs").count()
-    assert(written == 8)
+    assert(written == 18)
     assert(new java.io.File(s"$out/errors").exists())
   }
 
@@ -190,7 +224,7 @@ class UsnvcPipelineSpec extends SparkSpec {
     UsnvcPipeline.incremental(spark, triggers.toString, out.toString,
       root.resolve("ckpt").toString)
     val name = new java.io.File(dir).getName
-    assert(spark.read.text(s"$out/$name/docs").count() == 8)
+    assert(spark.read.text(s"$out/$name/docs").count() == 18)
   }
 
   test("preprocess plans broadcast every dimension join") {
@@ -218,8 +252,8 @@ class UsnvcPipelineSpec extends SparkSpec {
   }
 
   test("preprocess frame shapes match the reference joins") {
-    assert(ctx.nvcsUnits.count() == 7)
-    assert(ctx.unitReferences.count() == 2)
+    assert(ctx.nvcsUnits.count() == 17)
+    assert(ctx.unitReferences.count() == 3)
     assert(ctx.nvcsDistribution.count() == 2)
     assert(ctx.usfsEcoregionDistribution1994.count() == 1)
     assert(ctx.usfsEcoregionDistribution2007.count() == 1)
