@@ -188,17 +188,88 @@ object StreamingDedup {
     listIndexDirs(spark, indexPath, "ingest_batch=").map(_._1).maxOption
       .foreach(maxB => compactIndex(spark, indexPath, maxB))
 
+  /** The admitted corpus under `outPath`, whatever mix of per-batch
+    * partitions and [[compactOutput]] generations is present, with the
+    * `ingest_batch` column intact. None before the first commit. */
+  def readCorpus(spark: SparkSession, outPath: String): Option[DataFrame] = {
+    val gens = listIndexDirs(spark, outPath, "gen=")
+    val gen = if (gens.isEmpty) None else Some(gens.maxBy(_._1))
+    val covered = gen.map(_._1).getOrElse(Long.MinValue)
+    val batches = listIndexDirs(spark, outPath, "ingest_batch=")
+      .filter(_._1 >= covered)
+    // generations carry ingest_batch as data; live partitions get it
+    // from the directory name via basePath partition discovery
+    val genDf = gen.map { case (_, p) => spark.read.parquet(p.toString)
+      .withColumn("ingest_batch", col("ingest_batch").cast("long")) }
+    val batchDf =
+      if (batches.isEmpty) None
+      else Some(spark.read.option("basePath", outPath)
+        .parquet(batches.map(_._2.toString): _*)
+        .withColumn("ingest_batch", col("ingest_batch").cast("long")))
+    (genDf, batchDf) match {
+      case (Some(g), Some(b)) => Some(g.unionByName(b))
+      case (g, b)             => g.orElse(b)
+    }
+  }
+
+  /** Output-side analog of [[compactIndex]]: folds committed
+    * `ingest_batch=` corpus partitions strictly below `upTo` into a
+    * `gen=<upTo>` generation (the `ingest_batch` column is
+    * materialized INTO the generation, so [[readCorpus]] is lossless),
+    * then deletes what it covered. Same crash-safety argument and the
+    * same replay rule: `upTo` ≤ highest committed batch id + 1. */
+  def compactOutput(spark: SparkSession, outPath: String,
+      upTo: Long): Unit = {
+    val oldGens = listIndexDirs(spark, outPath, "gen=").filter(_._1 < upTo)
+    val covered = oldGens.map(_._1).maxOption.getOrElse(Long.MinValue)
+    val allBatches = listIndexDirs(spark, outPath, "ingest_batch=")
+      .filter(_._1 < upTo)
+    val batches = allBatches.filter(_._1 >= covered)
+    val genDf = oldGens.filter(_._1 == covered).headOption.map {
+      case (_, p) => spark.read.parquet(p.toString)
+        .withColumn("ingest_batch", col("ingest_batch").cast("long")) }
+    val batchDf =
+      if (batches.isEmpty) None
+      else Some(spark.read.option("basePath", outPath)
+        .parquet(batches.map(_._2.toString): _*)
+        .withColumn("ingest_batch", col("ingest_batch").cast("long")))
+    val all = (genDf, batchDf) match {
+      case (Some(g), Some(b)) => Some(g.unionByName(b))
+      case (g, b)             => g.orElse(b)
+    }
+    all.foreach { df =>
+      df.write.mode("overwrite").parquet(s"$outPath/gen=$upTo")
+      val fs = new org.apache.hadoop.fs.Path(outPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      (oldGens ++ allBatches).foreach { case (_, p) => fs.delete(p, true) }
+    }
+  }
+
+  /** [[compactOutput]] below the highest corpus partition present. */
+  def compactOutput(spark: SparkSession, outPath: String): Unit =
+    listIndexDirs(spark, outPath, "ingest_batch=").map(_._1).maxOption
+      .foreach(maxB => compactOutput(spark, outPath, maxB))
+
   /** Streaming ingester: each micro-batch of `docs` (a streaming frame
     * with at least idCol + the columns `blockRows` reads) is
     * deduplicated per [[processBatch]]; novel docs append to `outPath`
     * and their block keys to `indexPath`, both as `ingest_batch=`
     * partitions (idempotent under replay — see object doc).
     * Restartable via `checkpointDir`; batch ids continue across
-    * restarts, so the index accumulates correctly. */
+    * restarts, so the index accumulates correctly.
+    *
+    * `compactEvery = Some(n)` runs [[compactIndex]] every n batches
+    * inside the batch hook, bounding the index directory for a
+    * long-lived ingester with no external janitor. Safe at that point:
+    * it compacts strictly below the CURRENT batch (all committed), and
+    * if the current batch crashes before its checkpoint commit, its
+    * replay reads the new generation — which covers exactly the
+    * batches below it — never its own half-written partition. */
   def start(docs: DataFrame, idCol: String,
       blockRows: DataFrame => DataFrame, indexPath: String,
       outPath: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -215,6 +286,8 @@ object StreamingDedup {
         // long-lived ingester accumulates one scratch table per
         // micro-batch until JVM exit
         Lifecycle.release(novelBlocks)
+        if (compactEvery.exists(n => batchId > 0 && batchId % n == 0))
+          compactIndex(spark, indexPath)
         ()
       }
       .start()

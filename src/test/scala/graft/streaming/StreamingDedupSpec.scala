@@ -150,6 +150,53 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == foldResult)
   }
 
+  test("output compaction is lossless (ingest_batch materialized into generations)") {
+    val in = java.nio.file.Files.createTempDirectory("sdoc_in").toString
+    val out = java.nio.file.Files.createTempDirectory("sdoc_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("sdoc_ix").toString
+    val cp = java.nio.file.Files.createTempDirectory("sdoc_cp").toString
+    writeBatchFiles(in)
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    StreamingDedup.start(stream, "doc_id", "text", ix, out, cp)
+      .awaitTermination()
+    def corpus: Set[(Long, String, Long)] =
+      StreamingDedup.readCorpus(spark, out).get
+        .select(col("doc_id"), col("text"), col("ingest_batch"))
+        .as[(Long, String, Long)].collect().toSet
+    val before = corpus
+    assert(before.map(t => (t._1, t._3.toInt)) == foldResult)
+    StreamingDedup.compactOutput(spark, out)
+    assert(corpus == before) // rows + batch labels + text all intact
+    val dirs = new java.io.File(out).list().toSet.filterNot(_.startsWith("_"))
+    assert(dirs == Set("gen=3", "ingest_batch=3"), dirs.toString)
+    StreamingDedup.compactOutput(spark, out) // idempotent no-op
+    assert(corpus == before)
+  }
+
+  test("in-ingester auto-compaction keeps the fold result and leaves a generation") {
+    val in = java.nio.file.Files.createTempDirectory("sdac_in").toString
+    val out = java.nio.file.Files.createTempDirectory("sdac_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("sdac_ix").toString
+    val cp = java.nio.file.Files.createTempDirectory("sdac_cp").toString
+    writeBatchFiles(in)
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    StreamingDedup.start(stream, "doc_id",
+      StreamingDedup.minHashBlocks("doc_id", "text"), ix, out, cp,
+      compactEvery = Some(2)).awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == foldResult)
+    val dirs = new java.io.File(ix).list().toSet.filterNot(_.startsWith("_"))
+    assert(dirs.exists(_.startsWith("gen=")), dirs.toString)
+    // compacted + uncompacted together still serve the next batch
+    val ixIds = StreamingDedup.readIndex(spark, ix, 4).get
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(ixIds == foldResult.map(_._1))
+  }
+
   test("restart continues batch ids and replays idempotently") {
     val in = java.nio.file.Files.createTempDirectory("sdedup2_in").toString
     val out = java.nio.file.Files.createTempDirectory("sdedup2_out").toString
