@@ -67,6 +67,11 @@ object StreamingDedup {
       dim: Int, shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       nBits: Int = 8, seed: Long = 42L, planeSeed: Long = 7L,
       portable: Boolean = false)(df: DataFrame): DataFrame = {
+    // hyperplaneBucket builds on the registered vector-dot expression;
+    // register here like every Similarity entry point does, so fused
+    // blocking works in a fresh session (not just after some other
+    // vector operator happened to run first)
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val text = minHashBlocks(idCol, textCol, shingleN, numHashes,
       bands, seed, portable)(df)
     val img = Multimodal.withFeatures(df.select(col(idCol), col(binCol)),
@@ -82,15 +87,17 @@ object StreamingDedup {
     text.union(img)
   }
 
-  /** One ingest step: deduplicate `batch` within itself and against
-    * `index` ((id, block_key) rows of all previously admitted docs;
-    * None on the first batch). Returns (novel docs, their block keys)
-    * — both lazy scans over a scratch-materialized blocking of the
-    * batch, nothing left pinned. */
-  def processBatch(batch: DataFrame, index: Option[DataFrame],
-      idCol: String, blockRows: DataFrame => DataFrame)
+  /** The ingest step over an ALREADY-BLOCKED batch: `blocks` must be
+    * the (id, block_key) relation of exactly `batch`'s docs, already
+    * durable (scratch table / index partition) since the plan consumes
+    * it three times. Shared verbatim by the streaming ingester (via
+    * [[processBatch]], which blocks + scratch-materializes the arriving
+    * batch) and the batch fold (which blocks the whole corpus ONCE and
+    * slices — same per-doc keys, one materialization instead of one
+    * per batch). Returns (novel docs, their block keys), both lazy. */
+  def processBlockedBatch(batch: DataFrame, blocks: DataFrame,
+      index: Option[DataFrame], idCol: String)
       : (DataFrame, DataFrame) = {
-    val blocks = Lifecycle.materializeToScratch(blockRows(batch))
     val withinDup = blocks.alias("x").join(blocks.alias("y"),
         col("x.block_key") === col("y.block_key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -105,6 +112,17 @@ object StreamingDedup {
     val novel = batch.join(dupIds, Seq(idCol), "left_anti")
     (novel, blocks.join(dupIds, Seq(idCol), "left_anti"))
   }
+
+  /** One ingest step: deduplicate `batch` within itself and against
+    * `index` ((id, block_key) rows of all previously admitted docs;
+    * None on the first batch). Returns (novel docs, their block keys)
+    * — both lazy scans over a scratch-materialized blocking of the
+    * batch, nothing left pinned. */
+  def processBatch(batch: DataFrame, index: Option[DataFrame],
+      idCol: String, blockRows: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) =
+    processBlockedBatch(batch,
+      Lifecycle.materializeToScratch(blockRows(batch)), index, idCol)
 
   /** Index child directories by prefix, via the Hadoop FileSystem of
     * `indexPath` — NOT java.io.File, so the index works on any scheme
@@ -310,25 +328,42 @@ object StreamingDedup {
 
   /** Batch replay of the same semantics: assign every doc a batch via
     * `batchExpr` (values 0 until nBatches), fold the batches in order
-    * through [[processBatch]]. Returns (idCol, ingest_batch) of the
-    * admitted docs. Streaming-vs-fold equivalence is pinned by
-    * StreamingDedupSpec; the q80/q81 oracles replay this in SQL. */
+    * through [[processBlockedBatch]]. Returns (idCol, ingest_batch) of
+    * the admitted docs. Streaming-vs-fold equivalence is pinned by
+    * StreamingDedupSpec; the q80/q81 oracles replay this in SQL.
+    *
+    * Unlike the ingester — which must block each batch as it arrives —
+    * the fold sees the whole corpus up front, so it blocks every batch
+    * in ONE scratch materialization (per-doc blocking is
+    * batch-independent: blocking a slice ≡ slicing the blocked corpus)
+    * and per batch materializes only the tiny admitted-id set. That
+    * replaces the 2-per-batch corpus-scale scratch writes of the naive
+    * fold with one corpus write + n id writes; the index probe for
+    * batch k is a key join of the blocked corpus below k against the
+    * admitted ids — batch×index, never index×index, as before. */
   def incrementalDedupBlocked(docs: DataFrame, idCol: String,
       batchExpr: Column, nBatches: Int,
       blockRows: DataFrame => DataFrame): DataFrame = {
     val withB = Lifecycle.materializeToScratch(
       docs.withColumn("ingest_batch", batchExpr))
-    var index: Option[DataFrame] = None
+    val allBlocks = Lifecycle.materializeToScratch(
+      (0 until nBatches).map { k =>
+        blockRows(withB.filter(col("ingest_batch") === k))
+          .withColumn("__b", lit(k))
+      }.reduce(_ unionByName _))
+    var admitted: Option[DataFrame] = None // materialized (idCol) sets
     (0 until nBatches).map { k =>
-      val (novel, novelBlocks) = processBatch(
-        withB.filter(col("ingest_batch") === k), index, idCol, blockRows)
-      // only the block keys feed later batches — materialize those for
-      // the index; the per-batch novel outputs stay lazy (they are
-      // cheap joins over already-scratch-materialized blockings) and
-      // evaluate once in the final union
-      val nb = Lifecycle.materializeToScratch(novelBlocks)
-      index = Some(index.map(_.union(nb)).getOrElse(nb))
-      novel.select(col(idCol), col("ingest_batch"))
+      val batchK = withB.filter(col("ingest_batch") === k)
+      val blocksK = allBlocks.filter(col("__b") === k).drop("__b")
+      val index = admitted.map(ids =>
+        allBlocks.filter(col("__b") < k).drop("__b")
+          .join(ids, Seq(idCol)))
+      val (novel, _) = processBlockedBatch(batchK, blocksK, index, idCol)
+      val novelIds = Lifecycle.materializeToScratch(
+        novel.select(col(idCol)))
+      admitted = Some(admitted.map(_.union(novelIds)).getOrElse(novelIds))
+      batchK.join(novelIds, Seq(idCol), "left_semi")
+        .select(col(idCol), col("ingest_batch"))
     }.reduce(_ union _)
   }
 
