@@ -23,6 +23,9 @@ object IvfIndex {
     * `path/medoids` (deterministic medoid-by-min-id per cluster). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, path: String): Unit = {
+    // norm builds on the registered vector-dot expression — register
+    // here so build works as the first vector operation in a session
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     corpus.select(col(idCol), col(vecCol), col(clusterCol),
         Similarity.norm(col(vecCol)).as("__norm"))
       .write.mode("overwrite").partitionBy(clusterCol)
