@@ -38,7 +38,13 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try exec(fn, sfDir) catch { case _: Throwable => () }
+        // keep the suite running on a query failure, but NEVER silently:
+        // a swallowed crash reads as an impossibly fast time (the r5 q81
+        // registration bug hid exactly this way)
+        try exec(fn, sfDir) catch { case t: Throwable =>
+          System.err.println(s"BENCH ERROR $name: " +
+            s"${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       (name, times(1), times.head, times.last)

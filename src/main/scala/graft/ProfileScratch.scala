@@ -137,6 +137,65 @@ object ProfileScratch {
         timeBoth("high-dup", 2000L)
         timeBoth("near-unique", n / 2)
 
+      case "sdedup" =>
+        // Streaming-ingester scale smoke: N batches × M synthetic docs
+        // (~25% cross-batch near-dup rate) through StreamingDedup.start
+        // with auto-compaction every 5 batches. Reports wall, admitted
+        // counts, and the index directory layout — the measured
+        // evidence that a long-lived ingester's index stays bounded
+        // (generations + a handful of live partitions) instead of one
+        // parquet dir per micro-batch forever.
+        val nBatches = args.lift(1).map(_.toInt).getOrElse(20)
+        val perBatch = args.lift(2).map(_.toInt).getOrElse(20000)
+        val root = java.nio.file.Files.createTempDirectory("sdedup_scale")
+        val in = root.resolve("in"); val out = root.resolve("out")
+        val ix = root.resolve("ix"); val cp = root.resolve("cp")
+        java.nio.file.Files.createDirectories(in)
+        // doc i of batch b duplicates doc i of batch 0 when i%4==0
+        // (same text => same minhash bands, and batch 0's copy is the
+        // ADMITTED one, so every later batch really probes the index);
+        // others are unique prose
+        t("generate input files") {
+          (0 until nBatches).foreach { b =>
+            val sb = new StringBuilder
+            (0 until perBatch).foreach { i =>
+              val id = b.toLong * perBatch + i
+              val srcId = if (b > 0 && i % 4 == 0) i.toLong else id
+              val words = (0 until 30)
+                .map(w => s"w${(srcId * 31 + w * 7) % 999983}x$w")
+                .mkString(" ")
+              sb.append(s"""{"doc_id":$id,"text":"$words"}""").append('\n')
+            }
+            val p = in.resolve(f"batch$b%04d.json")
+            java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"))
+            p.toFile.setLastModified(1600000000000L + b * 60000L)
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        t(s"ingest $nBatches batches x $perBatch docs (compactEvery=5)") {
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(in.toString)
+          streaming.StreamingDedup.start(stream, "doc_id",
+            streaming.StreamingDedup.minHashBlocks("doc_id", "text"),
+            ix.toString, out.toString, cp.toString,
+            compactEvery = Some(5)).awaitTermination()
+        }
+        val admitted = spark.read.parquet(out.toString).count()
+        println(s"admitted $admitted / ${nBatches.toLong * perBatch} docs")
+        val dirs = ix.toFile.list().filterNot(_.startsWith("_")).sorted
+        println(s"index dirs (${dirs.length}): ${dirs.mkString(", ")}")
+        val ixRows = streaming.StreamingDedup
+          .readIndex(spark, ix.toString, Long.MaxValue).map(_.count())
+        println(s"index rows: $ixRows")
+        t("final full compaction")(
+          streaming.StreamingDedup.compactIndex(spark, ix.toString))
+        val dirs2 = ix.toFile.list().filterNot(_.startsWith("_")).sorted
+        println(s"index dirs post-compact (${dirs2.length}): ${dirs2.mkString(", ")}")
+
       case "query" =>
         // Generic single-query profiler: warmup at sf0.001, then two
         // timed noop-sink runs at $SPARK_GRAFT_SF_DIR.

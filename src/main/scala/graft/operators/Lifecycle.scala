@@ -153,6 +153,18 @@ private[graft] object Lifecycle {
       root: org.apache.hadoop.fs.Path): Boolean =
     p == root || p.toString.startsWith(root.toString.stripSuffix("/") + "/")
 
+  /** Whether `path` would be reclaimed by [[release]] — i.e. its
+    * FS-qualified form lives under [[scratchRoot]]. Durable outputs
+    * (dedup indexes, corpus dirs) must NOT be placed there; callers
+    * use this to fail loudly instead of silently losing data. */
+  def isUnderScratchRoot(spark: SparkSession, path: String): Boolean = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(scratchRoot(spark))
+    val root = rootPath.getFileSystem(hconf).makeQualified(rootPath)
+    val p = new org.apache.hadoop.fs.Path(path)
+    isUnder(p.getFileSystem(hconf).makeQualified(p), root)
+  }
+
   /** Retention policy for the scratch root: delete scratch tables older
     * than `ttlMillis`, then — oldest first — until the total size is
     * under `maxBytes`. The TTL/size hook for a long-lived service whose

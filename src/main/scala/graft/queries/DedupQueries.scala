@@ -235,10 +235,52 @@ object DedupQueries {
        |WHERE doc_id IN ($admitted)""".stripMargin
   }
 
+  /** q80's semantics through the REAL on-disk ingest path: each batch
+    * writes its novel docs and block keys as `ingest_batch=` partitions,
+    * probes the accumulated index via [[graft.streaming.StreamingDedup
+    * .readIndex]] (Hadoop-FS listing, generation-aware), the index is
+    * compacted into a `gen=` generation MID-RUN and the output corpus
+    * compacted at the end — so the driver's DuckDB gate covers the
+    * storage machinery (partition listing, crash-safe generation fold,
+    * mixed-layout [[graft.streaming.StreamingDedup.readCorpus]]), not
+    * just the in-memory fold q80 exercises. Same admitted set as q80
+    * by construction, checked against the same SQL replay. */
+  def ingestedDedupQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingDedup
+    val docs = Tables.documents(s, d)
+    // durable storage, NOT under Lifecycle.scratchRoot: the per-batch
+    // release() below frees the batch's scratch blocking by deleting
+    // every scanned root under the scratch root — an index parquet
+    // placed there would be reclaimed out from under later batches
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q82_").toString
+    val ix = s"$root/ix"; val out = s"$root/out"
+    val blocks: DataFrame => DataFrame =
+      StreamingDedup.minHashBlocks("doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, seed = 42L,
+        portable = true)
+    (0 until 4).foreach { k =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === k)
+      val (novel, novelBlocks) = StreamingDedup.processBatch(batch,
+        StreamingDedup.readIndex(s, ix, k), "doc_id", blocks)
+      novel.write.mode("overwrite").parquet(s"$out/ingest_batch=$k")
+      novelBlocks.write.mode("overwrite").parquet(s"$ix/ingest_batch=$k")
+      graft.operators.Lifecycle.release(novelBlocks)
+      // compact committed batches 0-1 into gen=2: batch 3's probe then
+      // reads a generation PLUS a live partition (the mixed layout)
+      if (k == 2) StreamingDedup.compactIndex(s, ix)
+    }
+    StreamingDedup.compactOutput(s, out)
+    StreamingDedup.readCorpus(s, out).get
+      .select(col("doc_id"),
+        col("ingest_batch").cast("int").as("ingest_batch"))
+  }
+
   def all: Seq[Q] = Seq(
     Q("q19_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q20_minhash_lsh", minHashLsh, Some(minHashLshSql)),
     Q("q21_simhash", simHash, Some(simHashSql)),
     Q("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
-    Q("q80_incremental_dedup", incrementalDedupQ, Some(incrementalDedupSql)))
+    Q("q80_incremental_dedup", incrementalDedupQ, Some(incrementalDedupSql)),
+    Q("q82_ingested_dedup", ingestedDedupQ, Some(incrementalDedupSql)))
 }

@@ -287,7 +287,17 @@ object StreamingDedup {
       blockRows: DataFrame => DataFrame, indexPath: String,
       outPath: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Option[Int] = None): StreamingQuery =
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    // the per-batch scratch release below deletes every scanned root
+    // under Lifecycle.scratchRoot — a durable index/output placed there
+    // would be reclaimed out from under later batches and duplicates
+    // silently admitted. Fail loudly instead.
+    Seq("indexPath" -> indexPath, "outPath" -> outPath).foreach {
+      case (what, p) =>
+        require(!Lifecycle.isUnderScratchRoot(docs.sparkSession, p),
+          s"$what ($p) must not live under the scratch root: " +
+            "per-batch scratch release would reclaim it")
+    }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -309,6 +319,7 @@ object StreamingDedup {
         ()
       }
       .start()
+  }
 
   /** [[start]] with the default text MinHash blocking (q80 shape). */
   def start(docs: DataFrame, idCol: String, textCol: String,

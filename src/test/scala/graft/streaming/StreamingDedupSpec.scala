@@ -317,4 +317,30 @@ class StreamingDedupSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet
     assert(got == Set(20L -> 0, 22L -> 0, 24L -> 0))
   }
+
+  test("ingester refuses an index or output path under the scratch root") {
+    // the per-batch scratch release deletes every scanned root under
+    // Lifecycle.scratchRoot; a durable index there would be reclaimed
+    // mid-stream and duplicates silently admitted — must fail loudly
+    val in = java.nio.file.Files.createTempDirectory("sgrd_in").toString
+    val cp = java.nio.file.Files.createTempDirectory("sgrd_cp").toString
+    val ok = java.nio.file.Files.createTempDirectory("sgrd_ok").toString
+    writeBatchFiles(in, 0 until 1)
+    val bad = graft.operators.Lifecycle.scratchRoot(spark) + "/ix"
+    val docs = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").json(in)
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.start(docs, "doc_id",
+        StreamingDedup.minHashBlocks("doc_id", "text") _, bad, ok, cp)
+    }
+    assert(e.getMessage.contains("scratch root"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingDedup.start(docs, "doc_id",
+        StreamingDedup.minHashBlocks("doc_id", "text") _, ok,
+        // scheme-qualified spelling of the same scratch location must
+        // be caught too (release qualifies paths before comparing)
+        "file:" + graft.operators.Lifecycle.scratchRoot(spark) + "/out", cp)
+    }
+    assert(e2.getMessage.contains("scratch root"))
+  }
 }
