@@ -196,6 +196,46 @@ object ProfileScratch {
         val dirs2 = ix.toFile.list().filterNot(_.startsWith("_")).sorted
         println(s"index dirs post-compact (${dirs2.length}): ${dirs2.mkString(", ")}")
 
+      case "ann" =>
+        // ANN-at-scale smoke: N synthetic 64-d embeddings with planted
+        // cluster structure (center[c] + per-id noise) → IvfIndex.build
+        // (partitioned-by-cluster corpus + medoid routing table) →
+        // probed top-k at increasing nprobe. The evidence: build cost,
+        // and probe wall tracking nprobe/nclusters (partition pruning
+        // makes the scan fraction, not the corpus, the cost driver).
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val nclusters = args.lift(2).map(_.toInt).getOrElse(256)
+        val dim = 64
+        val root = java.nio.file.Files.createTempDirectory("ann_scale")
+        val corpus = spark.range(n).select(
+          col("id").as("vec_id"),
+          pmod(col("id"), lit(nclusters)).cast("int").as("label"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (sin(pmod(col("id"), lit(nclusters)) * lit(31) + j) +
+              sin(col("id") * lit(131) + j * lit(17)) / lit(10))
+              .cast("float")).as("embedding"))
+        val ixPath = root.resolve("ivf").toString
+        t(s"build IVF index: $n vecs x ${dim}d, $nclusters clusters") {
+          operators.IvfIndex.build(corpus, "vec_id", "embedding",
+            "label", ixPath)
+        }
+        val index = operators.IvfIndex.load(spark, ixPath, "vec_id",
+          "embedding", "label")
+        // cluster-LOCAL query batch (all from cluster 0): the probed
+        // union stays ~nprobe clusters, so the wall measures the
+        // partition-pruned scan fraction. A vec_id<1000 batch would
+        // touch every cluster and never prune regardless of nprobe.
+        val queries = corpus
+          .filter(pmod(col("vec_id"), lit(nclusters)) === 0)
+          .filter(col("vec_id") < 1000L * nclusters)
+        Seq(1, 4, 16).foreach { nprobe =>
+          val rows = t(s"topK k=10 nprobe=$nprobe (1000 cluster-local queries)") {
+            operators.IvfIndex.topK(index, queries, k = 10,
+              nprobe = nprobe).count()
+          }
+          println(s"  -> $rows result rows")
+        }
+
       case "query" =>
         // Generic single-query profiler: warmup at sf0.001, then two
         // timed noop-sink runs at $SPARK_GRAFT_SF_DIR.

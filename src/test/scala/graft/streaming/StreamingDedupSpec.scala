@@ -318,6 +318,69 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Set(20L -> 0, 22L -> 0, 24L -> 0))
   }
 
+  test("on-disk ingest ≡ fold under arbitrary compaction schedules (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int, seed0: Long): Seq[A] = {
+      var seed = Seed(seed0)
+      (0 until n).map { _ =>
+        val v = g.apply(Gen.Parameters.default, seed).get
+        seed = seed.next; v
+      }
+    }
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val gTrial = for {
+      n <- Gen.choose(16, 36)
+      nB <- Gen.choose(3, 5)
+      base <- Gen.listOfN(n, for {
+        len <- Gen.choose(3, 9)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+      // ~1/3 of docs clone an earlier doc's text → genuine cross- and
+      // within-batch duplicates under every batch assignment
+      clones <- Gen.listOfN(n, Gen.option(Gen.choose(0, n - 1)))
+      compactIx <- Gen.listOfN(nB, Gen.oneOf(true, false, false))
+      compactOut <- Gen.listOfN(nB, Gen.oneOf(true, false, false))
+    } yield {
+      val texts = base.zip(clones).zipWithIndex.map {
+        case ((t, Some(src)), i) if src < i && i % 3 == 0 => base(src)
+        case ((t, _), _) => t
+      }
+      (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+        nB, compactIx, compactOut)
+    }
+    val blockFn: DataFrame => DataFrame =
+      StreamingDedup.minHashBlocks("doc_id", "text")
+    samples(gTrial, 4, 1234L).zipWithIndex.foreach {
+      case ((docs, nB, compactIx, compactOut), trial) =>
+        val df = docs.toDF("doc_id", "text")
+        val expect = StreamingDedup.incrementalDedupBlocked(df, "doc_id",
+          pmod(col("doc_id"), lit(nB)).cast("int"), nB, blockFn)
+          .as[(Long, Int)].collect().toSet
+        val root = java.nio.file.Files.createTempDirectory(s"sprop$trial")
+        val ix = root.resolve("ix").toString
+        val out = root.resolve("out").toString
+        (0 until nB).foreach { k =>
+          val batch = df.filter(pmod(col("doc_id"), lit(nB)) === k)
+          val (novel, novelBlocks) = StreamingDedup.processBatch(batch,
+            StreamingDedup.readIndex(spark, ix, k), "doc_id", blockFn)
+          novel.write.mode("overwrite").parquet(s"$out/ingest_batch=$k")
+          novelBlocks.write.mode("overwrite")
+            .parquet(s"$ix/ingest_batch=$k")
+          graft.operators.Lifecycle.release(novelBlocks)
+          if (compactIx(k)) StreamingDedup.compactIndex(spark, ix)
+          if (compactOut(k)) StreamingDedup.compactOutput(spark, out)
+        }
+        val got = StreamingDedup.readCorpus(spark, out).get
+          .select(col("doc_id"), col("ingest_batch").cast("int"))
+          .as[(Long, Int)].collect().toSet
+        assert(got == expect,
+          s"trial $trial (nB=$nB ix=$compactIx out=$compactOut): " +
+            s"extra=${got -- expect} missing=${expect -- got}")
+    }
+  }
+
   test("ingester refuses an index or output path under the scratch root") {
     // the per-batch scratch release deletes every scanned root under
     // Lifecycle.scratchRoot; a durable index there would be reclaimed
