@@ -109,9 +109,28 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, rank, similarity FROM r
        |WHERE rank <= 5""".stripMargin
 
+  /** q44's semantics through the PERSISTED index: `IvfIndex.build`
+    * (corpus partitioned by cluster with precomputed norms + medoid
+    * routing table on disk) → `load` → `topK`, the build-once/query-
+    * many ANN lifecycle. The cluster filter is a literal predicate,
+    * so the vectors scan prunes unprobed partitions (spec-pinned plan
+    * shape); results must match the same DuckDB replay as the
+    * unindexed multi-probe. */
+  def knnIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q83_").toString
+    IvfIndex.build(emb, "vec_id", "embedding", "label", path)
+    IvfIndex.topK(
+      IvfIndex.load(s, path, "vec_id", "embedding", "label"),
+      emb.filter(col("vec_id") < 20), k = 5, nprobe = 2)
+  }
+
   def all: Seq[Q] = Seq(
     Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
     Q("q22_knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
     Q("q23_knn_ivf", knnIvf, Some(knnIvfSql)),
-    Q("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)))
+    Q("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
+    Q("q83_knn_ivf_persisted", knnIvfPersisted, Some(knnIvfProbedSql)))
 }
