@@ -59,6 +59,24 @@ object StreamingDedup {
         col("band_hash")).as("block_key"))
   }
 
+  /** SimHash banded blocking: `s:<band_idx>:<band_val>` over 4 bands
+    * of the vote-signature (pigeonhole: signatures within Hamming ≤3
+    * share ≥1 exact band). Same (id, block_key) contract as
+    * [[minHashBlocks]]/[[fusedBlocks]]; null-text docs carry no keys
+    * (simHashSignatures drops the NULL shingle), so they join no
+    * near-dup relation, as everywhere else. */
+  def simHashBlocks(idCol: String, textCol: String, shingleN: Int = 3,
+      portable: Boolean = false)(df: DataFrame): DataFrame = {
+    val nBits = if (portable) 60 else 64
+    val bandBits = nBits / 4
+    val mask = (1L << bandBits) - 1
+    Dedup.simHashSignatures(df, idCol, textCol, shingleN, portable)
+      .select(col(idCol), posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .select(col(idCol), concat_ws(":", lit("s"), col("pos"),
+        col("col")).as("block_key"))
+  }
+
   /** Multimodal fused blocking: text MinHash bands ∪ image hyperplane
     * buckets (`i:<bucket>` over [[Multimodal.withFeatures]] embeddings)
     * — a pair is a candidate when EITHER modality collides, catching

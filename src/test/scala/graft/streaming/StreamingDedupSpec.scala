@@ -318,6 +318,31 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Set(20L -> 0, 22L -> 0, 24L -> 0))
   }
 
+  test("simhash blocking: streaming ingester equals the fold") {
+    val blockFn: DataFrame => DataFrame =
+      StreamingDedup.simHashBlocks("doc_id", "text")
+    val docs = mkDocs.toDF("doc_id", "text")
+    val expected = StreamingDedup.incrementalDedupBlocked(docs, "doc_id",
+      pmod(col("doc_id"), lit(4)).cast("int"), 4, blockFn)
+      .as[(Long, Int)].collect().toSet
+    // identical texts share the signature exactly → every dup group
+    // must collapse to its first-seen member, like the minhash fold
+    assert(expected.map(_._1).intersect(Set(4L, 9L, 7L, 6L)).isEmpty)
+    val in = java.nio.file.Files.createTempDirectory("ssh_in").toString
+    val out = java.nio.file.Files.createTempDirectory("ssh_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("ssh_ix").toString
+    val cp = java.nio.file.Files.createTempDirectory("ssh_cp").toString
+    writeBatchFiles(in)
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    StreamingDedup.start(stream, "doc_id", blockFn, ix, out, cp)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == expected)
+  }
+
   test("on-disk ingest ≡ fold under arbitrary compaction schedules (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
