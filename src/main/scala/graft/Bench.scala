@@ -24,7 +24,14 @@ object Bench {
     // isolating whether a query's in-suite cost comes from a
     // predecessor's storage still draining (the r4→r5 q20 question).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a misspelled name would silently bench nothing — fail loudly
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not registered: ${unknown.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but empty")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val warmupDir = "/root/testdata/sf0.001"

@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     // optional trailing query names = builder-side subset iteration;
-    // the driver's 2-arg invocation dumps everything as before
+    // the driver's 2-arg invocation dumps everything as before. A
+    // misspelled name would silently dump nothing — fail loudly.
     val only = rest.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query names: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

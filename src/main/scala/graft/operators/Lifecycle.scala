@@ -180,21 +180,45 @@ private[graft] object Lifecycle {
   def pruneScratch(spark: SparkSession, ttlMillis: Long,
       maxBytes: Long = Long.MaxValue): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
-    val rootPath = new org.apache.hadoop.fs.Path(scratchRoot(spark))
+    // janitor scope: for a caller-owned `graft.scratch.dir` prune the
+    // CONFIGURED root — scratch tables of every application (the appId
+    // namespacing means previous/crashed runs leave subtrees the
+    // current app's own root would never see, and "grows without
+    // bound" is exactly what this method exists to prevent). TTL is
+    // the live-data guard, same as any shared-cluster scratch janitor.
+    // The tmpdir default stays per-app (each run registers its own
+    // exit cleanup).
+    val conf = spark.conf.get("graft.scratch.dir", "")
+    val rootPath = new org.apache.hadoop.fs.Path(
+      if (conf.nonEmpty) conf else scratchRoot(spark))
     val fs = rootPath.getFileSystem(hconf)
     if (!fs.exists(rootPath)) return
     val now = System.currentTimeMillis()
-    val entries = fs.listStatus(rootPath).toSeq.map { st =>
-      (st.getPath, st.getModificationTime,
-        fs.getContentSummary(st.getPath).getLength)
-    }
+    // entries = scratch tables: <root>/<appId>/<table> for the
+    // configured layout, <root>/<table> for the tmpdir default
+    val entries = fs.listStatus(rootPath).toSeq.flatMap { st =>
+      if (conf.nonEmpty && st.isDirectory) fs.listStatus(st.getPath).toSeq
+      else Seq(st)
+    }.map(st => (st.getPath, st.getModificationTime))
     val (expired, kept) = entries.partition {
-      case (_, mtime, _) => now - mtime > ttlMillis
+      case (_, mtime) => now - mtime > ttlMillis
     }
-    expired.foreach { case (p, _, _) => fs.delete(p, true) }
-    var total = kept.map(_._3).sum
-    kept.sortBy(_._2).foreach { case (p, _, bytes) =>
-      if (total > maxBytes) { fs.delete(p, true); total -= bytes }
+    expired.foreach { case (p, _) => fs.delete(p, true) }
+    // sizes are a full recursive stat per table (expensive on object
+    // stores) — only computed when a size cap is actually set
+    if (maxBytes < Long.MaxValue) {
+      val sized = kept.map { case (p, mtime) =>
+        (p, mtime, fs.getContentSummary(p).getLength) }
+      var total = sized.map(_._3).sum
+      sized.sortBy(_._2).foreach { case (p, _, bytes) =>
+        if (total > maxBytes) { fs.delete(p, true); total -= bytes }
+      }
     }
+    // empty appId namespaces left after table pruning are litter
+    if (conf.nonEmpty)
+      fs.listStatus(rootPath).toSeq.foreach { st =>
+        if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
+          fs.delete(st.getPath, true)
+      }
   }
 }

@@ -252,8 +252,7 @@ object DedupQueries {
     // release() below frees the batch's scratch blocking by deleting
     // every scanned root under the scratch root — an index parquet
     // placed there would be reclaimed out from under later batches
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_q82_").toString
+    val root = tempWorkDir("graft_q82_")
     val ix = s"$root/ix"; val out = s"$root/out"
     val blocks: DataFrame => DataFrame =
       StreamingDedup.minHashBlocks("doc_id", "text",

@@ -119,8 +119,7 @@ object SimilarityQueries {
   def knnIvfPersisted(s: SparkSession, d: String): DataFrame = {
     import graft.operators.IvfIndex
     val emb = Tables.embeddings(s, d)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q83_").toString
+    val path = tempWorkDir("graft_q83_")
     IvfIndex.build(emb, "vec_id", "embedding", "label", path)
     IvfIndex.topK(
       IvfIndex.load(s, path, "vec_id", "embedding", "label"),

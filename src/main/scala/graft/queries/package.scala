@@ -27,4 +27,29 @@ package object queries {
   def asDollars(sumCents: Column): Column = sumCents.cast("double") / 100.0
 
   def sqlCents(expr: String): String = s"CAST(round(($expr)*100,0) AS BIGINT)"
+
+  /** Fresh durable-on-purpose working directory for queries that
+    * exercise on-disk machinery (q82's dedup index, q83's IVF index),
+    * deleted recursively at JVM exit. NOT under Lifecycle.scratchRoot —
+    * those queries release scratch mid-run, and anything under the
+    * scratch root would be reclaimed out from under them. One static
+    * shutdown hook drains the queue: repeated invocations (bench runs
+    * each query 4×; long-lived sessions more) must not accumulate one
+    * hook Thread per call. */
+  private val workDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val workDirHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      workDirs.forEach { p =>
+        try {
+          import java.nio.file.{Files, Path}
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }))
+  private[queries] def tempWorkDir(prefix: String): String = {
+    workDirHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    workDirs.add(p)
+    p.toString
+  }
 }

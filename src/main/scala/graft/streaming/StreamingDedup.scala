@@ -156,6 +156,25 @@ object StreamingDedup {
       .map(s => (s.getPath.getName.stripPrefix(prefix).toLong, s.getPath))
   }
 
+  /** `gen=` directories that finished their job commit (`_SUCCESS`
+    * present). A crash mid-compaction leaves a TORN generation; reading
+    * it would shadow the still-present batch partitions it claims to
+    * cover — either wedging the stream on a _temporary-only dir or
+    * silently admitting duplicates from a partial key set. Readers and
+    * the covered-boundary computation use only committed generations;
+    * torn ones are invisible (and get overwritten/reclaimed by the next
+    * compaction, which lists ALL gen dirs for deletion). */
+  private def committedGens(spark: SparkSession, path: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val all = listIndexDirs(spark, path, "gen=")
+    if (all.isEmpty) all
+    else {
+      val fs = all.head._2.getFileSystem(spark.sessionState.newHadoopConf())
+      all.filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+    }
+  }
+
   /** Block-key index accumulated by batches strictly below
     * `beforeBatch`; None when no batch has committed yet. Reads the
     * newest generation file ≤ `beforeBatch` (see [[compactIndex]]) plus
@@ -166,7 +185,7 @@ object StreamingDedup {
     * admitted every duplicate. */
   def readIndex(spark: SparkSession, indexPath: String,
       beforeBatch: Long): Option[DataFrame] = {
-    val gens = listIndexDirs(spark, indexPath, "gen=")
+    val gens = committedGens(spark, indexPath)
       .filter(_._1 <= beforeBatch)
     val gen = if (gens.isEmpty) None else Some(gens.maxBy(_._1))
     val covered = gen.map(_._1).getOrElse(Long.MinValue)
@@ -195,16 +214,21 @@ object StreamingDedup {
     * which is always safe — every batch below it has committed. */
   def compactIndex(spark: SparkSession, indexPath: String,
       upTo: Long): Unit = {
+    // sources come from COMMITTED generations only (a torn gen from a
+    // crashed compaction must not supply data or move the covered
+    // boundary); the deletion list below includes torn gens so they
+    // are reclaimed once a new generation commits over them
     val oldGens = listIndexDirs(spark, indexPath, "gen=")
       .filter(_._1 < upTo)
-    val covered = oldGens.map(_._1).maxOption.getOrElse(Long.MinValue)
+    val goodGens = committedGens(spark, indexPath).filter(_._1 < upTo)
+    val covered = goodGens.map(_._1).maxOption.getOrElse(Long.MinValue)
     val allBatches = listIndexDirs(spark, indexPath, "ingest_batch=")
       .filter(_._1 < upTo)
     // read only what the newest generation doesn't cover; batch dirs
     // BELOW it are crash leftovers readIndex already ignores — they
     // are reclaimed (deleted) but never re-read (no duplication)
     val batches = allBatches.filter(_._1 >= covered)
-    val srcs = (oldGens.filter(_._1 == covered) ++ batches).map(_._2.toString)
+    val srcs = (goodGens.filter(_._1 == covered) ++ batches).map(_._2.toString)
     if (srcs.nonEmpty) {
       // no explicit coalesce: the scan packs small fragments into
       // ~maxPartitionBytes-sized read splits, so the write comes out
@@ -224,17 +248,21 @@ object StreamingDedup {
     listIndexDirs(spark, indexPath, "ingest_batch=").map(_._1).maxOption
       .foreach(maxB => compactIndex(spark, indexPath, maxB))
 
-  /** The admitted corpus under `outPath`, whatever mix of per-batch
-    * partitions and [[compactOutput]] generations is present, with the
-    * `ingest_batch` column intact. None before the first commit. */
-  def readCorpus(spark: SparkSession, outPath: String): Option[DataFrame] = {
-    val gens = listIndexDirs(spark, outPath, "gen=")
+  /** One assembly of the mixed `gen=`/`ingest_batch=` corpus layout,
+    * bounded by `upTo` (exclusive; Long.MaxValue = everything): newest
+    * COMMITTED generation + the live partitions it does not cover.
+    * Generations carry `ingest_batch` as data; live partitions get it
+    * from the directory name via basePath partition discovery. Shared
+    * by [[readCorpus]] and [[compactOutput]] so the layout rules (the
+    * covered boundary, the torn-generation filter, the cast) live in
+    * exactly one place. */
+  private def assembleCorpus(spark: SparkSession, outPath: String,
+      upTo: Long): Option[DataFrame] = {
+    val gens = committedGens(spark, outPath).filter(_._1 < upTo)
     val gen = if (gens.isEmpty) None else Some(gens.maxBy(_._1))
     val covered = gen.map(_._1).getOrElse(Long.MinValue)
     val batches = listIndexDirs(spark, outPath, "ingest_batch=")
-      .filter(_._1 >= covered)
-    // generations carry ingest_batch as data; live partitions get it
-    // from the directory name via basePath partition discovery
+      .filter { case (b, _) => b >= covered && b < upTo }
     val genDf = gen.map { case (_, p) => spark.read.parquet(p.toString)
       .withColumn("ingest_batch", col("ingest_batch").cast("long")) }
     val batchDf =
@@ -248,6 +276,12 @@ object StreamingDedup {
     }
   }
 
+  /** The admitted corpus under `outPath`, whatever mix of per-batch
+    * partitions and [[compactOutput]] generations is present, with the
+    * `ingest_batch` column intact. None before the first commit. */
+  def readCorpus(spark: SparkSession, outPath: String): Option[DataFrame] =
+    assembleCorpus(spark, outPath, Long.MaxValue)
+
   /** Output-side analog of [[compactIndex]]: folds committed
     * `ingest_batch=` corpus partitions strictly below `upTo` into a
     * `gen=<upTo>` generation (the `ingest_batch` column is
@@ -255,31 +289,18 @@ object StreamingDedup {
     * then deletes what it covered. Same crash-safety argument and the
     * same replay rule: `upTo` ≤ highest committed batch id + 1. */
   def compactOutput(spark: SparkSession, outPath: String,
-      upTo: Long): Unit = {
-    val oldGens = listIndexDirs(spark, outPath, "gen=").filter(_._1 < upTo)
-    val covered = oldGens.map(_._1).maxOption.getOrElse(Long.MinValue)
-    val allBatches = listIndexDirs(spark, outPath, "ingest_batch=")
-      .filter(_._1 < upTo)
-    val batches = allBatches.filter(_._1 >= covered)
-    val genDf = oldGens.filter(_._1 == covered).headOption.map {
-      case (_, p) => spark.read.parquet(p.toString)
-        .withColumn("ingest_batch", col("ingest_batch").cast("long")) }
-    val batchDf =
-      if (batches.isEmpty) None
-      else Some(spark.read.option("basePath", outPath)
-        .parquet(batches.map(_._2.toString): _*)
-        .withColumn("ingest_batch", col("ingest_batch").cast("long")))
-    val all = (genDf, batchDf) match {
-      case (Some(g), Some(b)) => Some(g.unionByName(b))
-      case (g, b)             => g.orElse(b)
-    }
-    all.foreach { df =>
+      upTo: Long): Unit =
+    assembleCorpus(spark, outPath, upTo).foreach { df =>
       df.write.mode("overwrite").parquet(s"$outPath/gen=$upTo")
+      // deletion covers torn generations too (assembleCorpus never
+      // read them; now that a committed gen=upTo supersedes them they
+      // are reclaimable litter)
       val fs = new org.apache.hadoop.fs.Path(outPath)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      (oldGens ++ allBatches).foreach { case (_, p) => fs.delete(p, true) }
+      (listIndexDirs(spark, outPath, "gen=").filter(_._1 < upTo) ++
+        listIndexDirs(spark, outPath, "ingest_batch=").filter(_._1 < upTo))
+        .foreach { case (_, p) => fs.delete(p, true) }
     }
-  }
 
   /** [[compactOutput]] below the highest corpus partition present. */
   def compactOutput(spark: SparkSession, outPath: String): Unit =
@@ -316,6 +337,9 @@ object StreamingDedup {
           s"$what ($p) must not live under the scratch root: " +
             "per-batch scratch release would reclaim it")
     }
+    compactEvery.foreach(n => require(n > 0,
+      s"compactEvery must be positive, got $n (0 would divide by zero " +
+        "inside the batch hook; negative never compacts)"))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -201,6 +201,27 @@ class PersistLifecycleSpec extends SparkSpec {
     } finally spark.conf.unset("graft.scratch.dir")
   }
 
+  test("pruneScratch reclaims previous applications' namespaces under a shared root") {
+    // the appId namespacing means a restarted service leaves its old
+    // run's subtree behind; the janitor must prune the CONFIGURED
+    // root across appIds, or the shared scratch dir grows forever
+    val owned = java.nio.file.Files.createTempDirectory("prune_xapp")
+    spark.conf.set("graft.scratch.dir", owned.toString)
+    try {
+      val mine = Lifecycle.materializeToScratch(spark.range(10).toDF("id"))
+      val dead = owned.resolve("application_000_dead/m1")
+      java.nio.file.Files.createDirectories(dead)
+      java.nio.file.Files.write(dead.resolve("part-0.parquet"),
+        Array[Byte](1, 2, 3))
+      val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+      dead.toFile.setLastModified(old)
+      Lifecycle.pruneScratch(spark, ttlMillis = 3600 * 1000L)
+      assert(!dead.toFile.exists(), "dead app's scratch table survived")
+      assert(!dead.getParent.toFile.exists(), "empty dead namespace survived")
+      assert(mine.count() == 10, "live app's fresh scratch was pruned")
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
   test("the reflected private[sql] surface resolves on the bundled Spark") {
     // Lifecycle also asserts this at class load; the spec names the
     // same members so a Spark upgrade fails here with a clear message

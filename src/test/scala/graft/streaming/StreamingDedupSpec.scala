@@ -318,6 +318,42 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Set(20L -> 0, 22L -> 0, 24L -> 0))
   }
 
+  test("a torn generation (no _SUCCESS) is invisible to readers and reclaimed by compaction") {
+    // crash window: compactIndex dies mid gen write → a gen= dir with
+    // task files but no _SUCCESS. Trusting it would shadow the live
+    // batch partitions it claims to cover (silent duplicate admission
+    // after restart); it must be ignored on read and cleaned up once a
+    // real generation commits
+    val in = java.nio.file.Files.createTempDirectory("storn_in").toString
+    val out = java.nio.file.Files.createTempDirectory("storn_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("storn_ix").toString
+    val cp = java.nio.file.Files.createTempDirectory("storn_cp").toString
+    writeBatchFiles(in, 0 until 2)
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    StreamingDedup.start(stream, "doc_id", "text", ix, out, cp)
+      .awaitTermination()
+    val before = StreamingDedup.readIndex(spark, ix, 2).get
+      .as[(Long, String)].collect().toSet
+    // simulate the torn gen=1: parquet-ish litter, no _SUCCESS marker
+    val torn = java.nio.file.Paths.get(ix, "gen=1")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52, 0x31))
+    assert(StreamingDedup.readIndex(spark, ix, 2).get
+      .as[(Long, String)].collect().toSet == before,
+      "torn generation leaked into readIndex")
+    // a real compaction overwrites the torn dir with a COMMITTED
+    // generation (same gen number → mode("overwrite") replaces it)
+    StreamingDedup.compactIndex(spark, ix)
+    assert(torn.resolve("_SUCCESS").toFile.exists(),
+      "compaction did not leave a committed generation")
+    assert(!torn.resolve("part-00000.parquet").toFile.exists(),
+      "torn litter survived the overwrite")
+    assert(StreamingDedup.readIndex(spark, ix, 2).get
+      .as[(Long, String)].collect().toSet == before)
+  }
+
   test("simhash blocking: streaming ingester equals the fold") {
     val blockFn: DataFrame => DataFrame =
       StreamingDedup.simHashBlocks("doc_id", "text")
