@@ -80,10 +80,13 @@ private[graft] object Lifecycle {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
   /** Runs `df`'s job now, storing the result as a scratch parquet
     * table, and returns a plain scan of that table: no pinned blocks,
@@ -177,8 +180,14 @@ private[graft] object Lifecycle {
     * live frames — it prunes by age, exactly like a shared-cluster
     * scratch janitor. Goes through the Hadoop FileSystem, so it works
     * on any scheme. */
+  /** Scratch tables are always named `m<N>` ([[materializeToScratch]]'s
+    * counter); the janitor touches ONLY such entries, so a shared root
+    * holding other tools' content is safe. */
+  private val ScratchTableName = "^m\\d+$".r
+
   def pruneScratch(spark: SparkSession, ttlMillis: Long,
-      maxBytes: Long = Long.MaxValue): Unit = {
+      maxBytes: Long = Long.MaxValue,
+      sizeCapMinAgeMillis: Long = 15 * 60 * 1000L): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     // janitor scope: for a caller-owned `graft.scratch.dir` prune the
     // CONFIGURED root — scratch tables of every application (the appId
@@ -194,31 +203,44 @@ private[graft] object Lifecycle {
     val fs = rootPath.getFileSystem(hconf)
     if (!fs.exists(rootPath)) return
     val now = System.currentTimeMillis()
-    // entries = scratch tables: <root>/<appId>/<table> for the
-    // configured layout, <root>/<table> for the tmpdir default
+    // entries = scratch tables: <root>/<appId>/m<N> for the configured
+    // layout, <root>/m<N> for the tmpdir default. Only m<N>-named dirs
+    // are graft's to delete.
     val entries = fs.listStatus(rootPath).toSeq.flatMap { st =>
       if (conf.nonEmpty && st.isDirectory) fs.listStatus(st.getPath).toSeq
       else Seq(st)
-    }.map(st => (st.getPath, st.getModificationTime))
+    }.filter(st => st.isDirectory &&
+        ScratchTableName.matches(st.getPath.getName))
+      .map(st => (st.getPath, st.getModificationTime))
     val (expired, kept) = entries.partition {
       case (_, mtime) => now - mtime > ttlMillis
     }
     expired.foreach { case (p, _) => fs.delete(p, true) }
     // sizes are a full recursive stat per table (expensive on object
-    // stores) — only computed when a size cap is actually set
+    // stores) — only computed when a size cap is actually set. The cap
+    // pass never touches tables younger than `sizeCapMinAgeMillis`:
+    // with the cross-app scope, a seconds-old table may be another
+    // live application's in-flight intermediate.
     if (maxBytes < Long.MaxValue) {
       val sized = kept.map { case (p, mtime) =>
         (p, mtime, fs.getContentSummary(p).getLength) }
       var total = sized.map(_._3).sum
-      sized.sortBy(_._2).foreach { case (p, _, bytes) =>
-        if (total > maxBytes) { fs.delete(p, true); total -= bytes }
+      sized.sortBy(_._2).foreach { case (p, mtime, bytes) =>
+        if (total > maxBytes && now - mtime > sizeCapMinAgeMillis) {
+          fs.delete(p, true); total -= bytes
+        }
       }
     }
-    // empty appId namespaces left after table pruning are litter
+    // empty appId namespaces left after table pruning are litter.
+    // NON-recursive delete: it fails (harmlessly) if a concurrently
+    // starting application just wrote its first table in between the
+    // emptiness check and the delete — a recursive delete here would
+    // race and destroy live data.
     if (conf.nonEmpty)
       fs.listStatus(rootPath).toSeq.foreach { st =>
         if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
-          fs.delete(st.getPath, true)
+          try fs.delete(st.getPath, false)
+          catch { case _: java.io.IOException => () }
       }
   }
 }

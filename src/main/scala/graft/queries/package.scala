@@ -40,11 +40,8 @@ package object queries {
   private lazy val workDirHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       workDirs.forEach { p =>
-        try {
-          import java.nio.file.{Files, Path}
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-        } catch { case _: Throwable => () }
+        try graft.operators.Lifecycle.deleteRecursively(p)
+        catch { case _: Throwable => () }
       }))
   private[queries] def tempWorkDir(prefix: String): String = {
     workDirHook

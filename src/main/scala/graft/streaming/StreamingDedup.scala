@@ -156,24 +156,45 @@ object StreamingDedup {
       .map(s => (s.getPath.getName.stripPrefix(prefix).toLong, s.getPath))
   }
 
-  /** `gen=` directories that finished their job commit (`_SUCCESS`
-    * present). A crash mid-compaction leaves a TORN generation; reading
-    * it would shadow the still-present batch partitions it claims to
-    * cover — either wedging the stream on a _temporary-only dir or
-    * silently admitting duplicates from a partial key set. Readers and
-    * the covered-boundary computation use only committed generations;
-    * torn ones are invisible (and get overwritten/reclaimed by the next
-    * compaction, which lists ALL gen dirs for deletion). */
-  private def committedGens(spark: SparkSession, path: String)
-      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
-    val all = listIndexDirs(spark, path, "gen=")
-    if (all.isEmpty) all
+  /** Our own commit marker, written AFTER a generation's parquet job
+    * finishes and BEFORE covered partitions are deleted. Deliberately
+    * not `_SUCCESS`: deployments commonly disable Spark's marker on
+    * object stores (`mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    * false`), and trusting a marker that might be configured away would
+    * turn every committed generation invisible — compaction would then
+    * delete the covered partitions and silently lose the index. Either
+    * marker is accepted on read (generations written before this marker
+    * existed carry only `_SUCCESS`). */
+  private val CommitMarker = "_GRAFT_COMMITTED"
+
+  private def markCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: org.apache.hadoop.fs.Path): Unit =
+    fs.create(new org.apache.hadoop.fs.Path(genDir, CommitMarker), true)
+      .close()
+
+  /** `gen=` directories whose commit finished (our marker or Spark's
+    * `_SUCCESS`). A crash mid-compaction leaves a TORN generation;
+    * reading it would shadow the still-present batch partitions it
+    * claims to cover — either wedging the stream on a _temporary-only
+    * dir or silently admitting duplicates from a partial key set.
+    * Readers and the covered-boundary computation use only committed
+    * generations; torn ones are invisible (and get overwritten or
+    * reclaimed by the next compaction, which lists ALL gen dirs for
+    * deletion). */
+  private def filterCommitted(spark: SparkSession,
+      gens: Seq[(Long, org.apache.hadoop.fs.Path)])
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (gens.isEmpty) gens
     else {
-      val fs = all.head._2.getFileSystem(spark.sessionState.newHadoopConf())
-      all.filter { case (_, p) =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      val fs = gens.head._2.getFileSystem(spark.sessionState.newHadoopConf())
+      gens.filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
     }
-  }
+
+  private def committedGens(spark: SparkSession, path: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    filterCommitted(spark, listIndexDirs(spark, path, "gen="))
 
   /** Block-key index accumulated by batches strictly below
     * `beforeBatch`; None when no batch has committed yet. Reads the
@@ -220,7 +241,7 @@ object StreamingDedup {
     // are reclaimed once a new generation commits over them
     val oldGens = listIndexDirs(spark, indexPath, "gen=")
       .filter(_._1 < upTo)
-    val goodGens = committedGens(spark, indexPath).filter(_._1 < upTo)
+    val goodGens = filterCommitted(spark, oldGens)
     val covered = goodGens.map(_._1).maxOption.getOrElse(Long.MinValue)
     val allBatches = listIndexDirs(spark, indexPath, "ingest_batch=")
       .filter(_._1 < upTo)
@@ -233,10 +254,14 @@ object StreamingDedup {
       // no explicit coalesce: the scan packs small fragments into
       // ~maxPartitionBytes-sized read splits, so the write comes out
       // consolidated without a single-task bottleneck at scale
+      val genDir = new org.apache.hadoop.fs.Path(s"$indexPath/gen=$upTo")
       spark.read.parquet(srcs: _*)
-        .write.mode("overwrite").parquet(s"$indexPath/gen=$upTo")
-      val fs = new org.apache.hadoop.fs.Path(indexPath)
-        .getFileSystem(spark.sessionState.newHadoopConf())
+        .write.mode("overwrite").parquet(genDir.toString)
+      val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
+      // marker BEFORE the covered partitions delete: a crash between
+      // the parquet job and here leaves a torn (invisible) generation
+      // with every source dir still present — no loss either way
+      markCommitted(fs, genDir)
       (oldGens ++ allBatches).foreach { case (_, p) => fs.delete(p, true) }
     }
   }
@@ -291,12 +316,13 @@ object StreamingDedup {
   def compactOutput(spark: SparkSession, outPath: String,
       upTo: Long): Unit =
     assembleCorpus(spark, outPath, upTo).foreach { df =>
-      df.write.mode("overwrite").parquet(s"$outPath/gen=$upTo")
+      val genDir = new org.apache.hadoop.fs.Path(s"$outPath/gen=$upTo")
+      df.write.mode("overwrite").parquet(genDir.toString)
+      val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
+      markCommitted(fs, genDir)
       // deletion covers torn generations too (assembleCorpus never
       // read them; now that a committed gen=upTo supersedes them they
       // are reclaimable litter)
-      val fs = new org.apache.hadoop.fs.Path(outPath)
-        .getFileSystem(spark.sessionState.newHadoopConf())
       (listIndexDirs(spark, outPath, "gen=").filter(_._1 < upTo) ++
         listIndexDirs(spark, outPath, "ingest_batch=").filter(_._1 < upTo))
         .foreach { case (_, p) => fs.delete(p, true) }

@@ -190,8 +190,9 @@ class PersistLifecycleSpec extends SparkSpec {
       // size cap: dirs(3) alone is under any sane cap; dirs(2)+dirs(3)
       // exceed a cap of dirs(3)'s size, so the OLDER dirs(2) goes
       // (mtimes pinned — same-millisecond creation would make
-      // oldest-first ambiguous)
-      dirs(2).setLastModified(System.currentTimeMillis() - 60000L)
+      // oldest-first ambiguous; dirs(2) aged past the cap pass's
+      // min-age floor, dirs(3) fresh = protected even if over cap)
+      dirs(2).setLastModified(System.currentTimeMillis() - 20 * 60000L)
       dirs(3).setLastModified(System.currentTimeMillis())
       val keepBytes = dirs(3).listFiles().map(_.length()).sum
       Lifecycle.pruneScratch(spark, ttlMillis = Long.MaxValue,
