@@ -196,6 +196,90 @@ object ProfileScratch {
         val dirs2 = ix.toFile.list().filterNot(_.startsWith("_")).sorted
         println(s"index dirs post-compact (${dirs2.length}): ${dirs2.mkString(", ")}")
 
+      case "soak" =>
+        // Multi-day-shaped soak of the auto-compacting ingester
+        // (miniature spec: StreamingDedupSpec "soak: auto-compaction
+        // keeps the index dir bounded across kill/restart cycles"):
+        // 500+ micro-batches land in waves with a KILL (stream torn
+        // down, checkpoint-recovery restart) between waves, compaction
+        // every 10 batches. Reported per wave: index dir count — the
+        // boundedness evidence — then a final novelty-equivalence check
+        // against the single-shot batch fold over the whole corpus.
+        val nBatches = args.lift(1).map(_.toInt).getOrElse(500)
+        val perBatch = args.lift(2).map(_.toInt).getOrElse(200)
+        val nWaves = args.lift(3).map(_.toInt).getOrElse(10)
+        val root = java.nio.file.Files.createTempDirectory("soak_scale")
+        val in = root.resolve("in"); val out = root.resolve("out")
+        val ix = root.resolve("ix"); val cp = root.resolve("cp")
+        java.nio.file.Files.createDirectories(in)
+        // doc i of batch b re-sends batch (b-5)'s doc i when i%4==0 —
+        // far enough back that after compaction the pair is always
+        // index-vs-batch, so the probe path is really exercised
+        def docJson(b: Int, i: Int): String = {
+          val id = b.toLong * perBatch + i
+          val src = if (b >= 5 && i % 4 == 0) (b - 5).toLong * perBatch + i
+            else id
+          val words = (0 until 25)
+            .map(w => s"w${(src * 37 + w * 11) % 999983}x$w").mkString(" ")
+          s"""{"doc_id":$id,"text":"$words"}"""
+        }
+        def landBatch(b: Int): Unit = {
+          val rows = (0 until perBatch).map(i => docJson(b, i))
+          val p = in.resolve(f"batch$b%05d.json")
+          java.nio.file.Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+          p.toFile.setLastModified(1600000000000L + b * 60000L)
+        }
+        val schema2 = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val perWave = nBatches / nWaves
+        var maxDirs = 0
+        (0 until nWaves).foreach { wave =>
+          (wave * perWave until (wave + 1) * perWave).foreach(landBatch)
+          t(s"wave $wave: ingest $perWave batches then kill") {
+            val stream = spark.readStream.schema(schema2)
+              .option("maxFilesPerTrigger", 1).json(in.toString)
+            streaming.StreamingDedup.start(stream, "doc_id",
+              streaming.StreamingDedup.minHashBlocks("doc_id", "text"),
+              ix.toString, out.toString, cp.toString,
+              compactEvery = Some(10)).awaitTermination()
+          }
+          val dirs = ix.toFile.list().count(!_.startsWith("_"))
+          maxDirs = math.max(maxDirs, dirs)
+          println(s"  index dirs after wave $wave: $dirs (max so far $maxDirs)")
+        }
+        val admitted = spark.read.parquet(out.toString)
+          .select(col("doc_id"), col("ingest_batch").cast("int"))
+        val admittedCount = admitted.count()
+        println(s"admitted $admittedCount / ${nBatches.toLong * perBatch}; " +
+          s"max index dirs $maxDirs over $nBatches batches " +
+          s"(bound: gens ${nBatches / 10} + recent 10 + 1)")
+        t("novelty equivalence vs single-shot fold") {
+          val allDocs = spark.range(nBatches.toLong * perBatch).select(
+            col("id").as("doc_id"),
+            (col("id") / perBatch).cast("int").as("__b"),
+            (col("id") % perBatch).cast("int").as("__i"))
+          // regenerate the same texts engine-side
+          val src = when(col("__b") >= 5 && col("__i") % 4 === 0,
+            (col("__b") - 5).cast("long") * perBatch + col("__i"))
+            .otherwise(col("doc_id"))
+          val words = concat_ws(" ", (0 until 25).map(w =>
+            concat(lit("w"), pmod(src * 37 + lit(w * 11), lit(999983))
+              .cast("string"), lit(s"x$w"))): _*)
+          val corpus = allDocs.select(col("doc_id"),
+            words.as("text"), col("__b"))
+          val fold = streaming.StreamingDedup.incrementalDedup(
+            corpus, "doc_id", "text", col("__b"), nBatches = nBatches)
+          val mismatch = fold.select(col("doc_id"), col("ingest_batch"))
+            .exceptAll(admitted).count() +
+            admitted.exceptAll(
+              fold.select(col("doc_id"), col("ingest_batch"))).count()
+          println(s"  fold-vs-ingester mismatch rows: $mismatch")
+          require(mismatch == 0, "novelty decisions diverged from the fold")
+        }
+
       case "ann" =>
         // ANN-at-scale smoke: N synthetic 64-d embeddings with planted
         // cluster structure (center[c] + per-id noise) → IvfIndex.build
@@ -234,6 +318,96 @@ object ProfileScratch {
               nprobe = nprobe).count()
           }
           println(s"  -> $rows result rows")
+        }
+
+      case "gensf1" =>
+        // sf1.0 dataset for the order-of-magnitude bench step: 10
+        // id-shifted copies of every sf0.1 table, written as parquet the
+        // full Bench suite runs against unmodified
+        // (SPARK_GRAFT_SF_DIR=<out>). Shift rules keep the data SHAPED
+        // like a bigger sf, not like 10 overlaid clones:
+        //  - every key domain shifts by copy*(max+1), consistently
+        //    across fact/dim references, so join fan-outs stay 1:1;
+        //  - document tokens get a per-copy suffix, so cross-copy text
+        //    similarity is zero and the dup-RATE (what dedup cost
+        //    scales with) matches sf0.1 instead of every doc gaining 9
+        //    identical twins;
+        //  - embeddings get a per-copy deterministic Rademacher sign
+        //    flip — an orthogonal transform, so intra-copy cosines (and
+        //    per-cluster ANN structure) are preserved EXACTLY while
+        //    cross-copy cosines land near 0;
+        //  - event timestamps are untouched: same window range at 10×
+        //    density is what a 10× traffic year looks like.
+        val copies = args.lift(1).map(_.toInt).getOrElse(10)
+        val outDir = args.lift(2).getOrElse("/tmp/graft_sf1.0")
+        def maxOf(tbl: String, c: String): Long =
+          spark.read.parquet(s"$d/$tbl.parquet")
+            .agg(max(col(c))).head.getLong(0) + 1
+        val (ordU, custU, suppU, partU) = (maxOf("orders", "o_orderkey"),
+          maxOf("customer", "c_custkey"), maxOf("supplier", "s_suppkey"),
+          maxOf("part", "p_partkey"))
+        val (docU, vecU) = (maxOf("documents", "doc_id"),
+          maxOf("embeddings", "vec_id"))
+        val (evU, userU) = (maxOf("events", "event_id"),
+          maxOf("events", "user_id"))
+        def scaled(tbl: String, files: Int)(
+            shift: (org.apache.spark.sql.DataFrame, Int) =>
+              org.apache.spark.sql.DataFrame): Unit = {
+          val base = spark.read.parquet(s"$d/$tbl.parquet")
+          val out = (0 until copies).map(i => shift(base, i))
+            .reduce(_ unionByName _)
+          t(s"write $tbl x$copies") {
+            out.repartition(files)
+              .write.mode("overwrite").parquet(s"$outDir/$tbl.parquet")
+          }
+        }
+        def bump(c: String, unit: Long, i: Int) =
+          (col(c) + lit(unit * i)).as(c)
+        scaled("region", 1)((df, _) => df)
+        scaled("nation", 1)((df, _) => df)
+        scaled("customer", 8)((df, i) =>
+          df.withColumn("c_custkey", bump("c_custkey", custU, i)))
+        scaled("supplier", 4)((df, i) =>
+          df.withColumn("s_suppkey", bump("s_suppkey", suppU, i)))
+        scaled("part", 8)((df, i) =>
+          df.withColumn("p_partkey", bump("p_partkey", partU, i)))
+        scaled("orders", 16)((df, i) => df
+          .withColumn("o_orderkey", bump("o_orderkey", ordU, i))
+          .withColumn("o_custkey", bump("o_custkey", custU, i)))
+        scaled("lineitem", 32)((df, i) => df
+          .withColumn("l_orderkey", bump("l_orderkey", ordU, i))
+          .withColumn("l_partkey", bump("l_partkey", partU, i))
+          .withColumn("l_suppkey", bump("l_suppkey", suppU, i)))
+        scaled("events", 32)((df, i) => df
+          .withColumn("event_id", bump("event_id", evU, i))
+          .withColumn("user_id", bump("user_id", userU, i)))
+        scaled("documents", 32) { (df, i) =>
+          val text =
+            if (i == 0) col("text")
+            else concat_ws(" ", transform(split(col("text"), " "),
+              tok => concat(tok, lit(s"~$i"))))
+          df.withColumn("doc_id", bump("doc_id", docU, i))
+            .withColumn("text", text)
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        }
+        val dim = spark.read.parquet(s"$d/embeddings.parquet")
+          .select(size(col("embedding"))).head.getInt(0)
+        scaled("embeddings", 16) { (df, i) =>
+          val signs = array((0 until dim).map { j =>
+            val s = if (i == 0) 1f
+              else if ((scala.util.hashing.MurmurHash3
+                .productHash((i, j)) & 1) == 0) 1f else -1f
+            lit(s)
+          }: _*)
+          df.withColumn("vec_id", bump("vec_id", vecU, i))
+            .withColumn("embedding",
+              zip_with(col("embedding"), signs,
+                (v, s) => (v * s).cast("float")))
+        }
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings").foreach { tbl =>
+          println(s"  $tbl: " +
+            spark.read.parquet(s"$outDir/$tbl.parquet").count() + " rows")
         }
 
       case "query" =>

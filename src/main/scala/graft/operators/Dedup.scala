@@ -45,7 +45,12 @@ object Dedup {
   private[operators] def widen(df: DataFrame, idCol: String): DataFrame = {
     if (df.isStreaming) return df // micro-batch sizing governs parallelism
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions < target) df.repartition(target, col(idCol))
+    // toRdd, not df.rdd: same physical partition count without building
+    // the extra Row-deserializer RDD on the driver per call. (NOT
+    // executedPlan.outputPartitioning — file scans report
+    // UnknownPartitioning(0), which would read as "always narrower".)
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target, col(idCol))
     else df
   }
 

@@ -74,16 +74,24 @@ object Hierarchy {
     val view = s"__hier_nodes_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     nodes.select(col(idCol).as("id"), col(parentCol).as("parent"))
       .createOrReplaceTempView(view)
-    try nodes.sparkSession.sql(
-      s"""WITH RECURSIVE anc AS (
-         |  SELECT id, parent AS ancestor, 1 AS depth FROM $view
-         |  WHERE parent IS NOT NULL
-         |  UNION ALL
-         |  SELECT a.id, n.parent, a.depth + 1
-         |  FROM anc a JOIN $view n ON a.ancestor = n.id
-         |  WHERE n.parent IS NOT NULL AND a.depth < $maxDepth)
-         |SELECT id, ancestor, depth FROM anc""".stripMargin)
-    finally () // view stays for the lazy plan; dropped with the session
+    // sql() analyzes EAGERLY, inlining the view's plan into the returned
+    // frame — so the view can be dropped before returning (forcing
+    // `analyzed` first makes that explicit) and the result stays lazy
+    // and fully usable. Without the drop, every call leaked one
+    // UUID-named view into the session catalog for the session's life.
+    try {
+      val out = nodes.sparkSession.sql(
+        s"""WITH RECURSIVE anc AS (
+           |  SELECT id, parent AS ancestor, 1 AS depth FROM $view
+           |  WHERE parent IS NOT NULL
+           |  UNION ALL
+           |  SELECT a.id, n.parent, a.depth + 1
+           |  FROM anc a JOIN $view n ON a.ancestor = n.id
+           |  WHERE n.parent IS NOT NULL AND a.depth < $maxDepth)
+           |SELECT id, ancestor, depth FROM anc""".stripMargin)
+      out.queryExecution.analyzed // force view inlining before the drop
+      out
+    } finally nodes.sparkSession.catalog.dropTempView(view)
   }
 
   /** Closure folded to one row per node: nearest-first ancestor array +

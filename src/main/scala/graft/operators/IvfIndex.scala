@@ -18,19 +18,115 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Write the index: `path/vectors` (partitioned by cluster, norms
-    * precomputed at build time so queries never recompute them) and
-    * `path/medoids` (deterministic medoid-by-min-id per cluster). */
+  /** Write the index: `path/vectors/ingest_batch=0` (partitioned by
+    * cluster, norms precomputed at build time so queries never
+    * recompute them) and `path/medoids` (deterministic medoid-by-min-id
+    * per cluster). The `ingest_batch=` level exists for [[append]]:
+    * each increment is its own partition directory, so a replayed
+    * increment overwrites itself instead of duplicating (the same
+    * idempotency contract as StreamingDedup's on-disk index), and the
+    * cluster stays a discovered partition column underneath it, so
+    * probe-time pruning is untouched. A rebuild deletes the whole
+    * vectors tree first — stale increments of a previous index must not
+    * survive into the new one. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, path: String): Unit = {
     // norm builds on the registered vector-dot expression — register
     // here so build works as the first vector operation in a session
     graft.functions.VectorFunctions.register(corpus.sparkSession)
-    corpus.select(col(idCol), col(vecCol), col(clusterCol),
+    val spark = corpus.sparkSession
+    val vecRoot = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = vecRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(vecRoot)) fs.delete(vecRoot, true)
+    writeIncrement(corpus, idCol, vecCol, clusterCol, path, batchId = 0L)
+    Similarity.clusterMedoids(corpus, idCol, vecCol, clusterCol)
+      .write.mode("overwrite").parquet(s"$path/medoids")
+  }
+
+  private def writeIncrement(batch: DataFrame, idCol: String,
+      vecCol: String, clusterCol: String, path: String,
+      batchId: Long): Unit =
+    batch.select(col(idCol), col(vecCol), col(clusterCol),
         Similarity.norm(col(vecCol)).as("__norm"))
       .write.mode("overwrite").partitionBy(clusterCol)
-      .parquet(s"$path/vectors")
-    Similarity.clusterMedoids(corpus, idCol, vecCol, clusterCol)
+      .parquet(s"$path/vectors/ingest_batch=$batchId")
+
+  /** Append an increment into the existing index WITHOUT rebuilding:
+    * the daily-embedding-drop shape (the ANN analog of what
+    * StreamingDedup does for text). The batch must carry the same
+    * cluster assignment column the index was built with — route
+    * unassigned vectors through [[routeToMedoids]] first. Medoids are
+    * deliberately NOT touched (fixed-medoid append keeps
+    * `build(A); append(B)` ≡ `build(A ∪ B)` exactly, for the same
+    * assignments); run [[refreshMedoids]] on whatever cadence drift
+    * warrants.
+    *
+    * Idempotent by construction: the increment lands in its own
+    * `ingest_batch=<id>` partition directory with overwrite, so a
+    * crashed-then-replayed append replaces its own torn output,
+    * including partial cluster subdirectories of the failed attempt
+    * (crash-replay case pinned in IvfIndexSpec). */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, vecCol: String, clusterCol: String,
+      batchId: Long): Unit = {
+    require(batchId > 0,
+      s"batchId must be > 0 (0 is the build's base increment), got $batchId")
+    graft.functions.VectorFunctions.register(spark)
+    writeIncrement(batch, idCol, vecCol, clusterCol, path, batchId)
+  }
+
+  /** Next free increment id: max existing `ingest_batch=` + 1 (1 right
+    * after [[build]]). Drives the resume-after-crash loop: a caller
+    * that persists nothing can re-derive where to continue. */
+  def nextBatchId(spark: SparkSession, path: String): Long = {
+    val vecRoot = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = vecRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(vecRoot)) 0L
+    else fs.listStatus(vecRoot).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val name = s.getPath.getName
+        val suffix = name.stripPrefix("ingest_batch=")
+        // fully-numeric suffixes only — stray litter must not wedge this
+        if (name.startsWith("ingest_batch=") && suffix.nonEmpty &&
+          suffix.forall(_.isDigit))
+          scala.util.Try(suffix.toLong).toOption
+        else None
+      }.maxOption.map(_ + 1).getOrElse(0L)
+  }
+
+  /** Cluster-assign an increment by routing each vector to its nearest
+    * existing medoid — for increments that arrive without the corpus's
+    * cluster assignment. Broadcast of the (tiny) medoid table; ties
+    * break on the smaller cluster id, same as topK's routing. */
+  def routeToMedoids(index: Index, batch: DataFrame): DataFrame = {
+    val spark = index.vectors.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val (idCol, vecCol, clusterCol) = (index.idCol, index.vecCol, index.clusterCol)
+    val medoids = broadcast(index.medoids
+      .select(col(clusterCol).as("__mc"), col("__medoid_vec"),
+        Similarity.norm(col("__medoid_vec")).as("__mnorm")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__route_sim").desc, col("__mc"))
+    batch.join(medoids)
+      .withColumn("__route_sim",
+        round(Similarity.dot(col(vecCol), col("__medoid_vec")) /
+          (Similarity.norm(col(vecCol)) * col("__mnorm")), 6))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .drop("__medoid_vec", "__mnorm", "__route_sim", "__r")
+      .withColumnRenamed("__mc", clusterCol)
+  }
+
+  /** Recompute the medoid table from the CURRENT vectors (deterministic
+    * min-id medoid per cluster, same rule as build) — the refresh
+    * policy for drift after a run of appends. Small-table overwrite;
+    * in-flight readers of the old medoid table re-route on their next
+    * query. */
+  def refreshMedoids(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, clusterCol: String): Unit = {
+    val vectors = spark.read.parquet(s"$path/vectors")
+    Similarity.clusterMedoids(vectors, idCol, vecCol, clusterCol)
       .write.mode("overwrite").parquet(s"$path/medoids")
   }
 
@@ -44,12 +140,31 @@ object IvfIndex {
       idCol, vecCol, clusterCol)
 
   /** Multi-probe top-k against the persisted index. Routing runs on the
-    * (tiny) medoid table; the probed cluster set is collected and
-    * applied as a LITERAL `isin` filter so Catalyst prunes unprobed
-    * partitions from the vectors scan. Results are identical to
-    * [[Similarity.ivfTopKProbed]] over the same cluster assignment. */
+    * (tiny) medoid table. Two probe-join shapes, auto-selected from the
+    * Catalyst size estimate of `queries` (× nprobe fan-out) against
+    * `spark.sql.autoBroadcastJoinThreshold`, overridable via
+    * `broadcastProbes`:
+    *
+    *  - BROADCAST (query batches — the common serving shape): the probed
+    *    cluster set is collected and applied as a LITERAL `isin` filter
+    *    so Catalyst prunes unprobed partitions from the vectors scan,
+    *    and the routed queries broadcast to the scan.
+    *  - SHUFFLE (large query sets — corpus×corpus k-NN, bulk re-scoring):
+    *    broadcasting the routed query relation would OOM the driver, so
+    *    both sides shuffle on the cluster key instead. The driver-side
+    *    pruning collect is ALSO skipped here: a corpus-scale query set
+    *    probes essentially every cluster, so the collect would pay a
+    *    full second routing pass to prune approximately nothing (Spark's
+    *    dynamic partition pruning still prunes the partitioned scan at
+    *    runtime when the probe side IS selective, with no driver round
+    *    trip).
+    *
+    * Results are identical to [[Similarity.ivfTopKProbed]] over the same
+    * cluster assignment in both shapes (join strategy never changes
+    * semantics). */
   def topK(index: Index, queries: DataFrame, k: Int, nprobe: Int,
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id",
+      broadcastProbes: Option[Boolean] = None): DataFrame = {
     val spark = index.vectors.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val (idCol, vecCol, clusterCol) = (index.idCol, index.vecCol, index.clusterCol)
@@ -69,16 +184,34 @@ object IvfIndex {
       .filter(col("__r") <= nprobe)
       .select(col(queryIdCol), col("__qvec"), col("__qnorm"), col("__mc"))
 
-    // literal probe set -> parquet partition pruning on the vectors scan
-    val probeClusters = probed.select(col("__mc")).distinct()
-      .collect().map(_.get(0))
-    val c = index.vectors
-      .filter(col(clusterCol).isin(probeClusters.toIndexedSeq: _*))
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val useBroadcast = broadcastProbes.getOrElse {
+      val estimate =
+        queries.queryExecution.optimizedPlan.stats.sizeInBytes * nprobe
+      threshold > 0 && estimate <= threshold
+    }
 
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("similarity").desc, col(idCol))
-    val out = c.join(broadcast(probed),
-        col("__mc") === col(clusterCol) && col(queryIdCol) =!= col(idCol))
+    val joined =
+      if (useBroadcast) {
+        // literal probe set -> parquet partition pruning on the vectors
+        // scan. `probed` is deliberately NOT cached: routing is
+        // |queries|×|medoids| broadcast work, so recomputing it once for
+        // the collect() and once for the join is cheaper than leaking
+        // one pinned frame per topK call in a long-lived session
+        // (IvfIndexSpec asserts zero persistent RDDs remain).
+        val probeClusters = probed.select(col("__mc")).distinct()
+          .collect().map(_.get(0))
+        val c = index.vectors
+          .filter(col(clusterCol).isin(probeClusters.toIndexedSeq: _*))
+        c.join(broadcast(probed),
+          col("__mc") === col(clusterCol) && col(queryIdCol) =!= col(idCol))
+      } else {
+        index.vectors.join(probed,
+          col("__mc") === col(clusterCol) && col(queryIdCol) =!= col(idCol))
+      }
+    joined
       .withColumn("similarity",
         round(Similarity.dot(col("__qvec"), col(vecCol)) /
           (col("__qnorm") * col("__norm")), 6))
@@ -86,11 +219,38 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol).as("neighbor_id"),
         col("rank"), col("similarity"))
-    // `probed` is deliberately NOT cached: routing is |queries|×|medoids|
-    // broadcast work, so recomputing it once for the collect() and once
-    // for the join is cheaper than leaking one pinned frame per topK
-    // call in a long-lived session (IvfIndexSpec asserts zero persistent
-    // RDDs remain after queries complete).
-    out
+  }
+
+  /** k-NN graph THROUGH the persisted index: every indexed vector → its
+    * k most similar neighbors within its own cluster partition — the
+    * corpus×corpus shape (dedup graphs, diversity sampling) where the
+    * "query set" is the whole index and broadcasting anything query-side
+    * is structurally impossible. One shuffle of the vectors on the
+    * cluster key feeds a partition-local self-join; precomputed `__norm`
+    * means zero norm recomputation. Results are identical to
+    * [[Similarity.knnGraphBlocked]] with the cluster as the blocking
+    * key (same expression tree, same rounding, same tie-break). */
+  def knnGraph(index: Index, k: Int): DataFrame = {
+    val spark = index.vectors.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val (idCol, vecCol, clusterCol) = (index.idCol, index.vecCol, index.clusterCol)
+    // `merge` hint: the corpus is by definition above any broadcast
+    // threshold at scale; pinning SortMergeJoin keeps the plan identical
+    // (and testable) at every SF instead of flipping to a broadcast of
+    // "the whole corpus" on toy data.
+    val v = index.vectors.select(col(idCol), col(vecCol),
+      col(clusterCol), col("__norm")).hint("merge")
+    val w = Window.partitionBy(col(s"x.$idCol"))
+      .orderBy(col("similarity").desc, col(s"y.$idCol"))
+    v.alias("x").join(v.alias("y"),
+        col(s"x.$clusterCol") === col(s"y.$clusterCol") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .withColumn("similarity",
+        round(Similarity.dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
+          (col("x.__norm") * col("y.__norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(s"x.$idCol").as("id"), col(s"y.$idCol").as("neighbor_id"),
+        col("rank"), col("similarity"))
   }
 }

@@ -88,11 +88,39 @@ private[graft] object Lifecycle {
       finally walk.close()
     }
 
+  /** Liveness marker: `<namespace>/_graft_alive`, touched (mtime
+    * refreshed) on every materialize. [[pruneScratch]] skips a whole
+    * namespace while its heartbeat is fresh, so another application's
+    * janitor can never delete a LIVE application's in-flight
+    * intermediate out from under it no matter how short the caller's
+    * TTL — a crashed app's heartbeat goes stale and normal TTL pruning
+    * resumes. */
+  private[graft] val HeartbeatName = "_graft_alive"
+
+  private def touchHeartbeat(spark: SparkSession): Unit = {
+    val conf = spark.conf.get("graft.scratch.dir", "")
+    if (conf.nonEmpty) {
+      val hb = new org.apache.hadoop.fs.Path(
+        s"${scratchRoot(spark)}/$HeartbeatName")
+      // create(overwrite=true) rewrites the 0-byte file, refreshing its
+      // FILE mtime — real on object stores, unlike directory statuses.
+      // RAW fs on checksummed schemes: a `.crc` sidecar next to the
+      // marker would read as foreign content in the stale-namespace
+      // sweep (and checksumming a 0-byte liveness marker buys nothing).
+      val fs = hb.getFileSystem(spark.sessionState.newHadoopConf()) match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case f => f
+      }
+      try fs.create(hb, true).close() catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Runs `df`'s job now, storing the result as a scratch parquet
     * table, and returns a plain scan of that table: no pinned blocks,
     * no lineage, no CacheManager entry. */
   def materializeToScratch(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    touchHeartbeat(spark)
     val path = s"${scratchRoot(spark)}/m${counter.incrementAndGet()}"
     df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
@@ -185,9 +213,35 @@ private[graft] object Lifecycle {
     * holding other tools' content is safe. */
   private val ScratchTableName = "^m\\d+$".r
 
+  /** Spark applicationId shapes across cluster managers (local, YARN,
+    * standalone, k8s/connect UUID-suffixed). Only namespaces matching
+    * one of these are graft's to sweep when empty — an empty dir some
+    * OTHER tool put under a shared scratch root is not ours to delete. */
+  private val AppIdName =
+    "^(local-\\d+|application_\\d+_\\d+|app-\\d{14}-\\d{4}|spark-[0-9a-zA-Z-]+)$".r
+
+  /** Table age for expiry decisions: the newest FILE mtime under the
+    * table (one recursive listing). Directory statuses are synthetic on
+    * object stores (mtime 0 or listing-time depending on store/version),
+    * which would read as "everything instantly expired" or "nothing
+    * ever expires"; file mtimes are real everywhere. A file-less dir
+    * (crashed before the first part file) falls back to the directory
+    * status, guarded so a synthetic 0 reads as fresh — an empty dir is
+    * litter but deleting live data is worse. */
+  private def newestFileMtime(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long = {
+    var newest = 0L
+    val it = fs.listFiles(st.getPath, true)
+    while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+    if (newest > 0) newest
+    else if (st.getModificationTime > 0) st.getModificationTime
+    else Long.MaxValue // synthetic status + no files: treat as fresh
+  }
+
   def pruneScratch(spark: SparkSession, ttlMillis: Long,
       maxBytes: Long = Long.MaxValue,
-      sizeCapMinAgeMillis: Long = 15 * 60 * 1000L): Unit = {
+      sizeCapMinAgeMillis: Long = 15 * 60 * 1000L,
+      heartbeatTtlMillis: Long = 60 * 60 * 1000L): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     // janitor scope: for a caller-owned `graft.scratch.dir` prune the
     // CONFIGURED root — scratch tables of every application (the appId
@@ -204,14 +258,28 @@ private[graft] object Lifecycle {
     if (!fs.exists(rootPath)) return
     val now = System.currentTimeMillis()
     // entries = scratch tables: <root>/<appId>/m<N> for the configured
-    // layout, <root>/m<N> for the tmpdir default. Only m<N>-named dirs
-    // are graft's to delete.
+    // layout, <root>/m<N> for the tmpdir default — plus LEGACY
+    // pre-namespacing tables directly under a configured root, which
+    // would otherwise be permanent litter. Only m<N>-named dirs are
+    // graft's to delete. ANOTHER application's namespace with a fresh
+    // `_graft_alive` heartbeat (touched on every materialize) is a
+    // LIVE application's: skipped wholesale, whatever the caller's TTL
+    // — so no janitor can delete a live app's in-flight intermediate.
+    // The janitor's OWN namespace is still pruned by TTL (the app
+    // chose its TTL knowing its own operators' lifetimes).
+    val ownId = spark.sparkContext.applicationId
     val entries = fs.listStatus(rootPath).toSeq.flatMap { st =>
-      if (conf.nonEmpty && st.isDirectory) fs.listStatus(st.getPath).toSeq
-      else Seq(st)
+      val name = st.getPath.getName
+      if (conf.nonEmpty && st.isDirectory && !ScratchTableName.matches(name)) {
+        val children = fs.listStatus(st.getPath).toSeq
+        val hbFresh = name != ownId && children.exists(c =>
+          c.getPath.getName == HeartbeatName &&
+            now - c.getModificationTime <= heartbeatTtlMillis)
+        if (hbFresh) Seq.empty else children
+      } else Seq(st)
     }.filter(st => st.isDirectory &&
         ScratchTableName.matches(st.getPath.getName))
-      .map(st => (st.getPath, st.getModificationTime))
+      .map(st => (st.getPath, newestFileMtime(fs, st)))
     val (expired, kept) = entries.partition {
       case (_, mtime) => now - mtime > ttlMillis
     }
@@ -231,16 +299,31 @@ private[graft] object Lifecycle {
         }
       }
     }
-    // empty appId namespaces left after table pruning are litter.
-    // NON-recursive delete: it fails (harmlessly) if a concurrently
-    // starting application just wrote its first table in between the
-    // emptiness check and the delete — a recursive delete here would
-    // race and destroy live data.
+    // appId namespaces left empty (or holding only a stale heartbeat)
+    // after table pruning are litter — but ONLY dirs named like a Spark
+    // applicationId are graft's to sweep; other tools' empty dirs under
+    // a shared root stay. NON-recursive table-less delete: it fails
+    // (harmlessly) if a concurrently starting application just wrote
+    // its first table between the check and the delete — a recursive
+    // delete here would race and destroy live data.
     if (conf.nonEmpty)
       fs.listStatus(rootPath).toSeq.foreach { st =>
-        if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
-          try fs.delete(st.getPath, false)
-          catch { case _: java.io.IOException => () }
+        if (st.isDirectory && AppIdName.matches(st.getPath.getName)) {
+          val children = fs.listStatus(st.getPath).toSeq
+          val onlyStaleHb = children.forall(c =>
+            c.getPath.getName == HeartbeatName &&
+              now - c.getModificationTime > heartbeatTtlMillis)
+          if (children.isEmpty)
+            try fs.delete(st.getPath, false)
+            catch { case _: java.io.IOException => () }
+          else if (children.nonEmpty && onlyStaleHb) {
+            // stale heartbeat is the only content: the app is dead and
+            // its tables are gone; remove marker then the empty dir
+            children.foreach(c => fs.delete(c.getPath, false))
+            try fs.delete(st.getPath, false)
+            catch { case _: java.io.IOException => () }
+          }
+        }
       }
   }
 }

@@ -188,7 +188,12 @@ object DedupQueries {
       shingleN = 3, numHashes = 16, bands = 4, seed = 42L,
       portable = true)
 
-  val incrementalDedupSql: String = {
+  /** SQL replay of the 4-batch incremental fold; `withRetraction` adds
+    * a takedown of every admitted doc with `doc_id % 10 = 1` BETWEEN
+    * batch 2 and batch 3 — batch 3's index probe then sees the retained
+    * set only, and the retracted docs leave the final corpus (q86's
+    * tombstone semantics: "fold over the retained subset"). */
+  private def incrementalSql(withRetraction: Boolean): String = {
     val params = Dedup.hashParams(16, 42L)
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       s"min((h*$a + $b) % $P) AS mh_$i"
@@ -200,21 +205,40 @@ object DedupQueries {
     // novelty unrolls across the 4 batches: novel_k = batch-k docs with
     // no same-batch smaller-id collision (w) and no collision with any
     // earlier batch's NOVEL docs — the index only ever holds admitted
-    // signatures, exactly like StreamingDedup.processBatch.
-    val novelCtes = (0 until 4).map { k =>
+    // signatures, exactly like StreamingDedup.processBatch. With
+    // retraction, batch 3's cross-batch probe skips tombstoned ids.
+    val novelCte = (k: Int) => {
       val cross = if (k == 0) "" else {
         val prev = (0 until k).map(j => s"SELECT doc_id FROM novel$j")
           .mkString(" UNION ALL ")
+        val skipRetracted =
+          if (withRetraction && k == 3)
+            " AND y.doc_id NOT IN (SELECT doc_id FROM ret)"
+          else ""
         s"""
            |  AND NOT EXISTS (SELECT 1 FROM bands x JOIN bands y
            |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-           |    WHERE x.doc_id = bt.doc_id AND y.doc_id IN ($prev))""".stripMargin
+           |    WHERE x.doc_id = bt.doc_id AND y.doc_id IN ($prev)$skipRetracted)""".stripMargin
       }
       s"""novel$k AS (SELECT doc_id FROM bt WHERE b = $k
          |  AND NOT EXISTS (SELECT 1 FROM w WHERE w.doc_id = bt.doc_id)$cross)""".stripMargin
-    }.mkString(",\n")
+    }
+    // the ret CTE sits between novel2 and novel3: the takedown happens
+    // after batch 2 committed, over the admitted-so-far set
+    val retCte =
+      s"""ret AS (SELECT doc_id FROM bt WHERE doc_id % 10 = 1
+         |  AND doc_id IN (${(0 until 3).map(j => s"SELECT doc_id FROM novel$j")
+           .mkString(" UNION ALL ")}))""".stripMargin
+    val novelCtes =
+      if (withRetraction)
+        ((0 until 3).map(novelCte) ++ Seq(retCte, novelCte(3))).mkString(",\n")
+      else (0 until 4).map(novelCte).mkString(",\n")
     val admitted = (0 until 4).map(k => s"SELECT doc_id FROM novel$k")
       .mkString(" UNION ALL ")
+    val finalFilter =
+      if (withRetraction)
+        s"doc_id IN ($admitted) AND doc_id NOT IN (SELECT doc_id FROM ret)"
+      else s"doc_id IN ($admitted)"
     s"""WITH ${shingleCtes(3)},
        |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
        |      FROM sh WHERE shingle IS NOT NULL),
@@ -232,8 +256,12 @@ object DedupQueries {
        |      JOIN bt byy ON byy.doc_id = y.doc_id AND byy.b = bx.b),
        |$novelCtes
        |SELECT doc_id, b AS ingest_batch FROM bt
-       |WHERE doc_id IN ($admitted)""".stripMargin
+       |WHERE $finalFilter""".stripMargin
   }
+
+  val incrementalDedupSql: String = incrementalSql(withRetraction = false)
+
+  val retractedDedupSql: String = incrementalSql(withRetraction = true)
 
   /** q80's semantics through the REAL on-disk ingest path: each batch
     * writes its novel docs and block keys as `ingest_batch=` partitions,
@@ -275,11 +303,53 @@ object DedupQueries {
         col("ingest_batch").cast("int").as("ingest_batch"))
   }
 
+  /** q82's on-disk ingest with a TAKEDOWN between batches 2 and 3:
+    * every admitted doc with `doc_id % 10 = 1` is retracted
+    * ([[graft.streaming.StreamingDedup.retract]] tombstones on both the
+    * index and the corpus), the index is compacted WITH the tombstones
+    * in force (retracted rows physically leave the generation), then
+    * batch 3 ingests against the retained index — a batch-3 doc whose
+    * only near-dup was retracted must now be admitted. The oracle
+    * replays the same timeline over the retained subset. */
+  def retractedDedupQ(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingDedup
+    val docs = Tables.documents(s, d)
+    val root = tempWorkDir("graft_q86_")
+    val ix = s"$root/ix"; val out = s"$root/out"
+    val blocks: DataFrame => DataFrame =
+      StreamingDedup.minHashBlocks("doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, seed = 42L,
+        portable = true)
+    (0 until 4).foreach { k =>
+      if (k == 3) {
+        val takedown = StreamingDedup.readCorpus(s, out).get
+          .filter(pmod(col("doc_id"), lit(10)) === 1)
+          .select(col("doc_id"))
+        StreamingDedup.retract(s, ix, takedown, "doc_id")
+        StreamingDedup.retract(s, out, takedown, "doc_id")
+        // compact with tombstones in force: the new generation is the
+        // retained subset — batch 3 then probes generation + nothing
+        StreamingDedup.compactIndex(s, ix)
+      }
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === k)
+      val (novel, novelBlocks) = StreamingDedup.processBatch(batch,
+        StreamingDedup.readIndex(s, ix, k), "doc_id", blocks)
+      novel.write.mode("overwrite").parquet(s"$out/ingest_batch=$k")
+      novelBlocks.write.mode("overwrite").parquet(s"$ix/ingest_batch=$k")
+      graft.operators.Lifecycle.release(novelBlocks)
+    }
+    StreamingDedup.compactOutput(s, out)
+    StreamingDedup.readCorpus(s, out).get
+      .select(col("doc_id"),
+        col("ingest_batch").cast("int").as("ingest_batch"))
+  }
+
   def all: Seq[Q] = Seq(
     Q("q19_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q20_minhash_lsh", minHashLsh, Some(minHashLshSql)),
     Q("q21_simhash", simHash, Some(simHashSql)),
     Q("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q80_incremental_dedup", incrementalDedupQ, Some(incrementalDedupSql)),
-    Q("q82_ingested_dedup", ingestedDedupQ, Some(incrementalDedupSql)))
+    Q("q82_ingested_dedup", ingestedDedupQ, Some(incrementalDedupSql)),
+    Q("q86_retracted_dedup", retractedDedupQ, Some(retractedDedupSql)))
 }

@@ -126,10 +126,69 @@ object SimilarityQueries {
       emb.filter(col("vec_id") < 20), k = 5, nprobe = 2)
   }
 
+  /** Corpus×corpus k-NN graph THROUGH the persisted index (every vector
+    * → top-5 within its own cluster partition): the query set IS the
+    * corpus, so this exercises the shuffle probe shape — nothing
+    * query-side is broadcast (plan-pinned in IvfIndexSpec). Results are
+    * identical to [[Similarity.knnGraphBlocked]] with label blocking. */
+  def knnGraphPersisted(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val path = tempWorkDir("graft_q84_")
+    IvfIndex.build(emb, "vec_id", "embedding", "label", path)
+    IvfIndex.knnGraph(
+      IvfIndex.load(s, path, "vec_id", "embedding", "label"), k = 5)
+  }
+
+  val knnGraphPersistedSql: String = {
+    val cos = "round(list_dot_product(x.v, y.v)/(x.nrm * y.nrm), 6)"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, label, v,
+       |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |s AS (SELECT x.vec_id AS id, y.vec_id AS neighbor_id,
+       |        $cos AS similarity
+       |      FROM b x JOIN b y
+       |        ON x.label = y.label AND x.vec_id <> y.vec_id),
+       |r AS (SELECT *, row_number()
+       |        OVER (PARTITION BY id ORDER BY similarity DESC, neighbor_id)
+       |        AS rank
+       |      FROM s)
+       |SELECT id, neighbor_id, rank, similarity FROM r
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** q44's semantics through an INCREMENTALLY-BUILT index: build on the
+    * first half of the corpus, [[IvfIndex.append]] the second half as a
+    * daily-drop increment, refresh the medoids, then query. Must equal
+    * the same DuckDB replay as the one-shot build (q83) — append is an
+    * on-disk-layout concern, never a semantics one. */
+  def knnIvfAppended(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(s, d)
+    val path = tempWorkDir("graft_q85_")
+    // deterministic halves by id hash would also work; a simple id
+    // split keeps the oracle story obvious
+    val half = emb.agg(expr("percentile_approx(vec_id, 0.5)")).head.getLong(0)
+    IvfIndex.build(emb.filter(col("vec_id") <= half),
+      "vec_id", "embedding", "label", path)
+    IvfIndex.append(s, path, emb.filter(col("vec_id") > half),
+      "vec_id", "embedding", "label",
+      IvfIndex.nextBatchId(s, path))
+    // refresh AFTER the append: medoid-by-min-id over the full corpus
+    // is exactly the oracle's medoid definition, independent of where
+    // the split fell
+    IvfIndex.refreshMedoids(s, path, "vec_id", "embedding", "label")
+    IvfIndex.topK(
+      IvfIndex.load(s, path, "vec_id", "embedding", "label"),
+      emb.filter(col("vec_id") < 20), k = 5, nprobe = 2)
+  }
+
   def all: Seq[Q] = Seq(
     Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
     Q("q22_knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
     Q("q23_knn_ivf", knnIvf, Some(knnIvfSql)),
     Q("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
-    Q("q83_knn_ivf_persisted", knnIvfPersisted, Some(knnIvfProbedSql)))
+    Q("q83_knn_ivf_persisted", knnIvfPersisted, Some(knnIvfProbedSql)),
+    Q("q84_knn_graph_persisted", knnGraphPersisted, Some(knnGraphPersistedSql)),
+    Q("q85_knn_ivf_appended", knnIvfAppended, Some(knnIvfProbedSql)))
 }

@@ -153,7 +153,16 @@ object StreamingDedup {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .map(s => (s.getPath.getName.stripPrefix(prefix).toLong, s.getPath))
+      .flatMap { s =>
+        // fully-numeric suffixes ONLY: a stray `gen=2.bak` or
+        // `ingest_batch=3-copy` (manual backup, tool litter) must read
+        // as "not ours", not throw NumberFormatException and wedge
+        // every readIndex/compactIndex under it
+        val suffix = s.getPath.getName.stripPrefix(prefix)
+        scala.util.Try(suffix.toLong).toOption
+          .filter(_ => suffix.nonEmpty && suffix.forall(_.isDigit))
+          .map(n => (n, s.getPath))
+      }
   }
 
   /** Our own commit marker, written AFTER a generation's parquet job
@@ -196,14 +205,61 @@ object StreamingDedup {
       : Seq[(Long, org.apache.hadoop.fs.Path)] =
     filterCommitted(spark, listIndexDirs(spark, path, "gen="))
 
+  /** Retraction (takedown) support: real corpora DELETE documents, and
+    * an admitted-key index that only grows would keep blocking
+    * near-dups of content that is gone. [[retract]] writes the ids as a
+    * numbered `tombstone=<k>` partition next to the index/corpus
+    * partitions; [[readIndex]]/[[readCorpus]] anti-join every committed
+    * tombstone, and [[compactIndex]]/[[compactOutput]] fold generations
+    * WITHOUT the tombstoned rows, so retracted data physically leaves
+    * the storage at the next compaction. Tombstone partitions
+    * themselves are retained (they are id-only and tiny): a live
+    * un-compacted batch partition may still carry a tombstoned row, so
+    * dropping the marker would resurrect it — the read-side filter is
+    * the invariant, compaction is the space reclaim. Same commit-marker
+    * discipline as generations: a torn tombstone write is invisible to
+    * readers, and the next retract (max committed + 1) overwrites it. */
+  def retract(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Long = {
+    val k = filterCommitted(spark, listIndexDirs(spark, path, "tombstone="))
+      .map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/tombstone=$k")
+    ids.select(col(idCol)).distinct()
+      .write.mode("overwrite").parquet(dir.toString)
+    markCommitted(dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
+    k
+  }
+
+  /** All committed tombstoned ids under `path` (single id column named
+    * as at [[retract]] time); None when nothing was ever retracted. */
+  def readTombstones(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val dirs = filterCommitted(spark,
+      listIndexDirs(spark, path, "tombstone="))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_._2.toString): _*).distinct())
+  }
+
+  /** `df` minus rows whose id appears in `path`'s tombstones (the id
+    * column name is taken from the tombstone schema — whatever column
+    * [[retract]] was given). */
+  private def applyTombstones(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    readTombstones(spark, path) match {
+      case Some(ts) =>
+        val c = ts.columns.head
+        df.join(ts, df(c) === ts(c), "left_anti")
+      case None => df
+    }
+
   /** Block-key index accumulated by batches strictly below
     * `beforeBatch`; None when no batch has committed yet. Reads the
     * newest generation file ≤ `beforeBatch` (see [[compactIndex]]) plus
-    * the per-batch partitions it does not cover. Listing goes through
-    * the Hadoop FileSystem API, so a shared-FS (`hdfs://`/`s3a://`)
-    * index path behaves identically to a local one — with
-    * java.io.File listing this silently returned None on a cluster and
-    * admitted every duplicate. */
+    * the per-batch partitions it does not cover, minus tombstoned ids.
+    * Listing goes through the Hadoop FileSystem API, so a shared-FS
+    * (`hdfs://`/`s3a://`) index path behaves identically to a local
+    * one — with java.io.File listing this silently returned None on a
+    * cluster and admitted every duplicate. */
   def readIndex(spark: SparkSession, indexPath: String,
       beforeBatch: Long): Option[DataFrame] = {
     val gens = committedGens(spark, indexPath)
@@ -213,7 +269,9 @@ object StreamingDedup {
     val batches = listIndexDirs(spark, indexPath, "ingest_batch=")
       .filter { case (b, _) => b >= covered && b < beforeBatch }
     val paths = (gen.toSeq ++ batches).map(_._2.toString)
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else Some(applyTombstones(spark, indexPath,
+      spark.read.parquet(paths: _*)))
   }
 
   /** Compacts committed `ingest_batch=` partitions strictly below
@@ -255,7 +313,9 @@ object StreamingDedup {
       // ~maxPartitionBytes-sized read splits, so the write comes out
       // consolidated without a single-task bottleneck at scale
       val genDir = new org.apache.hadoop.fs.Path(s"$indexPath/gen=$upTo")
-      spark.read.parquet(srcs: _*)
+      // fold WITHOUT tombstoned rows: compaction is where retracted
+      // data physically leaves the index (readIndex filters until then)
+      applyTombstones(spark, indexPath, spark.read.parquet(srcs: _*))
         .write.mode("overwrite").parquet(genDir.toString)
       val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
       // marker BEFORE the covered partitions delete: a crash between
@@ -295,10 +355,11 @@ object StreamingDedup {
       else Some(spark.read.option("basePath", outPath)
         .parquet(batches.map(_._2.toString): _*)
         .withColumn("ingest_batch", col("ingest_batch").cast("long")))
-    (genDf, batchDf) match {
+    val assembled = (genDf, batchDf) match {
       case (Some(g), Some(b)) => Some(g.unionByName(b))
       case (g, b)             => g.orElse(b)
     }
+    assembled.map(applyTombstones(spark, outPath, _))
   }
 
   /** The admitted corpus under `outPath`, whatever mix of per-batch

@@ -60,6 +60,20 @@ class HierarchySpec extends SparkSpec {
     assert(iter.nonEmpty)
   }
 
+  test("ancestorClosureSql leaves the session catalog view-free") {
+    val df = Seq((1L, Option.empty[Long]), (2L, Some(1L)), (3L, Some(2L)))
+      .toDF("id", "parent")
+    val out = Hierarchy.ancestorClosureSql(df, "id", "parent")
+    // the temp view is inlined at analysis and dropped before return:
+    // repeated calls in a long-lived session must not accrete catalog
+    // entries, and the returned (lazy) frame must still compute
+    Hierarchy.ancestorClosureSql(df, "id", "parent")
+    val leaked = spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("__hier_nodes_"))
+    assert(leaked.isEmpty, s"temp views leaked: ${leaked.map(_.name).toSeq}")
+    assert(out.count() == 3) // usable after its view is gone
+  }
+
   test("depth cap truncates runaway chains") {
     val deep = (0 until 40).map(i =>
       (i.toLong, if (i == 0) None else Some((i - 1).toLong)))

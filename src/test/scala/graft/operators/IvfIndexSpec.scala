@@ -60,6 +60,141 @@ class IvfIndexSpec extends SparkSpec {
     assert(leaked.isEmpty, s"topK leaked cached RDDs: $leaked")
   }
 
+  test("shuffle probe shape returns the exact broadcast-shape result") {
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.filter(col("vec_id") < 20)
+    val idx = IvfIndex.load(spark, indexPath, "vec_id", "embedding", "label")
+    def rows(bp: Option[Boolean]) =
+      IvfIndex.topK(idx, queries, k = 5, nprobe = 2, broadcastProbes = bp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+    assert(rows(Some(false)) == rows(Some(true)))
+  }
+
+  test("large query set routes via shuffle join, not query-side broadcast") {
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.filter(col("vec_id") < 20)
+    val idx = IvfIndex.load(spark, indexPath, "vec_id", "embedding", "label")
+    // above-threshold query set (forced via the conf the auto path reads):
+    // every broadcast left must be the medoid routing table (an
+    // IdentityBroadcastMode cross-join build, which DPP may duplicate
+    // into its pruning subquery) — the scoring join must shuffle on the
+    // cluster key, so NO hashed (equi-join) broadcast may exist.
+    val threshold = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(threshold)
+    try {
+      spark.conf.set(threshold, "1")
+      val plan = IvfIndex.topK(idx, queries, k = 5, nprobe = 2)
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"query side must not broadcast into the scoring join:\n$plan")
+      val all = "BroadcastExchange".r.findAllIn(plan).size
+      val medoid = "BroadcastExchange IdentityBroadcastMode".r.findAllIn(plan).size
+      assert(all == medoid,
+        s"expected only medoid-routing broadcasts, got $all vs $medoid in:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join for the scoring side in:\n$plan")
+    } finally spark.conf.set(threshold, saved)
+    // below-threshold query set: the probed side must hash-broadcast
+    val plan2 = IvfIndex.topK(idx, queries, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString()
+    assert(plan2.contains("BroadcastHashJoin"),
+      s"expected query-side broadcast below threshold in:\n$plan2")
+  }
+
+  test("knnGraph through the index equals knnGraphBlocked on the cluster") {
+    val emb = Tables.embeddings(spark, d)
+    val expected = Similarity.knnGraphBlocked(emb, "vec_id", "embedding",
+        col("label"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val idx = IvfIndex.load(spark, indexPath, "vec_id", "embedding", "label")
+    val got = IvfIndex.knnGraph(idx, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    // corpus×corpus: nothing query-side may broadcast regardless of size
+    val plan = IvfIndex.knnGraph(idx, k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastExchange"),
+      s"knnGraph must never broadcast a corpus side:\n$plan")
+  }
+
+  test("build(A) + append(B) equals build(A ∪ B) for fixed medoids") {
+    val emb = Tables.embeddings(spark, d)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val inc = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    IvfIndex.build(a, "vec_id", "embedding", "label", inc)
+    IvfIndex.append(spark, inc, b, "vec_id", "embedding", "label",
+      IvfIndex.nextBatchId(spark, inc))
+    // vectors content identical (modulo the increment id, a layout
+    // detail queries never see)
+    def contents(p: String) = spark.read.parquet(s"$p/vectors")
+      .select(col("vec_id"), col("label"), col("__norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(contents(inc) == contents(indexPath))
+    // fixed medoids: A held every label's min id half the time; make
+    // the comparison exact by pinning both to the full-corpus medoids
+    IvfIndex.refreshMedoids(spark, inc, "vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") < 20)
+    def rows(p: String) = IvfIndex.topK(
+      IvfIndex.load(spark, p, "vec_id", "embedding", "label"),
+      queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(rows(inc) == rows(indexPath))
+  }
+
+  test("a crashed append replays idempotently (torn increment overwritten)") {
+    val emb = Tables.embeddings(spark, d)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val inc = java.nio.file.Files.createTempDirectory("ivf_crash").toString
+    IvfIndex.build(a, "vec_id", "embedding", "label", inc)
+    val batchId = IvfIndex.nextBatchId(spark, inc)
+    assert(batchId == 1L)
+    // torn attempt: the crash landed after only part of the increment
+    // was written (simulated as a half-batch write under the SAME id)
+    IvfIndex.append(spark, inc, b.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding", "label", batchId)
+    // replay after recovery: same batch id, full increment
+    IvfIndex.append(spark, inc, b, "vec_id", "embedding", "label", batchId)
+    assert(IvfIndex.nextBatchId(spark, inc) == 2L)
+    val ids = spark.read.parquet(s"$inc/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    val expect = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(expect),
+      "replayed increment must fully replace its torn attempt")
+  }
+
+  test("routeToMedoids assigns each vector its nearest medoid's cluster") {
+    val emb = Tables.embeddings(spark, d)
+    val idx = IvfIndex.load(spark, indexPath, "vec_id", "embedding", "label")
+    val routed = IvfIndex.routeToMedoids(idx,
+      emb.filter(col("vec_id") < 50).drop("label"))
+    assert(routed.columns.contains("label"))
+    assert(routed.count() == 50) // one row per input vector, no fan-out
+    // cross-check one vector against a driver-side nearest-medoid calc
+    val medoids = idx.medoids.select("label", "__medoid_vec").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      val nx = math.sqrt(x.map(v => v.toDouble * v).sum)
+      val ny = math.sqrt(y.map(v => v.toDouble * v).sum)
+      dot / (nx * ny)
+    }
+    val v0 = emb.filter(col("vec_id") === 7)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val best = medoids.map { case (c, mv) =>
+      (BigDecimal(cos(v0, mv)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, c)
+    }.sortBy { case (s, c) => (-s, c) }.head._2
+    val got = routed.filter(col("vec_id") === 7)
+      .select("label").head.getInt(0)
+    assert(got == best)
+  }
+
   test("build precomputes norms so queries add no norm scan column") {
     val idx = IvfIndex.load(spark, indexPath, "vec_id", "embedding", "label")
     assert(idx.vectors.columns.contains("__norm"))

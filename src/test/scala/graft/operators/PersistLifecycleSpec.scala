@@ -163,7 +163,8 @@ class PersistLifecycleSpec extends SparkSpec {
       val appDir = new java.io.File(root)
       assert(appDir.isDirectory && appDir.list().nonEmpty)
       Lifecycle.release(m) // Hadoop-FS delete works on the owned root
-      assert(appDir.list().isEmpty)
+      // only the liveness heartbeat may remain — no table data
+      assert(appDir.list().forall(_ == Lifecycle.HeartbeatName))
     } finally spark.conf.unset("graft.scratch.dir")
   }
 
@@ -176,7 +177,8 @@ class PersistLifecycleSpec extends SparkSpec {
           spark.range(100L * i).toDF("id"))
       }
       val root = new java.io.File(Lifecycle.scratchRoot(spark))
-      val dirs = root.listFiles().sortBy(_.getName.stripPrefix("m").toLong)
+      val dirs = root.listFiles().filter(_.getName.matches("m\\d+"))
+        .sortBy(_.getName.stripPrefix("m").toLong)
       assert(dirs.length == 4)
       // age the first two past a 1-hour TTL
       val old = System.currentTimeMillis() - 2 * 3600 * 1000L
@@ -189,11 +191,14 @@ class PersistLifecycleSpec extends SparkSpec {
       assert(dirs(2).exists() && dirs(3).exists())
       // size cap: dirs(3) alone is under any sane cap; dirs(2)+dirs(3)
       // exceed a cap of dirs(3)'s size, so the OLDER dirs(2) goes
-      // (mtimes pinned — same-millisecond creation would make
-      // oldest-first ambiguous; dirs(2) aged past the cap pass's
-      // min-age floor, dirs(3) fresh = protected even if over cap)
-      dirs(2).setLastModified(System.currentTimeMillis() - 20 * 60000L)
-      dirs(3).setLastModified(System.currentTimeMillis())
+      // (FILE mtimes pinned — age is read from child files now —
+      // same-millisecond creation would make oldest-first ambiguous;
+      // dirs(2) aged past the cap pass's min-age floor, dirs(3)
+      // fresh = protected even if over cap)
+      dirs(2).listFiles()
+        .foreach(_.setLastModified(System.currentTimeMillis() - 20 * 60000L))
+      dirs(3).listFiles()
+        .foreach(_.setLastModified(System.currentTimeMillis()))
       val keepBytes = dirs(3).listFiles().map(_.length()).sum
       Lifecycle.pruneScratch(spark, ttlMillis = Long.MaxValue,
         maxBytes = keepBytes + 1)
@@ -210,16 +215,107 @@ class PersistLifecycleSpec extends SparkSpec {
     spark.conf.set("graft.scratch.dir", owned.toString)
     try {
       val mine = Lifecycle.materializeToScratch(spark.range(10).toDF("id"))
-      val dead = owned.resolve("application_000_dead/m1")
+      val dead = owned.resolve("application_000_0001/m1")
       java.nio.file.Files.createDirectories(dead)
       java.nio.file.Files.write(dead.resolve("part-0.parquet"),
         Array[Byte](1, 2, 3))
       val old = System.currentTimeMillis() - 2 * 3600 * 1000L
-      dead.toFile.setLastModified(old)
+      // age the FILE: expiry is decided by child-file mtimes (real on
+      // object stores), never the synthetic directory status
+      dead.resolve("part-0.parquet").toFile.setLastModified(old)
       Lifecycle.pruneScratch(spark, ttlMillis = 3600 * 1000L)
       assert(!dead.toFile.exists(), "dead app's scratch table survived")
       assert(!dead.getParent.toFile.exists(), "empty dead namespace survived")
       assert(mine.count() == 10, "live app's fresh scratch was pruned")
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
+  test("expiry reads child-file mtimes, not the directory status") {
+    // object stores report synthetic directory statuses (mtime 0 or
+    // listing time): a table whose DIR looks ancient but whose files
+    // are fresh is live and must survive; the reverse must be pruned
+    // (covered by the cross-app test above)
+    val owned = java.nio.file.Files.createTempDirectory("prune_mtime")
+    spark.conf.set("graft.scratch.dir", owned.toString)
+    try {
+      val fresh = owned.resolve("application_000_0002/m1")
+      java.nio.file.Files.createDirectories(fresh)
+      java.nio.file.Files.write(fresh.resolve("part-0.parquet"),
+        Array[Byte](1, 2, 3))
+      val old = System.currentTimeMillis() - 48 * 3600 * 1000L
+      fresh.toFile.setLastModified(old)           // dir looks ancient
+      fresh.getParent.toFile.setLastModified(old) // namespace too
+      Lifecycle.pruneScratch(spark, ttlMillis = 3600 * 1000L)
+      assert(fresh.toFile.exists(),
+        "table with fresh files was pruned off a stale dir status")
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
+  test("a live application's heartbeat shields its namespace from other janitors") {
+    val owned = java.nio.file.Files.createTempDirectory("prune_hb")
+    spark.conf.set("graft.scratch.dir", owned.toString)
+    try {
+      // simulate ANOTHER app: expired table but fresh heartbeat
+      val other = owned.resolve("application_000_0003")
+      val table = other.resolve("m1")
+      java.nio.file.Files.createDirectories(table)
+      java.nio.file.Files.write(table.resolve("part-0.parquet"),
+        Array[Byte](1, 2, 3))
+      val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+      table.resolve("part-0.parquet").toFile.setLastModified(old)
+      java.nio.file.Files.write(other.resolve(Lifecycle.HeartbeatName),
+        Array.emptyByteArray)
+      Lifecycle.pruneScratch(spark, ttlMillis = 3600 * 1000L)
+      assert(table.toFile.exists(),
+        "another live app's expired-by-TTL intermediate was deleted")
+      // heartbeat gone stale: normal TTL pruning resumes, and a
+      // namespace left holding only the stale marker is swept
+      other.resolve(Lifecycle.HeartbeatName).toFile.setLastModified(old)
+      Lifecycle.pruneScratch(spark, ttlMillis = 3600 * 1000L)
+      assert(!table.toFile.exists(), "stale-heartbeat table survived")
+      assert(!other.toFile.exists(), "stale-heartbeat namespace survived")
+      // the janitor's OWN namespace is never heartbeat-shielded: its
+      // expired tables prune under the TTL the app itself chose
+      val mine = Lifecycle.materializeToScratch(spark.range(5).toDF("id"))
+      val myDir = new java.io.File(Lifecycle.scratchRoot(spark))
+      val myTables = myDir.listFiles().filter(_.getName.matches("m\\d+"))
+      assert(myTables.nonEmpty)
+      myTables.foreach(t => t.listFiles().foreach(_.setLastModified(old)))
+      Lifecycle.pruneScratch(spark, ttlMillis = 3600 * 1000L)
+      assert(myTables.forall(!_.exists()),
+        "own namespace's expired tables must still prune")
+      mine // consumed above; deletion after expiry is the test's point
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
+  test("empty-dir sweep touches only Spark-appId-named namespaces") {
+    val owned = java.nio.file.Files.createTempDirectory("prune_foreign")
+    spark.conf.set("graft.scratch.dir", owned.toString)
+    try {
+      val foreign = owned.resolve("some_other_tools_dir")
+      java.nio.file.Files.createDirectories(foreign)
+      val ours = owned.resolve("local-12345")
+      java.nio.file.Files.createDirectories(ours)
+      Lifecycle.pruneScratch(spark, ttlMillis = 3600 * 1000L)
+      assert(foreign.toFile.exists(),
+        "another tool's empty dir under a shared root was deleted")
+      assert(!ours.toFile.exists(), "empty appId-named namespace survived")
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
+  test("legacy pre-namespacing m<N> tables under a configured root still prune") {
+    val owned = java.nio.file.Files.createTempDirectory("prune_legacy")
+    spark.conf.set("graft.scratch.dir", owned.toString)
+    try {
+      val legacy = owned.resolve("m7")
+      java.nio.file.Files.createDirectories(legacy)
+      java.nio.file.Files.write(legacy.resolve("part-0.parquet"),
+        Array[Byte](1, 2, 3))
+      val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+      legacy.resolve("part-0.parquet").toFile.setLastModified(old)
+      Lifecycle.pruneScratch(spark, ttlMillis = 3600 * 1000L)
+      assert(!legacy.toFile.exists(),
+        "legacy top-level m<N> table became permanent litter")
     } finally spark.conf.unset("graft.scratch.dir")
   }
 

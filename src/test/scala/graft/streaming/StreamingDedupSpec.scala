@@ -113,6 +113,32 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == foldResult)
   }
 
+  test("stray non-numeric dirs in the index are ignored, not fatal") {
+    // manual backups / tool litter like `gen=2.bak` or
+    // `ingest_batch=3-copy` used to throw NumberFormatException in the
+    // suffix parse and wedge every readIndex/compactIndex (and so the
+    // whole ingester) until someone hand-deleted the dir
+    val in = java.nio.file.Files.createTempDirectory("sds_in").toString
+    val out = java.nio.file.Files.createTempDirectory("sds_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("sds_ix")
+    val cp = java.nio.file.Files.createTempDirectory("sds_cp").toString
+    java.nio.file.Files.createDirectories(ix.resolve("gen=2.bak"))
+    java.nio.file.Files.createDirectories(ix.resolve("ingest_batch=3-copy"))
+    java.nio.file.Files.createDirectories(ix.resolve("ingest_batch="))
+    writeBatchFiles(in)
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    StreamingDedup.start(stream, "doc_id", "text", ix.toString, out, cp)
+      .awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == foldResult)
+    StreamingDedup.compactIndex(spark, ix.toString) // must not throw
+    assert(ix.resolve("gen=2.bak").toFile.exists(),
+      "stray dir must be left alone, not reclaimed")
+  }
+
   test("index compaction preserves semantics and bounds the directory") {
     val in = java.nio.file.Files.createTempDirectory("sdc_in").toString
     val out = java.nio.file.Files.createTempDirectory("sdc_out").toString
@@ -227,6 +253,107 @@ class StreamingDedupSpec extends SparkSpec {
       .select(col("doc_id"), col("ingest_batch").cast("int"))
       .as[(Long, Int)].collect().toSet
     assert(again == got)
+  }
+
+  test("retraction: tombstoned docs stop blocking, leave storage at compaction") {
+    val ix = java.nio.file.Files.createTempDirectory("retr_ix").toString
+    def t(tag: Long) = (0 until 12).map(i => s"r${tag}x$i").mkString(" ")
+    val blocks: DataFrame => DataFrame =
+      StreamingDedup.minHashBlocks("doc_id", "text")
+    // batch 0: docs 1, 2 admitted (distinct texts)
+    val b0 = Seq(1L -> t(1), 2L -> t(2)).toDF("doc_id", "text")
+    val (_, nb0) = StreamingDedup.processBatch(b0,
+      StreamingDedup.readIndex(spark, ix, 0), "doc_id", blocks)
+    nb0.write.mode("overwrite").parquet(s"$ix/ingest_batch=0")
+    // doc 3 duplicates doc 1 -> blocked while 1 is in the index
+    val dup = Seq(3L -> t(1)).toDF("doc_id", "text")
+    def admitOf(batchId: Long): Set[Long] = {
+      val (novel, _) = StreamingDedup.processBatch(dup,
+        StreamingDedup.readIndex(spark, ix, batchId), "doc_id", blocks)
+      novel.select("doc_id").as[Long].collect().toSet
+    }
+    assert(admitOf(1) == Set.empty[Long])
+    // takedown of doc 1: its near-dups must now be admitted
+    StreamingDedup.retract(spark, ix,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    assert(admitOf(1) == Set(3L),
+      "near-dup of a retracted doc must be admitted")
+    // the raw partition still holds doc 1 (filter is read-side)…
+    val raw = spark.read.parquet(s"$ix/ingest_batch=0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(raw.contains(1L))
+    // …until compaction physically drops it
+    StreamingDedup.compactIndex(spark, ix, upTo = 1L)
+    val gen = spark.read.parquet(s"$ix/gen=1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!gen.contains(1L), "compaction must fold without tombstoned rows")
+    assert(gen.contains(2L), "retained rows must survive compaction")
+    // idempotent: retracting again (or an id never admitted) is safe
+    StreamingDedup.retract(spark, ix, Seq(1L, 99L).toDF("doc_id"), "doc_id")
+    assert(admitOf(1) == Set(3L))
+    // a torn tombstone (no commit marker) is invisible to readers
+    val torn = new java.io.File(s"$ix/tombstone=9")
+    torn.mkdirs()
+    assert(admitOf(1) == Set(3L)) // listing tolerates it; no wedge
+  }
+
+  test("soak: auto-compaction keeps the index dir bounded across kill/restart cycles") {
+    // miniature of the ProfileScratch `soak` run (NOTES.md carries the
+    // 500-batch numbers): 24 micro-batches land in 4 waves with a
+    // restart (= kill + recovery replay) between waves, auto-compaction
+    // every 5 batches. Invariants: (1) the index directory count stays
+    // O(generations + batches-since-compaction) at EVERY observation
+    // point, never O(total batches); (2) novelty decisions after all
+    // the kills are byte-identical to the single-shot batch fold.
+    val nBatches = 24
+    val in = java.nio.file.Files.createTempDirectory("soak_in").toString
+    val out = java.nio.file.Files.createTempDirectory("soak_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("soak_ix").toString
+    val cp = java.nio.file.Files.createTempDirectory("soak_cp").toString
+    def t(tag: Long) = (0 until 12).map(i => s"s${tag}x$i").mkString(" ")
+    // doc i of batch b: dup of batch (b-2)'s doc when i%3==0 and b>=2
+    // (cross-batch, far enough back that the pair is index-vs-batch
+    // after any compaction), else unique
+    def docsOf(b: Int): Seq[(Long, String)] = (0 until 6).map { i =>
+      val id = b.toLong * 6 + i
+      val src = if (b >= 2 && i % 3 == 0) (b - 2).toLong * 6 + i else id
+      (id, t(src))
+    }
+    def landBatch(b: Int): Unit = {
+      val rows = docsOf(b)
+        .map { case (id, tx) => s"""{"doc_id":$id,"text":"$tx"}""" }
+      val p = java.nio.file.Paths.get(in, f"batch$b%04d.json")
+      java.nio.file.Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+      p.toFile.setLastModified(1600000000000L + b * 60000L)
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      StreamingDedup.start(stream, "doc_id",
+        StreamingDedup.minHashBlocks("doc_id", "text"), ix, out, cp,
+        compactEvery = Some(5)).awaitTermination()
+    }
+    var maxDirs = 0
+    (0 until 4).foreach { wave =>
+      (wave * 6 until (wave + 1) * 6).foreach(landBatch)
+      run() // wave boundary = kill + checkpoint-recovery restart
+      val dirs = new java.io.File(ix).list().count(!_.startsWith("_"))
+      maxDirs = math.max(maxDirs, dirs)
+    }
+    // bound: ≤ generations (total/compactEvery) + un-compacted recent
+    // batches + the in-flight one. 24 batches / compactEvery=5 keeps
+    // every observation far under the un-compacted 24.
+    assert(maxDirs <= nBatches / 5 + 5 + 1,
+      s"index dir count $maxDirs grew past the compaction bound")
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("ingest_batch").cast("int"))
+      .as[(Long, Int)].collect().toSet
+    val allDocs = (0 until nBatches).flatMap(docsOf).toDF("doc_id", "text")
+    val fold = StreamingDedup.incrementalDedup(allDocs, "doc_id", "text",
+      (col("doc_id") / 6).cast("int"), nBatches = nBatches)
+      .as[(Long, Int)].collect().toSet
+    assert(got == fold,
+      "kill/restart + auto-compaction changed novelty decisions vs the fold")
   }
 
   test("fold leaves zero persistent RDDs") {
