@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SchemaCanary.preflight(spark, sfDir)
     // Untimed JVM/codegen warmup at the smallest sf: the first queries
     // in a cold JVM otherwise absorb ~5-10 s of one-time class-loading
     // and codegen cost that says nothing about steady-state throughput.

@@ -230,20 +230,45 @@ object IvfIndex {
     * means zero norm recomputation. Results are identical to
     * [[Similarity.knnGraphBlocked]] with the cluster as the blocking
     * key (same expression tree, same rounding, same tie-break). */
-  def knnGraph(index: Index, k: Int): DataFrame = {
+  def knnGraph(index: Index, k: Int,
+      maxClusterBlock: Int = 4096): DataFrame = {
     val spark = index.vectors.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val (idCol, vecCol, clusterCol) = (index.idCol, index.vecCol, index.clusterCol)
+    // Skew guard: pair generation is quadratic within a cluster, so one
+    // hot cluster (10× the median) makes one partition do ~100× the
+    // work, and AQE's skew split cannot split a join whose key IS the
+    // cluster. Sub-block the join instead: a cluster of size s gets
+    // B = ceil(s / maxClusterBlock) deterministic hash-blocks, the x
+    // side is replicated across column-blocks and y across row-blocks,
+    // and the join key becomes (cluster, rowBlock, colBlock) — the SAME
+    // s² pair set, spread over B² independent tasks of bounded size.
+    // Exact by construction: each (x,y) pair meets exactly once (at
+    // rowBlock = block(x), colBlock = block(y)), and the final top-k
+    // window re-groups on x's id across its B tasks. Normal clusters
+    // get B = 1 and a single (c,0,0) block — no replication, the r5
+    // plan unchanged. Sizing pass is one groupBy producing nclusters
+    // rows, broadcast back onto the corpus.
+    val sizes = index.vectors.groupBy(col(clusterCol))
+      .agg(ceil(count(lit(1)) / maxClusterBlock).cast("int").as("__nb"))
     // `merge` hint: the corpus is by definition above any broadcast
     // threshold at scale; pinning SortMergeJoin keeps the plan identical
     // (and testable) at every SF instead of flipping to a broadcast of
     // "the whole corpus" on toy data.
     val v = index.vectors.select(col(idCol), col(vecCol),
-      col(clusterCol), col("__norm")).hint("merge")
+        col(clusterCol), col("__norm"))
+      .join(broadcast(sizes), clusterCol)
+      .withColumn("__blk", pmod(xxhash64(col(idCol)), col("__nb")).cast("int"))
+      .withColumn("__other", explode(sequence(lit(0), col("__nb") - 1)))
+      .hint("merge")
     val w = Window.partitionBy(col(s"x.$idCol"))
       .orderBy(col("similarity").desc, col(s"y.$idCol"))
+    // x is the row side (its own block is the row-block, __other spans
+    // column-blocks); y is the column side (mirror image).
     v.alias("x").join(v.alias("y"),
         col(s"x.$clusterCol") === col(s"y.$clusterCol") &&
+          col("x.__blk") === col("y.__other") &&
+          col("x.__other") === col("y.__blk") &&
           col(s"x.$idCol") =!= col(s"y.$idCol"))
       .withColumn("similarity",
         round(Similarity.dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /

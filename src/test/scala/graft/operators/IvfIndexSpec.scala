@@ -113,11 +113,39 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .toSet
     assert(got == expected)
-    // corpus×corpus: nothing query-side may broadcast regardless of size
+    // corpus×corpus: neither side of the pair join may broadcast,
+    // regardless of size (the nclusters-row block-count table is the
+    // only legitimate broadcast — and it never carries vectors)
     val plan = IvfIndex.knnGraph(idx, k = 5)
       .queryExecution.executedPlan.toString()
-    assert(!plan.contains("BroadcastExchange"),
+    assert(plan.contains("SortMergeJoin"),
+      s"knnGraph's pair join must stay sort-merge:\n$plan")
+    val broadcastsVectors = "BroadcastExchange[^\\n]*embedding".r
+      .findFirstIn(plan).isDefined
+    assert(!broadcastsVectors,
       s"knnGraph must never broadcast a corpus side:\n$plan")
+  }
+
+  test("knnGraph skew guard: sub-blocked hot cluster returns the exact graph") {
+    // one hot cluster 10× the others: all of label 0..4's vectors are
+    // collapsed into cluster 0, so the quadratic pair task for cluster 0
+    // dominates — precisely the shape the sub-block guard targets
+    val emb = Tables.embeddings(spark, d)
+      .withColumn("label", when(col("label") < 5, 0).otherwise(col("label")))
+    val p = java.nio.file.Files.createTempDirectory("ivf_skew").toString
+    IvfIndex.build(emb, "vec_id", "embedding", "label", p)
+    val idx = IvfIndex.load(spark, p, "vec_id", "embedding", "label")
+    def graph(blockCap: Int) =
+      IvfIndex.knnGraph(idx, k = 5, maxClusterBlock = blockCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSet
+    val single = graph(Int.MaxValue) // B = 1 everywhere: the unguarded plan
+    val hot = emb.filter(col("label") === 0).count().toInt
+    assert(hot > 40, s"fixture needs a genuinely hot cluster, got $hot")
+    val blocked = graph(blockCap = hot / 8) // forces B >= 8 on the hot cluster
+    assert(blocked == single,
+      "sub-blocked knnGraph must be pair-for-pair identical to the single-block plan")
+    assert(single.nonEmpty)
   }
 
   test("build(A) + append(B) equals build(A ∪ B) for fixed medoids") {
