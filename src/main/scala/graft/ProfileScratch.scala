@@ -280,6 +280,85 @@ object ProfileScratch {
           require(mismatch == 0, "novelty decisions diverged from the fold")
         }
 
+      case "fusionscale" =>
+        // The q79 scale-cliff experiment: fused image-text near-dup
+        // pairs at this sf-dir with the FIXED 8-bit image LSH (the q79
+        // oracle pin — buckets saturate, candidates quadratic) vs the
+        // ADAPTIVE width (buckets scale with n, candidates ~linear).
+        // Reports wall + per-modality candidate counts.
+        val docs = Tables.documents(spark, d).select(col("doc_id"),
+          col("text"), encode(col("text"), "UTF-8").as("payload"))
+        val n = docs.count()
+        val adaptive = operators.Similarity.adaptiveHyperplaneBits(n)
+        println(s"  corpus $n docs; adaptive width = $adaptive bits")
+        Seq("fixed8" -> 8, s"adaptive$adaptive" -> -1).foreach {
+          case (tag, bits) =>
+            t(s"fusion pairs, $tag") {
+              val out = operators.Fusion.imageTextNearDupPairs(docs,
+                "doc_id", "text", "payload", dim = 16, shingleN = 3,
+                numHashes = 16, bands = 4, nBits = bits, minFused = 0.6,
+                seed = 42L, planeSeed = 7L, portable = true)
+              println(s"  -> ${out.count()} fused pairs")
+              operators.Lifecycle.release(out)
+            }
+        }
+
+      case "knnskew" =>
+        // Skew-guard smoke for IvfIndex.knnGraph: a corpus whose
+        // cluster sizes are deliberately lopsided (one cluster holds
+        // `hotFrac` of all vectors; the rest spread evenly) — the shape
+        // where the unguarded partition-local self-join makes one task
+        // do ~(hot/median)^2 of the median task's work. Reported:
+        // wall with the guard OFF (maxClusterBlock = MaxValue, the r5
+        // plan) vs ON (default cap), plus the max/median task-time
+        // spread of the pair-join stage from Spark's task metrics —
+        // the boundedness evidence the round-6 verdict asked for.
+        val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+        val nclusters = args.lift(2).map(_.toInt).getOrElse(64)
+        val hotFrac = args.lift(3).map(_.toDouble).getOrElse(0.25)
+        val dim = 32
+        val root = java.nio.file.Files.createTempDirectory("knn_skew")
+        val hotN = (n * hotFrac).toLong
+        val corpus = spark.range(n).select(
+          col("id").as("vec_id"),
+          when(col("id") < hotN, 0)
+            .otherwise(pmod(col("id"), lit(nclusters - 1)).cast("int") + 1)
+            .as("label"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (sin(col("id") * lit(131) + j * lit(17)))
+              .cast("float")).as("embedding"))
+        val ixPath = root.resolve("ivf").toString
+        t(s"build skewed index: $n vecs, hot cluster = $hotN") {
+          operators.IvfIndex.build(corpus, "vec_id", "embedding",
+            "label", ixPath)
+        }
+        val index = operators.IvfIndex.load(spark, ixPath, "vec_id",
+          "embedding", "label")
+        // task-time spread listener: collect per-task run times of the
+        // heaviest stage for each variant
+        def runWithSpread(tag: String, cap: Int): Unit = {
+          val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+              synchronized { times += e.taskInfo.duration }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          try t(s"knnGraph $tag") {
+            operators.IvfIndex.knnGraph(index, k = 10,
+              maxClusterBlock = cap).write.format("noop")
+              .mode("overwrite").save()
+          } finally spark.sparkContext.removeSparkListener(listener)
+          val sorted = times.sorted
+          if (sorted.nonEmpty) {
+            val med = sorted(sorted.size / 2)
+            println(s"  $tag tasks=${sorted.size} median=${med}ms " +
+              s"max=${sorted.last}ms spread=${sorted.last.toDouble / math.max(med, 1)}")
+          }
+        }
+        runWithSpread("guard OFF (single block)", Int.MaxValue)
+        runWithSpread("guard ON  (cap 2048)", 2048)
+
       case "ann" =>
         // ANN-at-scale smoke: N synthetic 64-d embeddings with planted
         // cluster structure (center[c] + per-id noise) → IvfIndex.build

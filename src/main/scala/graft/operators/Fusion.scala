@@ -31,15 +31,27 @@ import org.apache.spark.sql.functions._
 object Fusion {
 
   /** @param minFused keep pairs with (jaccard + cosine)/2 ≥ this.
+    * @param nBits image-LSH bit-width; pass <= 0 to size it from the
+    *   corpus count via [[Similarity.adaptiveHyperplaneBits]] (one
+    *   cheap count action). A FIXED width is the pipeline's one
+    *   super-linear cliff: buckets saturate as the corpus grows and
+    *   within-bucket pair generation goes quadratic (measured: 10×
+    *   docs at 8 fixed bits → 104× image candidates → 16× wall;
+    *   adaptive width restores ~linear candidate growth). Pin it only
+    *   when an external replay (the q79 oracle) needs a fixed bucket
+    *   function.
     * @return (id_a, id_b, jaccard, cosine, fused), materialized.
     */
   def imageTextNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, binCol: String,
       dim: Int, shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      nBits: Int = 8, minFused: Double = 0.6, seed: Long = 42L,
+      nBits: Int = -1, minFused: Double = 0.6, seed: Long = 42L,
       planeSeed: Long = 7L, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.VectorFunctions.register(df.sparkSession)
+    val imgBits =
+      if (nBits > 0) nBits
+      else Similarity.adaptiveHyperplaneBits(df.count())
 
     // per-doc image signals: embedding + hyperplane LSH bucket + norm
     val signals = Lifecycle.materializeToScratch(
@@ -50,7 +62,7 @@ object Fusion {
         // die at verification
         .filter(col("features").isNotNull)
         .select(col(idCol), col("features"),
-          Similarity.hyperplaneBucket(col("features"), dim, nBits, planeSeed)
+          Similarity.hyperplaneBucket(col("features"), dim, imgBits, planeSeed)
             .as("ibucket"),
           Similarity.norm(col("features")).as("inorm")))
 

@@ -231,7 +231,7 @@ object IvfIndex {
     * [[Similarity.knnGraphBlocked]] with the cluster as the blocking
     * key (same expression tree, same rounding, same tie-break). */
   def knnGraph(index: Index, k: Int,
-      maxClusterBlock: Int = 4096): DataFrame = {
+      maxClusterBlock: Int = 2048): DataFrame = {
     val spark = index.vectors.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val (idCol, vecCol, clusterCol) = (index.idCol, index.vecCol, index.clusterCol)

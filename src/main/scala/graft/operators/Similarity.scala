@@ -152,6 +152,23 @@ object Similarity {
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Hyperplane bit-width that keeps the EXPECTED bucket size near
+    * `targetBucketSize` as the corpus grows: a fixed bit-width is the
+    * classic LSH scale cliff — within-bucket candidate pairs grow
+    * quadratically in corpus size once buckets saturate (measured on
+    * the fusion pipeline: 10× docs at 8 fixed bits → 104× image
+    * candidates → 16× wall). With bits = log2(n / target), buckets
+    * scale with n and candidate volume grows ~linearly
+    * (n · target / 2). Identical vectors collide at ANY width, so
+    * exact-duplicate recall is unaffected; near-miss recall per bit is
+    * the standard LSH tradeoff (band more tables if that matters).
+    * Clamped to [4, 24] — 2^24 buckets is past any single-job corpus
+    * where one table still makes sense. */
+  def adaptiveHyperplaneBits(corpusSize: Long, targetBucketSize: Int = 16): Int = {
+    val buckets = math.max(1.0, corpusSize.toDouble / math.max(1, targetBucketSize))
+    math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of projections
     * onto fixed seed-derived hyperplanes. Vectors in the same bucket are
     * near-duplicate candidates (cosine-LSH). Deterministic across runs.
@@ -221,4 +238,69 @@ object Similarity {
       dim: Int, minSim: Double, nBits: Int = 8): DataFrame =
     blockedNearDupPairs(corpus, idCol, vecCol,
       hyperplaneBucket(col(vecCol), dim, nBits), minSim)
+
+  /** Int8 scalar quantization: per-vector symmetric scale
+    * s = max(|v|)/127, elements rounded to integers in [-127, 127].
+    * At 100 TB this is the standard ANN scan-cost lever — a quantized
+    * corpus is 4× fewer bytes than float32 (and 8× vs the double math),
+    * so a brute-force or IVF scan reads a quarter of the data for a
+    * recall loss bounded by the quantization step. Every step is
+    * integer- or IEEE-exact (max, float→double widening, one double
+    * divide, half-away-from-zero round), so the quantized vectors —
+    * and any integer dot over them — replay bit-for-bit in DuckDB.
+    * The scale column rides along for de-quantization:
+    * dot(a,b) ≈ qdot(a,b) · s_a · s_b. Zero vectors quantize to the
+    * zero vector with scale 0 (no division-by-zero path).
+    *
+    * Output: idCol, `__qvec: array<bigint>`, `__qscale: double`.
+    * (bigint, not tinyint: the integer DOT's accumulator needs 64-bit
+    * anyway, and array<long> avoids a per-element widening cast in the
+    * scoring loop.) */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // scale materialized in its own projection first: referencing it
+    // inside the transform lambda would re-evaluate the array_max fold
+    // once per element (the q54 lesson)
+    df.select(col(idCol), col(vecCol),
+        (array_max(transform(col(vecCol), x => abs(x))).cast("double") / 127.0)
+          .as("__qscale"))
+      .select(col(idCol),
+        when(col("__qscale") === 0.0,
+          transform(col(vecCol), _ => lit(0L)))
+        .otherwise(transform(col(vecCol),
+          x => round(x.cast("double") / col("__qscale")).cast("long")))
+        .as("__qvec"),
+        col("__qscale"))
+  }
+
+  /** Integer dot over two quantized vectors — exact 64-bit arithmetic,
+    * no FP noise, so cross-engine rank ties cannot exist below the
+    * integer resolution. */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force top-k over the QUANTIZED corpus: same broadcast
+    * query-set / scan-side scoring shape as [[bruteForceTopK]], but the
+    * pair score is the exact integer dot de-quantized by the two scale
+    * factors — ranking equivalent to approximate cosine by qdot·s_q·s_c
+    * (per-query norm is a constant within a ranking). Emits the integer
+    * `qdot` (not the double score) so the result hashes exactly. */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    val q = broadcast(scalarQuantize(queries, idCol, vecCol).select(
+      col(idCol).as(queryIdCol), col("__qvec").as("__qq"),
+      col("__qscale").as("__qs")))
+    val c = scalarQuantize(corpus, idCol, vecCol)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__score").desc, col(idCol))
+    c.join(q, col(queryIdCol) =!= col(idCol))
+      .withColumn("qdot", quantizedDot(col("__qq"), col("__qvec")))
+      .withColumn("__score",
+        col("qdot").cast("double") * col("__qs") * col("__qscale"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        col("rank"), col("qdot"))
+  }
 }

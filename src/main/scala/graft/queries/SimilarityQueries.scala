@@ -183,8 +183,69 @@ object SimilarityQueries {
       emb.filter(col("vec_id") < 20), k = 5, nprobe = 2)
   }
 
+  /** Int8-quantized brute-force top-5: the 4×-fewer-scan-bytes ANN
+    * variant. The result ships the exact integer dot (qdot) instead of
+    * a float similarity, so the oracle replay is integer-exact — the
+    * only FP in the whole pipeline is the per-vector scale divide and
+    * the score ranking product, both IEEE-identical in DuckDB. */
+  def knnQuantized(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 5)
+  }
+
+  val knnQuantizedSql: String =
+    s"""WITH qz AS (SELECT vec_id,
+       |    (list_max(list_transform(embedding, x -> abs(x)))::DOUBLE / 127.0)
+       |      AS s,
+       |    embedding FROM embeddings),
+       |qv AS (SELECT vec_id, s,
+       |    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+       |         ELSE list_transform(embedding, x -> round(x::DOUBLE / s)::BIGINT)
+       |    END AS qvec
+       |  FROM qz),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.qvec, c.qvec)::BIGINT AS qdot,
+       |    list_dot_product(q.qvec, c.qvec) * q.s * c.s AS score
+       |  FROM qv q JOIN qv c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, rank, qdot FROM r
+       |WHERE rank <= 5""".stripMargin
+
+  /** Quality gate for the quantized path: per-query overlap between
+    * the exact top-5 (q22) and the int8-quantized top-5 (q87),
+    * aggregated to a recall histogram — the measurement a pipeline
+    * runs before trading precision for scan bytes. Composes the two
+    * result sets with a join + count, so the oracle replays both
+    * pipelines and the same set algebra. */
+  def quantizationRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnBruteForce(s, d).select(col("query_id"),
+      col("neighbor_id"))
+    val quant = knnQuantized(s, d).select(col("query_id").as("qq"),
+      col("neighbor_id").as("qn"))
+    exact.join(quant,
+        col("query_id") === col("qq") && col("neighbor_id") === col("qn"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("qn")).as("n_common"))
+      .groupBy(col("n_common")).agg(count(lit(1)).as("n_queries"))
+  }
+
+  val quantizationRecallSql: String =
+    s"""WITH exact AS (${knnBruteForceSql.replace("\n", "\n  ")}),
+       |quant AS (${knnQuantizedSql.replace("\n", "\n  ")}),
+       |per_q AS (
+       |  SELECT e.query_id, count(q.neighbor_id) AS n_common
+       |  FROM exact e LEFT JOIN quant q
+       |    ON e.query_id = q.query_id AND e.neighbor_id = q.neighbor_id
+       |  GROUP BY 1)
+       |SELECT n_common, count(*) AS n_queries FROM per_q GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
+    Q("q87_quantized_ann", knnQuantized, Some(knnQuantizedSql)),
+    Q("q88_quantization_recall", quantizationRecall, Some(quantizationRecallSql)),
     Q("q22_knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
     Q("q23_knn_ivf", knnIvf, Some(knnIvfSql)),
     Q("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),

@@ -87,4 +87,53 @@ class SimilaritySpec extends SparkSpec {
     // -1.0 for vec 1); block 1 = {3,4}: mutual orthogonal neighbors
     assert(g == Map(1L -> 2L, 2L -> 1L, 5L -> 2L, 3L -> 4L, 4L -> 3L))
   }
+
+  test("adaptiveHyperplaneBits scales bucket count with corpus, clamped") {
+    // bits ≈ log2(n / target): buckets track n, candidate volume ~linear
+    assert(Similarity.adaptiveHyperplaneBits(500) == 5)
+    assert(Similarity.adaptiveHyperplaneBits(5000) == 9)
+    assert(Similarity.adaptiveHyperplaneBits(50000) == 12)
+    assert(Similarity.adaptiveHyperplaneBits(500000) == 15)
+    assert(Similarity.adaptiveHyperplaneBits(1) == 4) // floor clamp
+    assert(Similarity.adaptiveHyperplaneBits(Long.MaxValue) == 24) // cap
+    // identical vectors collide at any width (exact-dup recall invariant)
+    val twin = Seq((1L, Array(0.3f, -0.2f, 0.9f), 0),
+      (2L, Array(0.3f, -0.2f, 0.9f), 0)).toDF("vec_id", "embedding", "label")
+    Seq(4, 12, 24).foreach { bits =>
+      val b = twin.select(
+        Similarity.hyperplaneBucket($"embedding", dim = 3, nBits = bits))
+        .as[Long].collect()
+      assert(b(0) == b(1))
+    }
+  }
+
+  test("scalarQuantize: elements bounded by 127, scale exact, zero vector safe") {
+    val withZero = vecs.unionByName(
+      Seq((6L, Array(0.0f, 0.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label"))
+    val q = Similarity.scalarQuantize(withZero, "vec_id", "embedding")
+      .as[(Long, Array[Long], Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    q.values.foreach { case (qv, _) => qv.foreach(e => assert(math.abs(e) <= 127)) }
+    // unit vector: scale 1/127, element exactly ±127
+    assert(q(1L)._1.toSeq == Seq(127L, 0L, 0L))
+    assert(q(5L)._1.toSeq == Seq(-127L, 0L, 0L))
+    assert(q(1L)._2 == 1.0 / 127.0)
+    // zero vector: zero qvec, zero scale, no NaN/failure
+    assert(q(6L)._1.toSeq == Seq(0L, 0L, 0L) && q(6L)._2 == 0.0)
+  }
+
+  test("quantizedTopK agrees with exact brute force on well-separated vectors") {
+    val exact = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3).map(_._2).toSeq
+    val quant = Similarity.quantizedTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._3)
+    assert(quant.map(_._2).toSeq == exact)
+    // integer dot of two unit-x vectors: 127 * 127
+    val self2 = Similarity.quantizedTopK(vecs, vecs.filter($"vec_id" === 5L),
+      "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(self2(1L) == -127L * 127L)
+  }
 }
