@@ -88,16 +88,95 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer twin of [[VectorDot]] for quantized vectors
+  * (array<bigint>/array<int>): exact 64-bit accumulation, no FP at
+  * all — the int8-quantized ANN scoring loop ([[graft.operators
+  * .Similarity.quantizedTopK]]) runs ~dim multiply-adds per pair, so
+  * the interpreted `aggregate(zip_with(...))` fold's per-element
+  * lambda dispatch and zipped-array allocation dominate exactly like
+  * they did for the float path. Null if lengths differ or any element
+  * is null, same contract as VectorDot. */
+case class VectorDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_vector_dot_long"
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (IntegerType | LongType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>/array<bigint> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val li = elemType(left).contains(IntegerType)
+    val ri = elemType(right).contains(IntegerType)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (li) x.getInt(i).toLong else x.getLong(i)
+      val yv = if (ri) y.getInt(i).toLong else y.getLong(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left).contains(IntegerType)) "getInt" else "getLong"
+    val rGet = if (elemType(right).contains(IntegerType)) "getInt" else "getLong"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ((long) $a.$lGet($i)) * ((long) $b.$rGet($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime registration (works on any session, no
   * SparkSessionExtensions wiring required) + Column-API entry point. */
 object VectorFunctions {
   val dotName = "graft_vector_dot"
+  val dotLongName = "graft_vector_dot_long"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier(dotName))) {
       reg.createOrReplaceTempFunction(dotName,
         exprs => VectorDot(exprs.head, exprs(1)), "built-in")
+    }
+    if (!reg.functionExists(FunctionIdentifier(dotLongName))) {
+      reg.createOrReplaceTempFunction(dotLongName,
+        exprs => VectorDotLong(exprs.head, exprs(1)), "built-in")
     }
     // runtime twin of GraftExtensions' injectOptimizerRule: HOF-form
     // dot products rewrite to the codegen'd expression
@@ -110,4 +189,8 @@ object VectorFunctions {
   /** Codegen'd dot product; caller must have [[register]]ed on the
     * session owning the plan (operators do this themselves). */
   def dot(a: Column, b: Column): Column = call_function(dotName, a, b)
+
+  /** Codegen'd integer dot over quantized vectors; same registration
+    * contract as [[dot]]. */
+  def dotLong(a: Column, b: Column): Column = call_function(dotLongName, a, b)
 }

@@ -274,8 +274,16 @@ object Similarity {
 
   /** Integer dot over two quantized vectors — exact 64-bit arithmetic,
     * no FP noise, so cross-engine rank ties cannot exist below the
-    * integer resolution. */
+    * integer resolution. Runs through the codegen'd
+    * [[graft.functions.VectorDotLong]] (caller registers; operators
+    * here do it themselves). */
   def quantizedDot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotLong(a, b)
+
+  /** Builtin-HOF twin of [[quantizedDot]] (interpreted) — the
+    * zero-registration path and the semantic reference for tests,
+    * exactly like [[dotHof]] vs [[dot]]. */
+  def quantizedDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Brute-force top-k over the QUANTIZED corpus: same broadcast
@@ -288,6 +296,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       queryIdCol: String = "query_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val q = broadcast(scalarQuantize(queries, idCol, vecCol).select(
       col(idCol).as(queryIdCol), col("__qvec").as("__qq"),
       col("__qscale").as("__qs")))

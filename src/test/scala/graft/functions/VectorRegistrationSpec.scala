@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
 class VectorRegistrationSpec extends SparkSpec {
   import spark.implicits._
 
-  private def dropDot(): Unit =
+  private def dropDot(): Unit = {
     spark.sessionState.functionRegistry
       .dropFunction(FunctionIdentifier(VectorFunctions.dotName))
+    spark.sessionState.functionRegistry
+      .dropFunction(FunctionIdentifier(VectorFunctions.dotLongName))
+  }
 
   private lazy val docs = Seq(
     (1L, "a b c d e f g h i j k l", "P1"),
@@ -57,5 +60,24 @@ class VectorRegistrationSpec extends SparkSpec {
     val knn = graft.operators.Similarity.bruteForceTopK(
       emb, emb.limit(3), "id", "vec", k = 2)
     assert(knn.count() > 0)
+  }
+
+  test("Similarity.quantizedTopK self-registers, native dot equals HOF twin") {
+    dropDot()
+    val emb = spark.range(0, 30).select(col("id"),
+      array((0 until 4).map(i =>
+        (sin(col("id") * (i + 3))).cast("float")): _*).as("vec"))
+    val knn = graft.operators.Similarity.quantizedTopK(
+      emb, emb.limit(3), "id", "vec", k = 2)
+    assert(knn.count() > 0)
+    // exactness: the codegen'd integer dot is the HOF fold, bit for bit
+    val qz = graft.operators.Similarity.scalarQuantize(emb, "id", "vec")
+    val both = qz.alias("a").join(qz.alias("b"), col("a.id") < col("b.id"))
+      .select(
+        graft.operators.Similarity.quantizedDot(
+          col("a.__qvec"), col("b.__qvec")).as("native"),
+        graft.operators.Similarity.quantizedDotHof(
+          col("a.__qvec"), col("b.__qvec")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 }
