@@ -303,6 +303,47 @@ object ProfileScratch {
             }
         }
 
+      case "bloomscale" =>
+        // Bloom-pruned anti-join smoke: a corpus-sized on-disk index vs
+        // a small ingest batch (the incremental-dedup membership shape).
+        // The plain anti-join shuffles ALL index rows; the bloom path
+        // shuffles ~fpp·|index| + matches. Reports both walls plus the
+        // measured pruned-index row count (the shuffle-volume proxy).
+        val nIndex = args.lift(1).map(_.toLong).getOrElse(20_000_000L)
+        val nBatch = args.lift(2).map(_.toLong).getOrElse(20_000L)
+        val ixDir = java.nio.file.Files
+          .createTempDirectory("bloomscale").toString
+        t(s"write index ($nIndex rows)") {
+          spark.range(nIndex)
+            .select(md5(concat(lit("doc"), col("id"))).as("fp"))
+            .write.mode("overwrite").parquet(ixDir)
+        }
+        val index = spark.read.parquet(ixDir)
+        // half the batch overlaps the index, half is novel
+        val batch = spark.range(nBatch).select(
+          when(col("id") % 2 === 0, md5(concat(lit("doc"), col("id"))))
+            .otherwise(md5(concat(lit("new"), col("id")))).as("fp"))
+          .cache()
+        batch.count()
+        val plain = t("plain left_anti") {
+          batch.join(index, Seq("fp"), "left_anti").count()
+        }
+        val bloomed = t("bloomPrunedAntiJoin (fpp 0.01)") {
+          operators.Dedup.bloomPrunedAntiJoin(batch, index, "fp").count()
+        }
+        assert(plain == bloomed, s"mismatch: $plain vs $bloomed")
+        graft.functions.BloomFunctions.register(spark)
+        val bytes = graft.functions.BloomFunctions
+          .buildHashedBloom(batch, "fp", nBatch, 0.01)
+        val pruned = t("pruned-index row count") {
+          index.filter(graft.functions.BloomFunctions
+            .mightContainHashed(bytes, col("fp"))).count()
+        }
+        println(f"  index rows $nIndex -> pruned $pruned " +
+          f"(${pruned.toDouble / nIndex * 100}%.2f%% would shuffle; " +
+          f"bloom ${bytes.length / 1024} KiB)")
+        operators.Lifecycle.deleteRecursively(java.nio.file.Paths.get(ixDir))
+
       case "knnskew" =>
         // Skew-guard smoke for IvfIndex.knnGraph: a corpus whose
         // cluster sizes are deliberately lopsided (one cluster holds

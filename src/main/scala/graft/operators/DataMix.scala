@@ -121,4 +121,24 @@ object DataMix {
         floor((col("__cumsum") - col(tokenCol)) / budget).cast("long"))
       .drop("__cumsum")
   }
+
+  /** Deterministic global shuffle for training order: (shard, pos) per
+    * row — shard by portable id-hash, position by hash order within
+    * the shard. The training loader reads shards in index order and
+    * rows in pos order and gets a reproducible pseudo-random
+    * permutation of the corpus, independent of cluster size, file
+    * layout, or Spark version (`repartition`+`rand` can promise none
+    * of that). One shuffle on `shard`, per-shard external sort — no
+    * global sort; size nShards so a shard ≈ one output file. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h",
+        Dedup.stringHash(concat(col(idCol).cast("string"), lit(s"#$seed")),
+          portable = true))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
 }

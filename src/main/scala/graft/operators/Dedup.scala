@@ -30,6 +30,37 @@ object Dedup {
     df.groupBy(keyCols: _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Anti-join of `batch` against `index` on `keyCol` (exact "which
+    * batch rows are NOT already in the corpus" membership dedup), with
+    * a bloom-filter prune of the INDEX side: the index — the 100 TB
+    * side in an incremental-ingest pipeline — is filtered to rows whose
+    * key *might* be in the batch before any shuffle happens, so the
+    * join moves ~|batch| + fpp·|index| rows instead of the whole
+    * corpus. Exact by construction: blooms have no false negatives, so
+    * no index row that actually matches a batch key is pruned, and the
+    * anti-join itself discharges the false positives. This is Spark's
+    * own runtime-filter pattern (InjectRuntimeFilter) made explicit —
+    * available regardless of join strategy, sized by the caller, and
+    * reusable across batches.
+    *
+    * Sizing: the bloom is built over the BATCH keys (the small side;
+    * driver tree-aggregate). 1e8 keys at 1% fpp ≈ 120 MB — beyond
+    * that, raise fpp (costs only extra verify rows, never correctness)
+    * or shard the batch. */
+  def bloomPrunedAntiJoin(
+      batch: DataFrame, index: DataFrame, keyCol: String,
+      fpp: Double = 0.01,
+      expectedBatchKeys: Option[Long] = None): DataFrame = {
+    import graft.functions.BloomFunctions
+    BloomFunctions.register(batch.sparkSession)
+    val nKeys = expectedBatchKeys.getOrElse(batch.count())
+    val bloomBytes = BloomFunctions.buildHashedBloom(batch, keyCol, nKeys, fpp)
+    val prunedIndex = index
+      .filter(BloomFunctions.mightContainHashed(bloomBytes, col(keyCol)))
+      .select(col(keyCol))
+    batch.join(prunedIndex, Seq(keyCol), "left_anti")
+  }
+
   /** Distinct word n-gram shingles, one row per (id, shingle). Texts
     * shorter than n tokens yield one whole-text shingle.
     *

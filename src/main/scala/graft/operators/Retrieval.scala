@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over a document corpus: BM25 scoring in
+  * PORTABLE FIXED-POINT integer arithmetic. The training-data use case
+  * is targeted corpus search at curation time — "find every document
+  * that looks like this benchmark task" (decontamination triage),
+  * "pull the docs that mention these entities" (domain audits) — where
+  * the ranking must be reproducible across engines and runs.
+  *
+  * Why fixed-point: real BM25 mixes `ln` and double sums, both of
+  * which are engine-dependent (libm vs JVM `Math.log`; FP addition
+  * order under parallel aggregation), so results can't be
+  * hash-verified. Here every factor is scaled to ×1e6 integers and
+  * combined with `+`, `*`, and truncating integral division only —
+  * bit-identical in any ANSI engine (`div` in Spark, `//` in DuckDB),
+  * order-independent under the exact long sum. The idf uses the
+  * log-free Robertson form (N - df + ½)/(df + ½) — monotone in df,
+  * same ranking family; k1 = 1.2 and b = 0.75 appear as the exact
+  * rationals 12/10 and 75/100.
+  *
+  * Scale shape: one token pass builds (doc, term) counts — the
+  * shuffle is on (doc_id, term), partitioning evenly; per-term df and
+  * the global (N, totLen) are tiny aggregates broadcast back; the
+  * final top-k is TakeOrderedAndProject (no global sort). Overflow
+  * bound: intermediate products stay < 2^63 for corpora up to ~1e9
+  * scoring docs with doc lengths ≤ ~1e4 tokens (the largest term is
+  * tf·2.2e12); beyond that, shard scoring by term group.
+  */
+object Retrieval {
+
+  /** Top-k docs for a bag-of-words query under fixed-point BM25.
+    * Output: (idCol, n_terms, score) — `score` is the ×1e6-scaled
+    * integer BM25 sum, `n_terms` the number of distinct query terms
+    * the doc matched. Ties broken by ascending id for a total order. */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val toks = docs
+      .select(col(idCol),
+        explode(TextAnalysis.whitespaceTokens(lower(trim(col(textCol)))))
+          .as("term"))
+      .filter(col("term") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // doc lengths + corpus stats over docs that have >=1 token (avgdl
+    // over the scoring population; empty/null docs can never match)
+    val lens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("len_d"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("len_d").as("tot_len"))
+    val qToks = toks.filter(col("term").isin(queryTerms: _*))
+    val dfT = qToks.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val tf = qToks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(lens, idCol)
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      // idf6 = 1e6 * (N - df + 1/2)/(df + 1/2)  [exact: x2 numerator/denominator]
+      .withColumn("idf6",
+        expr("((2*(n_docs - df) + 1) * 1000000) div (2*df + 1)"))
+      // kd6 = 1e6 * k1*((1-b) + b*len_d/avgdl), k1=12/10, b=75/100,
+      // avgdl = tot_len/n_docs exactly
+      .withColumn("kd6",
+        expr("(12 * (250000 + (750000 * len_d * n_docs) div tot_len)) div 10"))
+      // contrib = 1e6 * (tf*(k1+1)/(tf + kd)) * idf  [÷1e6 rescale at the end]
+      .withColumn("contrib",
+        expr("(((tf * 2200000 * 1000000) div (tf * 1000000 + kd6)) * idf6) div 1000000"))
+    val out = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+    Lifecycle.materializeThenRelease(out, toks)
+  }
+
+  /** DuckDB replay of [[bm25TopK]] (same fixed-point formula, `//` =
+    * truncating integral division on BIGINT; `::BIGINT` pins DuckDB's
+    * HUGEINT sums back to the long type Spark produces). */
+  def bm25TopKSql(
+      table: String, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): String = {
+    val inList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT $idCol, unnest(regexp_split_to_array(trim(lower($textCol)), '\\s+')) AS term
+       |  FROM $table),
+       |t AS (SELECT * FROM toks WHERE term <> ''),
+       |lens AS (SELECT $idCol, count(*) AS len_d FROM t GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, sum(len_d)::BIGINT AS tot_len FROM lens),
+       |dft AS (SELECT term, count(DISTINCT $idCol) AS df
+       |        FROM t WHERE term IN ($inList) GROUP BY 1),
+       |tf AS (SELECT $idCol, term, count(*) AS tf
+       |       FROM t WHERE term IN ($inList) GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT tf.$idCol,
+       |    (((tf * 2200000 * 1000000)
+       |        // (tf * 1000000
+       |           + ((12 * (250000 + (750000 * len_d * n_docs) // tot_len)) // 10)))
+       |      * (((2*(n_docs - df) + 1) * 1000000) // (2*df + 1))) // 1000000 AS contrib
+       |  FROM tf
+       |  JOIN lens USING ($idCol)
+       |  JOIN dft USING (term)
+       |  CROSS JOIN stats)
+       |SELECT $idCol, count(*) AS n_terms, sum(contrib)::BIGINT AS score
+       |FROM scored GROUP BY 1
+       |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+  }
+}

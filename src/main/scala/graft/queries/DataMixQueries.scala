@@ -141,11 +141,28 @@ object DataMixQueries {
        |WHERE (${sqlBucket("doc_id", 42L)})::DOUBLE < rate * 1000000
        |GROUP BY 1""".stripMargin
 
+  /** Deterministic training-order shuffle ([[DataMix.shuffleShards]]):
+    * every doc's (shard, pos) is a pure function of its id — the full
+    * permutation is the result, so the oracle checks it row-for-row. */
+  def shuffleShardsQ(s: SparkSession, d: String): DataFrame =
+    DataMix.shuffleShards(Tables.documents(s, d), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  val shuffleShardsSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5(doc_id::VARCHAR || '#42'),1,15))::BIGINT AS h
+       |  FROM documents)
+       |SELECT doc_id, h % 8 AS shard,
+       |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+       |FROM h""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q45_split_stats", splitStats, Some(splitStatsSql)),
     Q("q46_mixture_stats", mixtureStats, Some(mixtureStatsSql)),
     Q("q47_token_packing", tokenPacking, Some(tokenPackingSql)),
     Q("q66_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q77_weighted_sample", weightedSampleStats, Some(weightedSampleStatsSql)),
-    Q("q78_temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)))
+    Q("q78_temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
+    Q("q92_shuffle_shards", shuffleShardsQ, Some(shuffleShardsSql)))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Components, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, lit, md5, pmod}
 
 /** Near-duplicate detection coverage on `documents` (SURVEY north-star:
   * n-gram Jaccard, MinHash+LSH, SimHash). The oracle SQL replays the
@@ -344,6 +344,29 @@ object DedupQueries {
         col("ingest_batch").cast("int").as("ingest_batch"))
   }
 
+  /** Exact membership dedup of a new batch (doc_id ≡ 0 mod 4) against
+    * the existing corpus (everything else) via [[Dedup
+    * .bloomPrunedAntiJoin]]: the corpus side — 100 TB in a real ingest
+    * — is bloom-pruned to possible collisions before the anti-join
+    * shuffle ever runs. The oracle replays plain NOT EXISTS semantics:
+    * identical output is the whole point (blooms have no false
+    * negatives; false positives die in the exact join). */
+  def bloomDedupQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    Dedup.bloomPrunedAntiJoin(batch, corpus, "fp")
+      .select(col("doc_id"), col("fp"))
+  }
+
+  val bloomDedupSql: String =
+    """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |batch AS (SELECT * FROM fp WHERE doc_id % 4 = 0),
+      |corpus AS (SELECT * FROM fp WHERE doc_id % 4 <> 0)
+      |SELECT doc_id, fp FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q19_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q20_minhash_lsh", minHashLsh, Some(minHashLshSql)),
@@ -351,5 +374,6 @@ object DedupQueries {
     Q("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q80_incremental_dedup", incrementalDedupQ, Some(incrementalDedupSql)),
     Q("q82_ingested_dedup", ingestedDedupQ, Some(incrementalDedupSql)),
-    Q("q86_retracted_dedup", retractedDedupQ, Some(retractedDedupSql)))
+    Q("q86_retracted_dedup", retractedDedupQ, Some(retractedDedupSql)),
+    Q("q89_bloom_dedup", bloomDedupQ, Some(bloomDedupSql)))
 }

@@ -178,11 +178,51 @@ object TextQueries {
       |  FROM scored)
       |SELECT lang, term, tf, df, score FROM ranked WHERE rk <= 10""".stripMargin
 
+  /** Fixed-point BM25 top-20 for a 3-term query (one rare term, "dup",
+    * plus two common ones — the idf spread is what BM25 is for). The
+    * oracle replays the full integer formula, so ranking AND scores
+    * hash-match; see [[graft.operators.Retrieval]] for why fixed-point. */
+  private val bm25Terms = Seq("dup", "spark", "join")
+
+  def bm25Search(s: SparkSession, d: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(
+      Tables.documents(s, d), "doc_id", "text", bm25Terms, k = 20)
+
+  val bm25SearchSql: String =
+    graft.operators.Retrieval.bm25TopKSql(
+      "documents", "doc_id", "text", bm25Terms, k = 20)
+
+  /** Exact heavy hitters (tokens covering ≥1% of the corpus token
+    * stream) through the Misra-Gries candidate pass + exact-confirm
+    * second pass ([[graft.operators.Frequency]]) — identical output to
+    * the oracle's plain GROUP BY + HAVING, without shuffling the full
+    * distinct-term space. */
+  def heavyTokens(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TA.whitespaceTokens(lower(trim(col("text")))))
+        .as("term"))
+      .filter(col("term") =!= "")
+    val n = toks.count()
+    graft.operators.Frequency.heavyHitters(
+      toks, "term", math.max(n / 100, 1), Some(n))
+  }
+
+  val heavyTokensSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |t AS (SELECT * FROM toks WHERE term <> ''),
+      |n AS (SELECT count(*) AS n FROM t)
+      |SELECT term, count(*) AS cnt FROM t GROUP BY term
+      |HAVING count(*) >= greatest((SELECT n FROM n) // 100, 1)""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q15_text_stats", textStats, Some(textStatsSql)),
     Q("q16_lang_breakdown", langBreakdown, Some(langBreakdownSql)),
     Q("q17_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q18_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)),
     Q("q51_token_explode", tokenExplode, Some(tokenExplodeSql)),
-    Q("q64_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)))
+    Q("q64_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    Q("q90_bm25_search", bm25Search, Some(bm25SearchSql)),
+    Q("q91_heavy_tokens", heavyTokens, Some(heavyTokensSql)))
 }

@@ -80,4 +80,24 @@ class DataMixSpec extends SparkSpec {
     val tiny = DataMix.stratifiedSample(df.filter($"id" > 95), "id", "stratum", 10)
     assert(tiny.count() == 5) // stratum smaller than k → whole stratum
   }
+
+  test("shuffleShards: a partition-invariant permutation of the corpus") {
+    val df = (1L to 200L).toDF("id")
+    val s1 = DataMix.shuffleShards(df, "id", nShards = 4)
+      .select($"id", $"shard", $"pos").as[(Long, Int, Int)].collect().toSet
+    val s2 = DataMix.shuffleShards(df.repartition(7), "id", nShards = 4)
+      .select($"id", $"shard", $"pos").as[(Long, Int, Int)].collect().toSet
+    assert(s1 == s2) // reproducible order regardless of input layout
+    assert(s1.size == 200)
+    // (shard, pos) is a dense, collision-free training order
+    val byShard = s1.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 4).toSet))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size).toSeq)
+    }
+    // different seed → different permutation (not the identity relabel)
+    val s3 = DataMix.shuffleShards(df, "id", nShards = 4, seed = 7L)
+      .select($"id", $"shard", $"pos").as[(Long, Int, Int)].collect().toSet
+    assert(s3 != s1)
+  }
 }
