@@ -201,6 +201,54 @@ object Curation {
     dedupSegments(segs, idCol, "__idx", "__seg", ". ")
   }
 
+  /** Maximal cross-document repeated spans at token-shingle
+    * granularity — the distributed approximation of suffix-array
+    * substring dedup ("dedup repeated substrings, not just whole
+    * documents"): token positions covered by any n-gram occurring in
+    * ≥ minDocs distinct docs merge into maximal coverage intervals per
+    * doc; intervals of ≥ minTokens tokens come back as (id,
+    * span_start, span_end, span_tokens) removal candidates (0-based
+    * inclusive token positions).
+    *
+    * Scale shape: one positional-shingle pass (scan-side), one keyed
+    * shuffle on the shingle to find cross-doc duplicates, one semi
+    * join back, then a per-document window (gaps-and-islands merge) —
+    * partitions by doc, bounded by doc length. No pairwise joins at
+    * all: unlike pair-based near-dup, cost is linear in the number of
+    * duplicated positions, so a boilerplate sentence shared by a
+    * million docs costs a million interval rows, never a million²
+    * pair rows. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int, minTokens: Int): DataFrame = {
+    val src = df
+      .select(col(idCol), TextAnalysis.whitespaceTokens(col(textCol)).as("__toks"))
+      .filter(col("__toks").isNotNull && size(col("__toks")) >= n)
+    val toks = col("__toks")
+    val sh = src.select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .withColumnRenamed("col", "shingle")
+    val dup = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("shingle"))
+    val covered = sh.join(dup, "shingle")
+      .select(col(idCol), col("pos"), (col("pos") + (n - 1)).as("endpos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = covered
+      .withColumn("__prevmax",
+        max(col("endpos")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__prevmax").isNull || col("pos") > col("__prevmax") + 1, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(w))
+    islands.groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"), max(col("endpos")).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .filter(col("span_tokens") >= minTokens)
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_tokens"))
+  }
+
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_emails", regexp_count(t, lit(EmailRe)))

@@ -38,6 +38,17 @@ object Retrieval {
   def bm25TopK(
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
+    // EAGER (see [[Lifecycle]]): the top-k materializes now, the pinned
+    // token frame unpins before return
+    val (out, pinned) = bm25TopKLazy(docs, idCol, textCol, queryTerms, k)
+    Lifecycle.materializeThenRelease(out, pinned: _*)
+  }
+
+  /** The un-materialized plan + the frames it pins (plan-shape tests
+    * inspect this; production callers use [[bm25TopK]]). */
+  private[graft] def bm25TopKLazy(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): (DataFrame, Seq[DataFrame]) = {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
     val toks = docs
       .select(col(idCol),
@@ -72,7 +83,7 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
-    Lifecycle.materializeThenRelease(out, toks)
+    (out, Seq(toks))
   }
 
   /** DuckDB replay of [[bm25TopK]] (same fixed-point formula, `//` =

@@ -226,6 +226,74 @@ object CurationQueries {
       |                          ORDER BY chunk_idx), '')) AS kept_md5
       |FROM m GROUP BY 1""".stripMargin
 
+  /** Maximal cross-doc repeated spans (5-gram granularity, ≥2 docs,
+    * ≥10 tokens) — the substring-dedup removal list. The oracle
+    * replays the whole pipeline: positional shingles, the duplicated
+    * set, and the gaps-and-islands merge. */
+  def repeatedSpansQ(s: SparkSession, d: String): DataFrame =
+    Curation.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+      n = 5, minDocs = 2, minTokens = 10)
+
+  val repeatedSpansSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS shingle
+      |       FROM docs, unnest(range(1, len(toks) - 5 + 2)) t(i)
+      |       WHERE len(toks) >= 5),
+      |dup AS (SELECT shingle FROM sh GROUP BY 1
+      |        HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT doc_id, pos, pos + 4 AS endpos FROM sh JOIN dup USING (shingle)),
+      |isl AS (SELECT doc_id, pos, endpos,
+      |  max(endpos) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM cov),
+      |flag AS (SELECT *, CASE WHEN prevmax IS NULL OR pos > prevmax + 1
+      |                        THEN 1 ELSE 0 END AS isnew FROM isl),
+      |grp AS (SELECT *, sum(isnew) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM flag)
+      |SELECT doc_id, min(pos) AS span_start, max(endpos) AS span_end,
+      |  max(endpos) - min(pos) + 1 AS span_tokens
+      |FROM grp GROUP BY doc_id, island
+      |HAVING max(endpos) - min(pos) + 1 >= 10""".stripMargin
+
+  /** Quality-score calibration report: per-language decile buckets of
+    * the deterministic quality score (decile from integer rank
+    * arithmetic — ((rank-1)*10) div (n-1) — so bucket membership is
+    * engine-exact, unlike ntile or FP percent_rank). The per-bucket
+    * count + score range is what a data-mix curator reads before
+    * picking per-language quality cutoffs. */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        round(TA.qualityScore(col("text")), 6).as("quality"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("decile",
+        least(expr("((__rk - 1) * 10) div greatest(__n - 1, 1)"), lit(9)))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
+  }
+
+  val qualityCalibrationSql: String = {
+    // quality replay shared verbatim with q15's oracle expression
+    val quality = TextQueries.quality
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, round($quality, 6) AS quality FROM documents),
+       |rk AS (SELECT doc_id, lang, quality,
+       |  row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rk,
+       |  count(*) OVER (PARTITION BY lang) AS n FROM q)
+       |SELECT lang,
+       |  least(((rk - 1) * 10) // greatest(n - 1, 1), 9) AS decile,
+       |  count(*) AS n_docs, min(quality) AS min_q, max(quality) AS max_q
+       |FROM rk GROUP BY 1, 2""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q54_repetition_quality", repetitionQuality, Some(repetitionQualitySql)),
     Q("q55_boilerplate_ngrams", boilerplate, Some(boilerplateSql)),
@@ -233,5 +301,7 @@ object CurationQueries {
     Q("q65_curate_corpus", curateCorpus, Some(curateCorpusSql)),
     Q("q71_doc_chunks", docChunks, Some(docChunksSql)),
     Q("q72_pii_redaction", piiRedaction, Some(piiRedactionSql)),
-    Q("q73_segment_dedup", segmentDedup, Some(segmentDedupSql)))
+    Q("q73_segment_dedup", segmentDedup, Some(segmentDedupSql)),
+    Q("q93_repeated_spans", repeatedSpansQ, Some(repeatedSpansSql)),
+    Q("q94_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)))
 }

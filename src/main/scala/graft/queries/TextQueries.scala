@@ -216,6 +216,33 @@ object TextQueries {
       |SELECT term, count(*) AS cnt FROM t GROUP BY term
       |HAVING count(*) >= greatest((SELECT n FROM n) // 100, 1)""".stripMargin
 
+  /** Corpus-wide adjacent-token pair counts — the candidate table for
+    * one BPE merge step (vocabulary induction at corpus scale): one
+    * scan-side pair explode, one keyed count, top-20 via
+    * TakeOrderedAndProject. */
+  def bpeMergeCandidates(s: SparkSession, d: String): DataFrame = {
+    val withToks = Tables.documents(s, d)
+      .select(TA.whitespaceTokens(lower(trim(col("text")))).as("__toks"))
+      .filter(col("__toks").isNotNull && size(col("__toks")) >= 2)
+    val toks = col("__toks")
+    withToks
+      .select(explode(transform(sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+  }
+
+  val bpeMergeCandidatesSql: String =
+    """WITH docs AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |p AS (SELECT toks[i] || ' ' || toks[i+1] AS pair
+      |      FROM docs, unnest(range(1, len(toks))) t(i)
+      |      WHERE len(toks) >= 2)
+      |SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q15_text_stats", textStats, Some(textStatsSql)),
     Q("q16_lang_breakdown", langBreakdown, Some(langBreakdownSql)),
@@ -224,5 +251,6 @@ object TextQueries {
     Q("q51_token_explode", tokenExplode, Some(tokenExplodeSql)),
     Q("q64_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     Q("q90_bm25_search", bm25Search, Some(bm25SearchSql)),
-    Q("q91_heavy_tokens", heavyTokens, Some(heavyTokensSql)))
+    Q("q91_heavy_tokens", heavyTokens, Some(heavyTokensSql)),
+    Q("q95_bpe_merge_pairs", bpeMergeCandidates, Some(bpeMergeCandidatesSql)))
 }

@@ -106,4 +106,30 @@ class PlanSpec extends SparkSpec {
     pinned.foreach(_.unpersist(false))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q89: index side is bloom-filtered before the anti-join") {
+    val p = plan("q89_bloom_dedup")
+    // the membership test sits in a Filter on the corpus scan branch —
+    // the prune happens BEFORE the join, which is the whole point
+    assert(p.contains("graft_bloom_might_contain"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q90: BM25 top-k is TakeOrderedAndProject over broadcast stats") {
+    // inspect the LAZY plan — the public operator eagerly materializes
+    // (Lifecycle), so its returned plan is just a checkpoint scan
+    val (lazyTopK, pinned) = graft.operators.Retrieval.bm25TopKLazy(
+      Tables.documents(spark, d), "doc_id", "text",
+      Seq("dup", "spark", "join"), k = 20)
+    val p = lazyTopK.queryExecution.explainString(FormattedMode)
+    pinned.foreach(_.unpersist(false))
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
+    assert(p.contains("BroadcastHashJoin"), p)     // df(term) joins broadcast
+  }
+
+  test("q91: heavy-hitter candidates join back as broadcast") {
+    val p = plan("q91_heavy_tokens")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // candidate set must stay tiny
+  }
 }

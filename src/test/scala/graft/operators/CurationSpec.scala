@@ -141,4 +141,47 @@ class CurationSpec extends SparkSpec {
       .as[(String, Int, Int, Int)].head()
     assert(r == ("mail <EMAIL> or <IP> call <PHONE> done", 1, 1, 1))
   }
+
+  test("repeatedSpans merges overlapping and adjacent duplicated n-grams") {
+    import spark.implicits._
+    // docs 1/2 share tokens 0..5 ("a b c d e f") → overlapping 3-grams
+    // at positions 0..3 merge into ONE maximal span [0,5]; the tail of
+    // doc 1 is unique and must NOT be covered. doc 3 shares nothing.
+    val d = docs(
+      1L -> "a b c d e f uniq1 uniq2 uniq3",
+      2L -> "x y a b c d e f z w",
+      3L -> "p q r s t u v")
+    val got = Curation.repeatedSpans(d, "doc_id", "text",
+        n = 3, minDocs = 2, minTokens = 3)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set((1L, 0, 5, 6), (2L, 2, 7, 6)))
+  }
+
+  test("repeatedSpans: adjacent-but-gapped islands stay separate") {
+    import spark.implicits._
+    // shared trigram at both ends of doc 1, a unique middle: two spans
+    val d = docs(
+      1L -> "a b c m1 m2 m3 m4 d e f",
+      2L -> "a b c q q q q d e f")
+    val got = Curation.repeatedSpans(d, "doc_id", "text",
+        n = 3, minDocs = 2, minTokens = 3)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == Set((1L, 0, 2, 3), (1L, 7, 9, 3), (2L, 0, 2, 3), (2L, 7, 9, 3)))
+  }
+
+  test("repeatedSpans: minTokens filters short spans, null/short docs ignored") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "a b c tail1 tail2",
+      2L -> "a b c other stuff",
+      3L -> "ab",                       // shorter than n
+      4L -> null.asInstanceOf[String])  // null text
+    val strict = Curation.repeatedSpans(d, "doc_id", "text",
+      n = 3, minDocs = 2, minTokens = 4)
+    assert(strict.count() == 0) // the shared span is only 3 tokens
+    val loose = Curation.repeatedSpans(d, "doc_id", "text",
+        n = 3, minDocs = 2, minTokens = 3)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(loose == Set((1L, 0, 2, 3), (2L, 0, 2, 3)))
+  }
 }
