@@ -127,6 +127,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)     // df(term) joins broadcast
   }
 
+  test("q93: repeated spans plan no pairwise joins; windows partition by doc") {
+    val p = plan("q93_repeated_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val windowLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("doc_id")), p)
+  }
+
   test("q91: heavy-hitter candidates join back as broadcast") {
     val p = plan("q91_heavy_tokens")
     assert(p.contains("BroadcastHashJoin"), p)
