@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import Dedup.{MersennePrime31 => P}
+
 /** Frequent-item (heavy-hitter) extraction at corpus scale: the
   * vocabulary question every training-data pipeline asks — boilerplate
   * phrases, over-represented domains, hot n-grams — where the naive
@@ -80,4 +82,51 @@ object Frequency {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  /** Per-depth-row bucket columns for the count-min hash family:
+    * bucket_i = ((h·a_i + b_i) mod p) mod width over the 60-bit term
+    * hash reduced mod p — the same seed-derived universal hashes as
+    * MinHash, so any engine replays them. */
+  private def cmBuckets(termCol: String, depth: Int, width: Int,
+      seed: Long, portable: Boolean) = {
+    val h = pmod(Dedup.stringHash(col(termCol), portable), lit(P))
+    Dedup.hashParams(depth, seed).map { case (a, b) =>
+      pmod(pmod(h * a + b, lit(P)), lit(width.toLong))
+    }
+  }
+
+  /** Count-min sketch as a relational build: (row_idx, bucket,
+    * cell_cnt) cell counts, at most depth·width rows TOTAL regardless
+    * of vocabulary — the aggregation partial-combines map-side into
+    * that fixed-size state, so the shuffle is a few KB where a naive
+    * `GROUP BY term` moves every distinct term. Cells are mergeable
+    * across corpora/windows by cell-wise sum; estimates
+    * ([[countMinEstimate]]) are one-sided: est ≥ true, and
+    * est ≤ true + 2n/width with prob ≥ 1 − 2^-depth per row. */
+  def countMinTable(df: DataFrame, termCol: String,
+      depth: Int = 4, width: Int = 256, seed: Long = 42L,
+      portable: Boolean = false): DataFrame =
+    df.filter(col(termCol).isNotNull)
+      .select(posexplode(array(
+        cmBuckets(termCol, depth, width, seed, portable): _*)))
+      .groupBy(col("pos"), col("col"))
+      .agg(count(lit(1)).as("cell_cnt"))
+      .select(col("pos").as("row_idx"), col("col").as("bucket"),
+        col("cell_cnt"))
+
+  /** Point-frequency estimates for `terms` (one column: termCol)
+    * against a [[countMinTable]] sketch: min over the depth cells,
+    * absent cells read 0. The sketch is at most depth·width rows, so
+    * it broadcasts. */
+  def countMinEstimate(sketch: DataFrame, terms: DataFrame,
+      termCol: String, depth: Int = 4, width: Int = 256,
+      seed: Long = 42L, portable: Boolean = false): DataFrame =
+    terms
+      .select(col(termCol), posexplode(array(
+        cmBuckets(termCol, depth, width, seed, portable): _*)))
+      .withColumnRenamed("pos", "row_idx")
+      .withColumnRenamed("col", "bucket")
+      .join(broadcast(sketch), Seq("row_idx", "bucket"), "left")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("cell_cnt"), lit(0L))).as("cm_est"))
 }

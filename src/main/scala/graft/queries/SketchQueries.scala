@@ -105,8 +105,53 @@ object SketchQueries {
        |WHERE rank <= $GraphK""".stripMargin
   }
 
+  /** Count-min sketch (4×64, portable hashes) over the document token
+    * stream, estimates joined against exact counts for every distinct
+    * term — the oracle replays cells AND estimates, so the one-sided
+    * overcount property (cm_est ≥ cnt_exact) is checked on real
+    * numbers, not asserted. */
+  def countMinTokens(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Frequency, TextAnalysis => TA}
+    val toks = Tables.documents(s, d)
+      .select(explode(TA.whitespaceTokens(lower(trim(col("text")))))
+        .as("term"))
+      .filter(col("term") =!= "")
+    val sketch = Frequency.countMinTable(toks, "term",
+      depth = 4, width = 64, seed = 42L, portable = true)
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt_exact"))
+    Frequency.countMinEstimate(sketch, exact.select(col("term")), "term",
+        depth = 4, width = 64, seed = 42L, portable = true)
+      .join(exact, "term")
+      .select(col("term"), col("cnt_exact"), col("cm_est"))
+  }
+
+  val countMinTokensSql: String = {
+    val params = Dedup.hashParams(4, 42L)
+    val p = Dedup.MersennePrime31
+    val rowSelects = (tbl: String) => params.zipWithIndex.map {
+      case ((a, b), i) =>
+        s"SELECT term, $i AS row_idx, ((h*$a + $b) % $p) % 64 AS bucket FROM $tbl"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |t AS (SELECT term FROM toks WHERE term <> ''),
+       |h AS (SELECT term, ('0x'||substr(md5(term),1,15))::BIGINT % $p AS h FROM t),
+       |cells AS (SELECT row_idx, bucket, count(*) AS cell_cnt FROM (
+       |  ${rowSelects("h")}) GROUP BY 1, 2),
+       |exact AS (SELECT term, count(*) AS cnt_exact FROM t GROUP BY 1),
+       |dh AS (SELECT DISTINCT term, h FROM h),
+       |tb AS (${rowSelects("dh")}),
+       |est AS (SELECT tb.term, min(coalesce(cell_cnt, 0)) AS cm_est
+       |        FROM tb LEFT JOIN cells USING (row_idx, bucket)
+       |        GROUP BY 1)
+       |SELECT term, cnt_exact, cm_est
+       |FROM est JOIN exact USING (term)""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q37_kmv_distinct", kmvDistinctUsers, Some(kmvDistinctUsersSql)),
     Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)),
-    Q("q70_knn_graph", knnGraph, Some(knnGraphSql)))
+    Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),
+    Q("q96_countmin_tokens", countMinTokens, Some(countMinTokensSql)))
 }

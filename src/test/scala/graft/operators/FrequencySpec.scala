@@ -49,4 +49,49 @@ class FrequencySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("GROUP BY"))
   }
+
+  private lazy val cmTerms =
+    (Seq.fill(40)("hot") ++ Seq.fill(7)("warm") ++
+      (0 until 30).map(i => s"u$i")).toDF("term")
+
+  test("countMin: estimates are one-sided (est >= exact), sketch stays d*w") {
+    val sketch = Frequency.countMinTable(cmTerms, "term",
+      depth = 4, width = 16, seed = 42L)
+    assert(sketch.count() <= 4 * 16)
+    val exact = cmTerms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val est = Frequency.countMinEstimate(sketch, exact.select("term"),
+        "term", depth = 4, width = 16, seed = 42L)
+      .join(exact, "term")
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (t, e, c) =>
+      assert(e >= c, s"$t: est $e < exact $c") }
+  }
+
+  test("countMin sketches merge by cell-wise sum") {
+    // a ⊎ b is exactly the cmTerms multiset
+    val a = (Seq.fill(20)("hot") ++ Seq.fill(3)("warm") ++
+      (0 until 15).map(i => s"u$i")).toDF("term")
+    val b = (Seq.fill(20)("hot") ++ Seq.fill(4)("warm") ++
+      (15 until 30).map(i => s"u$i")).toDF("term")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Frequency.countMinTable(df, "term", depth = 4, width = 16, seed = 42L)
+        .as[(Int, Long, Long)].collect()
+        .map { case (r, bk, c) => (r, bk) -> c }.toMap
+    val (ca, cb) = (cells(a), cells(b))
+    val merged = (ca.keySet ++ cb.keySet).map { k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))
+    }.toMap
+    assert(cells(cmTerms) == merged)
+  }
+
+  test("countMin: an unseen term can only read colliding mass, never negative") {
+    val sketch = Frequency.countMinTable(cmTerms, "term",
+      depth = 4, width = 16, seed = 42L)
+    val unseen = Seq("never-seen-term").toDF("term")
+    val est = Frequency.countMinEstimate(sketch, unseen, "term",
+        depth = 4, width = 16, seed = 42L)
+      .as[(String, Long)].head()
+    assert(est._2 >= 0L)
+  }
 }
