@@ -141,4 +141,33 @@ object DataMix {
       .withColumn("pos", row_number().over(w))
       .drop("__h")
   }
+
+  /** Domain quota cap: no single domain may exceed capNum/capDen of
+    * the corpus — the standard pretraining-mix guard against one
+    * over-crawled source dominating the distribution. Per domain,
+    * keeps the first min(n_domain, ⌊cap·N⌋) rows in portable-hash
+    * order (deterministic, engine-replayable; integer target, no float
+    * thresholds). Domains under their quota pass through untouched.
+    *
+    * Cost shape: one count aggregate (scalar, broadcast back), one
+    * shuffle by domain for the rank window. The window's per-key work
+    * IS the hot domain — at extreme skew prefer the rate-based
+    * variant: pre-thin oversized domains with [[hashSample]] at
+    * ~target/n_domain BEFORE ranking, so the window never sees more
+    * than ~target rows per domain (false drops bounded by hash-bucket
+    * granularity; the exact pass then trims the remainder). */
+  def domainQuota(df: DataFrame, idCol: String, domainCol: String,
+      capNum: Long, capDen: Long, seed: Long = 42L): DataFrame = {
+    require(capNum > 0 && capNum <= capDen, "cap must be in (0, 1]")
+    val total = df.agg(count(lit(1)).as("__N"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__h"), col(idCol))
+    df.crossJoin(broadcast(total))
+      .withColumn("__h",
+        Dedup.stringHash(concat(col(idCol).cast("string"), lit(s"#$seed")),
+          portable = true))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= expr(s"(${capNum}L * __N) div ${capDen}L"))
+      .drop("__h", "__rn", "__N")
+  }
 }

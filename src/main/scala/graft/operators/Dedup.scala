@@ -428,4 +428,77 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
     Lifecycle.materializeThenRelease(out, sigs)
   }
+
+  /** Asymmetric shingle containment: C(A→B) = |sh(A)∩sh(B)| / |sh(A)| —
+    * the "doc A is quoted/embedded inside doc B" relation that Jaccard
+    * misses when the container dwarfs the contained doc (at full
+    * containment J ≈ |A|/|B|, arbitrarily small). The standard second
+    * axis of corpus dedup: boilerplate pages swallowing articles,
+    * aggregator dumps, quote-heavy replies.
+    *
+    * Candidates = pairs sharing ≥1 RARE shingle (document frequency ≤
+    * `maxDocFreq`, the same stop-shingle cap as [[ngramJaccardPairs]] —
+    * bounds the quadratic bucket term); verification counts common over
+    * the FULL shingle sets via the rare/frequent split, so surviving
+    * pairs carry exact containment. Containment is monotone in common
+    * and common ≤ common_rare + min(freq_a, freq_b), so the same
+    * upper-bound prune kills almost every candidate before the (small)
+    * frequent-shingle join runs. Emits one row per DIRECTION clearing
+    * `minContainment`: (contained_id, container_id, containment) —
+    * a fully-contained pair of near-equal docs yields both rows.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minContainment: Double,
+      maxDocFreq: Int): DataFrame = {
+    // EAGER (see [[Lifecycle]]): pairs materialize now; the shingle and
+    // pruned-candidate frames unpin before return.
+    val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val shDf = sh.join(freq, "shingle")
+    val rareSh = shDf.filter(col("__df") <= maxDocFreq)
+      .select(col(idCol), col("shingle"))
+    val freqSh = shDf.filter(col("__df") > maxDocFreq)
+      .select(col(idCol), col("shingle"))
+    val commonRare = rareSh.alias("a").join(rareSh.alias("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("common_rare"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val freqCounts = freqSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_freq"))
+    val prelim = commonRare
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .join(freqCounts.select(col(idCol).as("id_a"), col("n_freq").as("f_a")),
+        Seq("id_a"), "left")
+      .join(freqCounts.select(col(idCol).as("id_b"), col("n_freq").as("f_b")),
+        Seq("id_b"), "left")
+      .withColumn("__max_common", col("common_rare") +
+        least(coalesce(col("f_a"), lit(0L)), coalesce(col("f_b"), lit(0L))))
+      // keep the pair if EITHER direction could still clear the bar
+      .filter(greatest(
+        col("__max_common").cast("double") / col("n_a"),
+        col("__max_common").cast("double") / col("n_b")) >= minContainment)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val commonFreq = prelim.select(col("id_a"), col("id_b"))
+      .join(freqSh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(freqSh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common_freq"))
+    val withCommon = prelim.join(commonFreq, Seq("id_a", "id_b"), "left")
+      .withColumn("common",
+        col("common_rare") + coalesce(col("common_freq"), lit(0L)))
+    def direction(cid: String, par: String, nOf: String) = withCommon
+      .withColumn("containment",
+        round(col("common").cast("double") / col(nOf), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col(cid).as("contained_id"), col(par).as("container_id"),
+        col("containment"))
+    val out = direction("id_a", "id_b", "n_a")
+      .unionAll(direction("id_b", "id_a", "n_b"))
+    Lifecycle.materializeThenRelease(out, sh, prelim)
+  }
 }

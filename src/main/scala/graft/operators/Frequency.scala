@@ -129,4 +129,56 @@ object Frequency {
       .join(broadcast(sketch), Seq("row_idx", "bucket"), "left")
       .groupBy(col(termCol))
       .agg(min(coalesce(col("cell_cnt"), lit(0L))).as("cm_est"))
+
+  /** Power-of-two histogram bin of a non-negative long: the number of
+    * binary digits (`length(bin(v))` = ⌊log₂ v⌋ + 1 for v > 0) — an
+    * integer-exact, cross-engine bin function (both Spark and DuckDB
+    * ship `bin()`; no float log at bucket boundaries). Nonpositive
+    * values land in bin 0. Bin k > 0 covers [2^(k-1), 2^k − 1]. */
+  def log2Bin(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(v > 0L, length(bin(v)).cast("int")).otherwise(lit(0))
+
+  /** Mergeable quantile sketch as a per-key power-of-two histogram:
+    * (key, bin, cnt) with at most 65 bins per key — completing the
+    * sketch family (KMV distinct, MG heavy hitters, CM frequencies,
+    * now quantiles). The aggregation partial-combines map-side into
+    * ≤ 65·keys groups, so the shuffle carries bins, where an EXACT
+    * per-key quantile ([[graft.queries]] q62) must move every distinct
+    * value to its key's reducer — the difference between KBs and the
+    * full column at 100 TB. Histograms merge across corpora/windows by
+    * (key, bin)-wise sum: hist(A ⊎ B) = hist(A) + hist(B). */
+  def log2Histogram(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame =
+    df.groupBy(col(keyCol), log2Bin(col(valCol)).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimate from a [[log2Histogram]]: the target rank is
+    * integer-exact, target = ⌈(qNum/qDen)·n⌉ = (qNum·n + qDen − 1) div
+    * qDen, and the answering bin is the first whose cumulative count
+    * reaches it. Returns per key: n, the bin, and the bin's value
+    * bounds [est_lo, est_hi] — a 2× relative-error bracket (est_hi <
+    * 2·est_lo) that is GUARANTEED to contain the exact q-quantile,
+    * because bin membership is rank-preserving. The bound is the
+    * verifiable contract (q100 joins it against the exact quantile);
+    * report est_hi when a single point estimate is needed. */
+  def histQuantile(hist: DataFrame, keyCol: String,
+      qNum: Long, qDen: Long): DataFrame = {
+    require(qNum > 0 && qNum <= qDen, "quantile must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col(keyCol))
+    hist
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wn))
+      .withColumn("__target",
+        expr(s"(${qNum}L * n + ${qDen - 1}L) div ${qDen}L"))
+      .filter(col("__cum") >= col("__target") &&
+        col("__cum") - col("cnt") < col("__target"))
+      .select(col(keyCol), col("n"), col("bin"),
+        when(col("bin") > 0, expr("shiftleft(CAST(1 AS BIGINT), bin - 1)"))
+          .otherwise(lit(0L)).as("est_lo"),
+        when(col("bin") > 0, expr("shiftleft(CAST(1 AS BIGINT), bin) - 1"))
+          .otherwise(lit(0L)).as("est_hi"))
+  }
 }

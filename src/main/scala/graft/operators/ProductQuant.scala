@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for ANN at compression ratios scalar
+  * quantization can't reach: each vector splits into `m` subvectors,
+  * each coded as ONE of `k` codewords in its subspace's codebook →
+  * m·log₂(k) bits per vector (64 float dims = 256 B → 4 nibble codes
+  * at m=4, k=16). Queries score against codes with an asymmetric-
+  * distance LUT: the query side stays exact, only the corpus is
+  * quantized — the standard memory layout under billion-vector ANN
+  * (IVF for the scan cut, PQ for the byte cut; compose with
+  * [[IvfIndex]] by encoding within clusters).
+  *
+  * Codebooks are DETERMINISTIC: subspace s's codewords are the
+  * subvectors of the k lowest-id corpus vectors (k-means "first-k"
+  * seeding, no Lloyd iterations — a Lloyd step needs float-mean
+  * aggregations whose summation order is partition-dependent, which
+  * would break cross-engine replay and resumability; refine offline if
+  * recall matters and feed the refined book back in as literals). The
+  * trained book is collected to the driver (m·k·subdim doubles — KBs,
+  * the [[Similarity.hyperplanes]] constant pattern) and inlined as
+  * literals, so encoding and LUT scoring are per-row codegen'd
+  * expressions: ZERO joins and ZERO shuffles on the corpus side.
+  */
+object ProductQuant {
+
+  /** Codebooks: `m` subspaces × `k` codewords, codeword c of subspace s
+    * = dims [s·sub, (s+1)·sub) of the (c+1)-th lowest-id corpus vector.
+    * Driver-side collect of k rows — bounded and intended. */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Seq[Seq[Array[Double]]] = {
+    val seeds = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(seeds.length == k, s"corpus has < $k rows to seed codebooks")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map(s => seeds.toSeq.map(_.slice(s * sub, (s + 1) * sub)))
+  }
+
+  private def litArray(a: Array[Double]): Column =
+    array(a.toSeq.map(lit): _*)
+
+  /** Exact left-fold Σx² — the same association order as
+    * [[Similarity.dot]]'s column fold and DuckDB's list_dot_product,
+    * so the inlined constant replays bit-for-bit. */
+  private def norm2(a: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * a(i); i += 1 }
+    acc
+  }
+
+  /** Per-codeword scores for one subvector column: ‖cw‖² − 2·⟨sv,cw⟩
+    * (the ‖sv‖² term is constant across codewords — dropped in BOTH
+    * engines so ties break identically). One array of k score
+    * expressions, each referenced exactly once — a when-chain argmin
+    * would embed its accumulator twice per step and blow the
+    * expression tree up to 2^k nodes (measured: analysis alone spun
+    * for minutes at k=16). */
+  private def scoreArray(sv: Column, cws: Seq[Array[Double]]): Column =
+    array(cws.map(cw =>
+      lit(norm2(cw)) - lit(2.0) * Similarity.dot(sv, litArray(cw))): _*)
+
+  /** (id, __c0 … __c{m-1}) PQ codes for every corpus row — a pure
+    * per-row projection (scan-side, no shuffle). code = index of the
+    * FIRST minimum score (array_position finds the first equal
+    * element, so the earliest codeword wins ties — the same order the
+    * oracle's `row_number ... ORDER BY score, code` picks). */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = books.head.head.length
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol) +: (0 until m).map(s =>
+        slice(col("__v"), s * sub + 1, sub).as(s"__s$s")): _*)
+      .select(col(idCol) +: (0 until m).map(s =>
+        scoreArray(col(s"__s$s"), books(s)).as(s"__sc$s")): _*)
+      .select(col(idCol) +: (0 until m).map(s =>
+        (array_position(col(s"__sc$s"), array_min(col(s"__sc$s"))) - 1)
+          .cast("int").as(s"__c$s")): _*)
+  }
+
+  /** ADC top-k: per query, one LUT array per subspace (k dots against
+    * the literal book — computed ONCE per query row, broadcast), then
+    * the corpus scan scores each coded row with m array lookups and a
+    * fixed-order m-term sum. Approximate dot = Σ_s ⟨qv_s, cw[code_s]⟩;
+    * ranking ties break on the 6-dp rounded score then id, so results
+    * hash-replay exactly. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int, topK: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val books = trainCodebooks(corpus, idCol, vecCol, m, k)
+    val sub = books.head.head.length
+    val coded = encode(corpus, idCol, vecCol, books)
+    val q = broadcast(queries
+      .select(col(idCol).as(queryIdCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col(queryIdCol) +: (0 until m).map(s =>
+        slice(col("__v"), s * sub + 1, sub).as(s"__qs$s")): _*)
+      .select(col(queryIdCol) +: (0 until m).map(s =>
+        array(books(s).map(cw =>
+          Similarity.dot(col(s"__qs$s"), litArray(cw))): _*).as(s"__lut$s")): _*))
+    val scored = coded.join(q, col(queryIdCol) =!= col(idCol))
+      .withColumn("approx_score",
+        round((0 until m).map(s =>
+          element_at(col(s"__lut$s"), col(s"__c$s") + 1)).reduce(_ + _), 6))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("approx_score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        col("rank"), col("approx_score"))
+  }
+}

@@ -312,4 +312,39 @@ object Similarity {
       .select(col(queryIdCol), col(idCol).as("neighbor_id"),
         col("rank"), col("qdot"))
   }
+
+  /** SemDeDup-style semantic dedup: within each blocking cell (IVF
+    * cluster, LSH bucket), a row is DROPPED when any lower-id row in
+    * the same cell is cosine-similar above `minSim`; survivors are
+    * returned unchanged. The deterministic keep-lowest-id rule makes
+    * the survivor set a pure function of the corpus (no iteration, no
+    * clustering pass): b survives iff ∄ a<b in b's cell with
+    * cos(a,b) ≥ minSim — directly SQL-replayable as NOT EXISTS.
+    *
+    * The drop test is against ANY earlier row, surviving or not: in a
+    * chain a~b~c (ids ascending, cos(a,c) < minSim), b drops via a and
+    * c drops via b even though b itself was dropped — one representative
+    * per transitive chain, the same outcome as components-based dedup
+    * ([[graft.operators.Components]]) on chains, without the iterative
+    * propagation pass. The two differ only on sparser shapes (e.g. c
+    * similar to nothing below it but to a dropped higher-id row —
+    * impossible, the pair is oriented) — in fact every drop is
+    * witnessed by its smallest similar predecessor, so the rule is a
+    * single-pass, embarrassingly-parallel approximation of components
+    * that can only keep MORE rows than components, never fewer.
+    *
+    * Cost shape: one blocked pair join (never all-pairs — quadratic
+    * only within cells, same shape as [[blockedNearDupPairs]]) + one
+    * anti-join of the corpus against the dropped-id set. At 100 TB the
+    * pair join is the IVF-cluster-scoped scan and the anti-join is
+    * broadcast when the drop set is small (the common case at high
+    * `minSim`).
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      block: Column, minSim: Double): DataFrame = {
+    val dropped = blockedNearDupPairs(corpus, idCol, vecCol, block, minSim)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -49,4 +49,42 @@ object Validation {
   /** Union of check rows → the quality report. */
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_ unionByName _)
+
+  /** One profiled column: `fmt` renders min/max to a deterministic
+    * cross-engine string AFTER the typed min/max is computed (never
+    * min-of-formatted-strings — that would be lexicographic). */
+  final case class ProfileCol(name: String, fmt: Column => Column = identity)
+
+  /** Column profile (ANALYZE-style stats collection): per requested
+    * column — row count, null count, exact distinct count, typed
+    * min/max rendered through the column's formatter. One aggregation
+    * branch PER COLUMN, each over a scan pruned to exactly that column.
+    *
+    * Why per-column branches and not one multi-distinct aggregate: on
+    * columnar storage "one scan of the table" is the wrong objective —
+    * k pruned scans read each column's bytes exactly once, the same
+    * total I/O as one k-column scan. What the single-scan plan adds is
+    * pure cost: k exact distincts in one Aggregate force an Expand
+    * (k+1 rows per input row) and a SortAggregate chain — measured
+    * 7.5 s vs 1-2 s for the branch form on the same 600k-row profile.
+    * Per branch, the single distinct plans as a two-phase hash
+    * aggregate (group-by-value partial, no Expand, no sort), and every
+    * non-distinct metric rides the same pass map-side.
+    *
+    * Output is long-format: one (col_name, n_rows, n_nulls,
+    * n_distinct, min_val, max_val) row per column. */
+  def profile(df: DataFrame, cols: Seq[ProfileCol]): DataFrame =
+    cols.map { c =>
+      val v = col(c.name)
+      df.select(v)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(when(v.isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_nulls"),
+          countDistinct(v).as("n_distinct"),
+          c.fmt(min(v)).cast("string").as("min_val"),
+          c.fmt(max(v)).cast("string").as("max_val"))
+        .select(lit(c.name).as("col_name"), col("n_rows"),
+          col("n_nulls"), col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionAll _)
 }

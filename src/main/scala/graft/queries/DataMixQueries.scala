@@ -157,6 +157,27 @@ object DataMixQueries {
        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
        |FROM h""".stripMargin
 
+  /** Domain quota: no language may exceed 30% of the corpus (en is
+    * 43% of the testdata — it gets capped; the rest pass through).
+    * id_sum pins the exact hash-order membership of the trim. */
+  def domainQuotaStats(s: SparkSession, d: String): DataFrame =
+    DataMix.domainQuota(Tables.documents(s, d), "doc_id", "lang",
+        capNum = 3, capDen = 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+
+  val domainQuotaStatsSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ('0x'||substr(md5(doc_id::VARCHAR || '#42'),1,15))::BIGINT AS h
+       |  FROM documents),
+       |t AS (SELECT (3 * count(*)) // 10 AS target FROM documents),
+       |r AS (SELECT doc_id, lang,
+       |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |      FROM h)
+       |SELECT lang, count(*) AS n_docs, (sum(doc_id))::BIGINT AS id_sum
+       |FROM r, t WHERE rn <= target GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q45_split_stats", splitStats, Some(splitStatsSql)),
     Q("q46_mixture_stats", mixtureStats, Some(mixtureStatsSql)),
@@ -164,5 +185,6 @@ object DataMixQueries {
     Q("q66_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q77_weighted_sample", weightedSampleStats, Some(weightedSampleStatsSql)),
     Q("q78_temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
-    Q("q92_shuffle_shards", shuffleShardsQ, Some(shuffleShardsSql)))
+    Q("q92_shuffle_shards", shuffleShardsQ, Some(shuffleShardsSql)),
+    Q("q102_domain_quota", domainQuotaStats, Some(domainQuotaStatsSql)))
 }

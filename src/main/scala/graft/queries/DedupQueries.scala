@@ -367,6 +367,30 @@ object DedupQueries {
       |SELECT doc_id, fp FROM batch b
       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)""".stripMargin
 
+  /** Asymmetric containment pairs at C ≥ 0.8: catches docs quoted or
+    * embedded inside much larger docs, where Jaccard stays below any
+    * usable threshold (J ≈ |A|/|B| at full containment). Shares q19's
+    * shingling, stop-shingle cap, and candidate generation — only the
+    * verification ratio differs, and it's directional. */
+  def containmentDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, minContainment = 0.8, maxDocFreq = NgramMaxDocFreq)
+
+  val containmentDedupSql: String =
+    s"""WITH ${shingleCtes(3)},
+       |$cappedCommonCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |c AS (SELECT id_a, id_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b
+       |      FROM common
+       |      JOIN sizes sa ON sa.doc_id = id_a
+       |      JOIN sizes sb ON sb.doc_id = id_b)
+       |SELECT id_a AS contained_id, id_b AS container_id,
+       |  round(common::DOUBLE/n_a, 6) AS containment
+       |FROM c WHERE round(common::DOUBLE/n_a, 6) >= 0.8
+       |UNION ALL
+       |SELECT id_b, id_a, round(common::DOUBLE/n_b, 6)
+       |FROM c WHERE round(common::DOUBLE/n_b, 6) >= 0.8""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q19_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q20_minhash_lsh", minHashLsh, Some(minHashLshSql)),
@@ -375,5 +399,6 @@ object DedupQueries {
     Q("q80_incremental_dedup", incrementalDedupQ, Some(incrementalDedupSql)),
     Q("q82_ingested_dedup", ingestedDedupQ, Some(incrementalDedupSql)),
     Q("q86_retracted_dedup", retractedDedupQ, Some(retractedDedupSql)),
-    Q("q89_bloom_dedup", bloomDedupQ, Some(bloomDedupSql)))
+    Q("q89_bloom_dedup", bloomDedupQ, Some(bloomDedupSql)),
+    Q("q97_containment_dedup", containmentDedup, Some(containmentDedupSql)))
 }

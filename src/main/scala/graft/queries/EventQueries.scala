@@ -352,6 +352,52 @@ object EventQueries {
       |FROM clicks c LEFT JOIN conv ON conv.day_us = c.day_us
       |GROUP BY 1""".stripMargin
 
+  /** Distribution drift between the early and late half of the event
+    * stream (split at the midpoint timestamp), per event type:
+    * total-variation distance over log2 value-cents histograms —
+    * integer-exact, log-free (see [[graft.operators.Drift]]), so the
+    * oracle replays the statistic itself, not an epsilon-ball. */
+  def valueDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("us"), cents(col("value")).as("v"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("late", col("us") > expr("(mn + mx) div 2"))
+    graft.operators.Drift.tvdLog2(
+      tagged.filter(!col("late")), tagged.filter(col("late")),
+      "event_type", "v")
+  }
+
+  val valueDriftSql: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+       |             ${sqlCents("value")} AS v FROM events),
+       |bnd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+       |ca AS (SELECT event_type, v FROM e, bnd WHERE us <= mid),
+       |cbb AS (SELECT event_type, v FROM e, bnd WHERE us > mid),
+       |ha AS (SELECT event_type,
+       |         CASE WHEN v > 0 THEN length(bin(v)) ELSE 0 END AS bin,
+       |         count(*) AS cnt_a
+       |       FROM ca GROUP BY 1, 2),
+       |hb AS (SELECT event_type,
+       |         CASE WHEN v > 0 THEN length(bin(v)) ELSE 0 END AS bin,
+       |         count(*) AS cnt_b
+       |       FROM cbb GROUP BY 1, 2),
+       |j AS (SELECT coalesce(ha.event_type, hb.event_type) AS event_type,
+       |        coalesce(ha.bin, hb.bin) AS bin,
+       |        coalesce(cnt_a, 0)::BIGINT AS cnt_a,
+       |        coalesce(cnt_b, 0)::BIGINT AS cnt_b
+       |      FROM ha FULL OUTER JOIN hb
+       |        ON ha.event_type = hb.event_type AND ha.bin = hb.bin),
+       |tot AS (SELECT event_type, sum(cnt_a)::BIGINT AS n_a,
+       |          sum(cnt_b)::BIGINT AS n_b
+       |        FROM j GROUP BY 1)
+       |SELECT j.event_type, n_a, n_b,
+       |  CASE WHEN n_a = 0 OR n_b = 0 THEN 1.0
+       |       ELSE round(sum(abs(cnt_a*n_b - cnt_b*n_a))::DOUBLE /
+       |              (2.0 * n_a * n_b), 6) END AS tvd
+       |FROM j JOIN tot ON j.event_type = tot.event_type
+       |GROUP BY 1, 2, 3""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q25_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Q("q26_sessionize", sessionize, Some(sessionizeSql)),
@@ -364,5 +410,6 @@ object EventQueries {
     Q("q59_grouping_sets", groupingSetsDaily, Some(groupingSetsDailySql)),
     Q("q67_winsorized_stats", winsorizedStats, Some(winsorizedStatsSql)),
     Q("q75_gap_fill", gapFillHourly, Some(gapFillHourlySql)),
-    Q("q76_conversion_funnel", conversionFunnel, Some(conversionFunnelSql)))
+    Q("q76_conversion_funnel", conversionFunnel, Some(conversionFunnelSql)),
+    Q("q103_value_drift", valueDrift, Some(valueDriftSql)))
 }

@@ -242,6 +242,69 @@ object SimilarityQueries {
        |  GROUP BY 1)
        |SELECT n_common, count(*) AS n_queries FROM per_q GROUP BY 1""".stripMargin
 
+  /** SemDeDup-style survivors: within each label cluster, a vector is
+    * dropped when any lower-id cluster-mate is cosine-similar ≥ 0.35
+    * (q24's pair threshold, reused so the two queries share blocking
+    * AND scoring); survivors replay in DuckDB as NOT EXISTS. */
+  def semanticDedupQ(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("label"), minSim = 0.35)
+      .select(col("vec_id"), col("label"))
+
+  val semanticDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT b.vec_id, b.label
+       |FROM e b
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM e a
+       |  WHERE a.label = b.label AND a.vec_id < b.vec_id
+       |    AND ${sqlCos("a.v", "b.v")} >= 0.35)""".stripMargin
+
+  /** PQ-ANN: 4 subspaces × 16 codewords over the 64-dim embeddings
+    * (first-16 deterministic codebooks), ADC top-5 for the first 10
+    * vectors. The oracle replays codebook derivation, encoding
+    * (argmin with identical tie-breaks), the per-query LUT, and the
+    * fixed-order 4-term score sum. */
+  def pqAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.ProductQuant.pqTopK(emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      m = 4, k = 16, topK = 5)
+  }
+
+  val pqAnnSql: String =
+    """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      |          FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)),
+      |cb AS (SELECT s, code, v[s*16+1 : s*16+16] AS cw
+      |       FROM seeds, unnest([0,1,2,3]) t(s)),
+      |sv AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS sv
+      |       FROM c, unnest([0,1,2,3]) t(s)),
+      |d AS (SELECT vec_id, sv.s, code,
+      |        list_dot_product(cw,cw) - 2*list_dot_product(sv,cw) AS score
+      |      FROM sv JOIN cb ON cb.s = sv.s),
+      |enc AS (SELECT vec_id, s, code FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |            ORDER BY score, code) AS r FROM d) WHERE r = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+      |lut AS (SELECT query_id, s, code,
+      |          list_dot_product(qv[s*16+1 : s*16+16], cw) AS part
+      |        FROM q, cb),
+      |parts AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |            max(CASE WHEN e.s = 0 THEN part END) AS p0,
+      |            max(CASE WHEN e.s = 1 THEN part END) AS p1,
+      |            max(CASE WHEN e.s = 2 THEN part END) AS p2,
+      |            max(CASE WHEN e.s = 3 THEN part END) AS p3
+      |          FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+      |          GROUP BY 1, 2),
+      |scored AS (SELECT query_id, neighbor_id,
+      |             round(p0 + p1 + p2 + p3, 6) AS approx_score
+      |           FROM parts WHERE query_id <> neighbor_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY approx_score DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, neighbor_id, rank, approx_score FROM r
+      |WHERE rank <= 5""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
     Q("q87_quantized_ann", knnQuantized, Some(knnQuantizedSql)),
@@ -251,5 +314,7 @@ object SimilarityQueries {
     Q("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     Q("q83_knn_ivf_persisted", knnIvfPersisted, Some(knnIvfProbedSql)),
     Q("q84_knn_graph_persisted", knnGraphPersisted, Some(knnGraphPersistedSql)),
-    Q("q85_knn_ivf_appended", knnIvfAppended, Some(knnIvfProbedSql)))
+    Q("q85_knn_ivf_appended", knnIvfAppended, Some(knnIvfProbedSql)),
+    Q("q98_semantic_dedup", semanticDedupQ, Some(semanticDedupSql)),
+    Q("q101_pq_ann", pqAnn, Some(pqAnnSql)))
 }

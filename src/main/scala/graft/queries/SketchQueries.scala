@@ -149,9 +149,68 @@ object SketchQueries {
        |FROM est JOIN exact USING (term)""".stripMargin
   }
 
+  /** Power-of-two histogram quantile sketch vs exact median, per
+    * return flag over price cents: the sketch shuffles ≤65 bins per
+    * key (q62's exact quantiles shuffle every distinct value — the
+    * 100 TB difference), the estimate brackets the true quantile
+    * within its bin's [2^(k-1), 2^k−1] bounds, and the query JOINS
+    * the exact median in so the guarantee est_lo ≤ exact ≤ est_hi is
+    * verified on real numbers — same pattern as q96's one-sided
+    * count-min bound. */
+  def histQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Frequency
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("key"),
+      cents(col("l_extendedprice")).as("v"))
+    val est = Frequency.histQuantile(
+      Frequency.log2Histogram(v, "key", "v"), "key", qNum = 1, qDen = 2)
+    val exact = v
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("key")).orderBy(col("v"))))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("rn") === expr("(nn + 1) div 2"))
+      .select(col("key"), col("v").as("exact_median"))
+    est.join(exact, "key")
+      .select(col("key"), col("n"), col("bin"), col("est_lo"),
+        col("est_hi"), col("exact_median"))
+  }
+
+  val histQuantilesSql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS key,
+      |    CAST(round(l_extendedprice*100,0) AS BIGINT) AS v
+      |  FROM lineitem),
+      |hist AS (
+      |  SELECT key,
+      |    CASE WHEN v > 0 THEN length(bin(v)) ELSE 0 END AS bin,
+      |    count(*) AS cnt
+      |  FROM v GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT key, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY key ORDER BY bin) AS c,
+      |    sum(cnt) OVER (PARTITION BY key) AS n
+      |  FROM hist),
+      |est AS (
+      |  SELECT key, n::BIGINT AS n, bin::INTEGER AS bin,
+      |    (CASE WHEN bin > 0 THEN 1::BIGINT << (bin-1)::INTEGER
+      |          ELSE 0 END)::BIGINT AS est_lo,
+      |    (CASE WHEN bin > 0 THEN (1::BIGINT << bin::INTEGER) - 1
+      |          ELSE 0 END)::BIGINT AS est_hi
+      |  FROM cum
+      |  WHERE c >= (n + 1) // 2 AND c - cnt < (n + 1) // 2),
+      |ranked AS (
+      |  SELECT key, v, row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY key) AS nn
+      |  FROM v)
+      |SELECT est.key, est.n, est.bin, est.est_lo, est.est_hi,
+      |  r.v AS exact_median
+      |FROM est JOIN ranked r ON est.key = r.key AND r.rn = (r.nn + 1) // 2""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q37_kmv_distinct", kmvDistinctUsers, Some(kmvDistinctUsersSql)),
     Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)),
     Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),
-    Q("q96_countmin_tokens", countMinTokens, Some(countMinTokensSql)))
+    Q("q96_countmin_tokens", countMinTokens, Some(countMinTokensSql)),
+    Q("q100_hist_quantiles", histQuantiles, Some(histQuantilesSql)))
 }

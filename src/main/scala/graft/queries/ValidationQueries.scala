@@ -98,7 +98,41 @@ object ValidationQueries {
        |  (sum(${sqlCents("o_totalprice")}))::BIGINT AS price_cents
        |FROM versions GROUP BY 1, 2""".stripMargin
 
+  /** Single-scan column profile of lineitem (ANALYZE-style stats):
+    * per-column row/null/exact-distinct counts and typed min/max,
+    * all from ONE scan (multi-distinct plans as scan + Expand; the
+    * plan spec pins the single-scan property). Min/max are rendered
+    * to deterministic cross-engine strings AFTER the typed aggregate:
+    * quantities as integral longs, money as cents, timestamps as
+    * ISO dates. */
+  def columnProfile(s: SparkSession, d: String): DataFrame =
+    Validation.profile(Tables.lineitem(s, d), Seq(
+      Validation.ProfileCol("l_orderkey"),
+      Validation.ProfileCol("l_quantity", _.cast("long")),
+      Validation.ProfileCol("l_extendedprice", cents),
+      Validation.ProfileCol("l_returnflag"),
+      Validation.ProfileCol("l_shipdate", _.cast("date"))))
+
+  val columnProfileSql: String = {
+    def row(name: String, minmax: String => String): String = {
+      s"""SELECT '$name' AS col_name, count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($name))::BIGINT AS n_nulls,
+         |  count(DISTINCT $name)::BIGINT AS n_distinct,
+         |  ${minmax(s"min($name)")} AS min_val,
+         |  ${minmax(s"max($name)")} AS max_val
+         |FROM lineitem""".stripMargin
+    }
+    Seq(
+      row("l_orderkey", m => s"$m::VARCHAR"),
+      row("l_quantity", m => s"$m::BIGINT::VARCHAR"),
+      row("l_extendedprice", m => s"CAST(round($m*100,0) AS BIGINT)::VARCHAR"),
+      row("l_returnflag", m => s"$m::VARCHAR"),
+      row("l_shipdate", m => s"$m::DATE::VARCHAR")
+    ).mkString("\nUNION ALL\n")
+  }
+
   def all: Seq[Q] = Seq(
     Q("q68_quality_report", qualityReport, Some(qualityReportSql)),
-    Q("q69_scd2_history", scd2Orders, Some(scd2OrdersSql)))
+    Q("q69_scd2_history", scd2Orders, Some(scd2OrdersSql)),
+    Q("q99_column_profile", columnProfile, Some(columnProfileSql)))
 }

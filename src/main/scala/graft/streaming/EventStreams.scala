@@ -68,6 +68,20 @@ object EventStreams {
         col("n_events"))
   }
 
+  /** Per-type log2 value-cents histogram — the mergeable quantile
+    * sketch ([[graft.operators.Frequency.log2Histogram]]) maintained
+    * incrementally: cells only ever accumulate, so the stream's
+    * running aggregation state IS the sketch, bounded at ≤65 bins per
+    * key with no watermark needed. Reading the median off the live
+    * histogram ([[graft.operators.Frequency.histQuantile]]) gives a
+    * continuously-updated quantile monitor for pennies of state —
+    * the streaming twin of q100. */
+  def valueHistograms(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        graft.operators.Frequency.log2Bin(
+          round(col("value") * 100, 0).cast("long")).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Native session windows (30-min gap): the streaming-first form of
     * EventQueries.sessionize. */
   def sessionWindows(events: DataFrame): DataFrame = {

@@ -141,4 +141,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p) // candidate set must stay tiny
   }
+
+  test("q99: every profile branch scans only its own column, hash-aggregated") {
+    val p = plan("q99_column_profile")
+    // one pruned scan per profiled column (columnar store: same total
+    // bytes as one 5-column scan), and no Expand / SortAggregate —
+    // the multi-distinct single-scan form costs 6x rows + sorts
+    // (measured 7.5s vs ~1s on this profile)
+    val scans = p.linesIterator.count(_.matches(""".*\(\d+\) Scan parquet.*"""))
+    assert(scans == 5, p)
+    val readSchemas = p.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.size == 5, p)
+    // each branch reads exactly one column ("ReadSchema: struct<c:t>"
+    // has exactly two colons — the label's and the single field's)
+    assert(readSchemas.forall(_.count(_ == ':') == 2), readSchemas.mkString("\n"))
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("q100: histogram aggregation is partial map-side; no row-level shuffle") {
+    val p = plan("q100_hist_quantiles")
+    // the sketch path must partial-aggregate (bins) before its exchange
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q98: drop-set anti-join broadcasts; pair gen stays block-scoped") {
+    val p = plan("q98_semantic_dedup")
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftAnti"), p) // small drop set → broadcast anti-join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -100,4 +100,34 @@ class DataMixSpec extends SparkSpec {
       .select($"id", $"shard", $"pos").as[(Long, Int, Int)].collect().toSet
     assert(s3 != s1)
   }
+
+  test("domainQuota caps only oversized domains, at exactly ⌊cap·N⌋ rows") {
+    // 100 "big" + 50 "mid" + 10 "small": cap 40% of 160 = 64
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 150L).map(i => (i, "mid")) ++
+      (151L to 160L).map(i => (i, "small"))).toDF("id", "domain")
+    val kept = DataMix.domainQuota(df, "id", "domain", 2, 5)
+      .as[(Long, String)].collect()
+    val byDom = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom == Map("big" -> 64, "mid" -> 50, "small" -> 10))
+    assert(kept.map(_._1).distinct.length == kept.length)
+  }
+
+  test("domainQuota is deterministic and partition-invariant") {
+    val df = (1L to 300L).map(i => (i, s"d${i % 3}")).toDF("id", "domain")
+    val a = DataMix.domainQuota(df, "id", "domain", 1, 4)
+      .as[(Long, String)].collect().toSet
+    val b = DataMix.domainQuota(df.repartition(13), "id", "domain", 1, 4)
+      .as[(Long, String)].collect().toSet
+    assert(a == b)
+    // every domain is at 100 > 75 = ⌊300/4⌋ → all capped to 75
+    assert(a.groupBy(_._2).values.forall(_.size == 75))
+  }
+
+  test("domainQuota refuses caps outside (0, 1]") {
+    val df = Seq((1L, "a")).toDF("id", "domain")
+    intercept[IllegalArgumentException] {
+      DataMix.domainQuota(df, "id", "domain", 3, 2)
+    }
+  }
 }

@@ -51,6 +51,49 @@ class DedupSpec extends SparkSpec {
     assert(tight.size < exact.size) // shared trigrams all have df>=2 here
   }
 
+  test("containment: embedded doc found at C=1.0 where jaccard misses it") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho"),
+      (3L, "totally unrelated words live here")
+    ).toDF("id", "text")
+    // doc 1 (3 trigrams) is fully contained in doc 2 (15 trigrams):
+    // jaccard = 3/15 = 0.2 — invisible to q19's 0.5 bar
+    val j = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.5,
+      maxDocFreq = Some(100))
+    assert(j.count() == 0)
+    val c = Dedup.containmentPairs(corpus, "id", "text", 3, 0.8, 100)
+      .as[(Long, Long, Double)].collect()
+    assert(c.toSeq == Seq((1L, 2L, 1.0))) // directional: only 1→2
+  }
+
+  test("containment: exact dups emit both directions, threshold filters") {
+    val c = Dedup.containmentPairs(docs, "id", "text", 3, 0.8, 100)
+      .as[(Long, Long, Double)].collect().toSet
+    // 1 and 4 are exact dups: contained both ways at 1.0;
+    // 1 vs 2 share 6 of 7 trigrams: C = 6/7 ≈ 0.857 ≥ 0.8, both ways
+    assert(c.contains((1L, 4L, 1.0)) && c.contains((4L, 1L, 1.0)))
+    val c12 = c.filter(p => Set(p._1, p._2) == Set(1L, 2L))
+    assert(c12.size == 2 && c12.forall(p => math.abs(p._3 - 6.0 / 7) < 1e-6))
+    // a 0.9 bar keeps the exact dups (and 2/4's 6/7 pair drops out)
+    val tight = Dedup.containmentPairs(docs, "id", "text", 3, 0.9, 100)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tight.forall(_._3 >= 0.9))
+    assert(tight.contains((1L, 4L, 1.0)))
+  }
+
+  test("containment: stop-shingle cap only prunes candidates, never scores") {
+    // cap=1 removes all shared trigrams from candidate gen for docs
+    // 1/2/4 (each shared trigram has df>=2) → no pairs survive; but any
+    // pair that DOES survive a cap must carry the exact full-set score
+    val tight = Dedup.containmentPairs(docs, "id", "text", 3, 0.8, 1)
+      .as[(Long, Long, Double)].collect().toSet
+    val loose = Dedup.containmentPairs(docs, "id", "text", 3, 0.8, 100)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tight.subsetOf(loose))
+  }
+
   test("minhash+LSH pairs ⊆ exact pairs, equal on high-sim corpus") {
     for (portable <- Seq(false, true)) {
       val exact = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)

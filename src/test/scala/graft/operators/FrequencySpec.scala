@@ -94,4 +94,66 @@ class FrequencySpec extends SparkSpec {
       .as[(String, Long)].head()
     assert(est._2 >= 0L)
   }
+
+  test("log2Bin: integer-exact power-of-two boundaries, nonpositive → 0") {
+    val got = Seq(-5L, 0L, 1L, 2L, 3L, 4L, 1023L, 1024L).toDF("v")
+      .select($"v", Frequency.log2Bin($"v").as("bin"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(-5L -> 0, 0L -> 0, 1L -> 1, 2L -> 2, 3L -> 2,
+      4L -> 3, 1023L -> 10, 1024L -> 11))
+  }
+
+  test("log2 histograms merge by (key, bin)-wise sum") {
+    val a = Seq(("k", 1L), ("k", 100L), ("j", 7L)).toDF("key", "v")
+    val b = Seq(("k", 100L), ("k", 5000L), ("j", 7L)).toDF("key", "v")
+    val all = a.unionAll(b)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Frequency.log2Histogram(df, "key", "v")
+        .as[(String, Int, Long)].collect()
+        .map { case (k, bn, c) => (k, bn) -> c }.toMap
+    val (ca, cb) = (cells(a), cells(b))
+    val merged = (ca.keySet ++ cb.keySet).map { k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))
+    }.toMap
+    assert(cells(all) == merged)
+  }
+
+  test("histQuantile brackets the exact quantile (seeded random, 2 quantiles)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { _ =>
+      (s"k${rnd.nextInt(3)}", rnd.nextInt(100000).toLong + 1)
+    }
+    val df = rows.toDF("key", "v").repartition(4)
+    val hist = Frequency.log2Histogram(df, "key", "v")
+    for ((qn, qd) <- Seq((1L, 2L), (9L, 10L))) {
+      val est = Frequency.histQuantile(hist, "key", qn, qd)
+        .as[(String, Long, Int, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      val byKey = rows.groupBy(_._1)
+      assert(est.keySet == byKey.keySet)
+      byKey.foreach { case (k, kv) =>
+        val sorted = kv.map(_._2).sorted
+        val n = sorted.size.toLong
+        val target = ((qn * n + qd - 1) / qd).toInt
+        val exact = sorted(target - 1)
+        val (_, gotN, _, lo, hi) = est(k)
+        assert(gotN == n)
+        assert(lo <= exact && exact <= hi,
+          s"$k q=$qn/$qd: [$lo,$hi] misses $exact")
+        assert(hi < 2 * lo || lo <= 1) // the 2x relative bracket
+      }
+    }
+  }
+
+  test("histQuantile: single-value key and zero values hit exact bins") {
+    val df = Seq(("one", 10L), ("zero", 0L), ("zero", 0L), ("zero", 3L))
+      .toDF("key", "v")
+    val est = Frequency.histQuantile(
+        Frequency.log2Histogram(df, "key", "v"), "key", 1L, 2L)
+      .as[(String, Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(est("one") == (("one", 1L, 4, 8L, 15L)))   // 10 → bin 4
+    // zero key: n=3, target=2 → second smallest = 0 → bin 0, [0,0]
+    assert(est("zero") == (("zero", 3L, 0, 0L, 0L)))
+  }
 }

@@ -107,6 +107,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup keeps lowest id per similar group, blocks respected") {
+    // cluster 0: 1~2 similar (cos ≈ 0.994), 5 opposite; cluster 1: 3⊥4
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      $"label", minSim = 0.8)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding", "label"))
+    assert(out.select("vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("semanticDedup chain: drops are witnessed by ANY earlier row") {
+    // a(0°) ~ b(20°) ~ c(40°) at τ=0.92: cos(a,c)=0.766 < τ, but c
+    // still drops via the (dropped) b — one survivor per chain
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val chain = Seq((1L, at(0), 0), (2L, at(20), 0), (3L, at(40), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(chain, "vec_id", "embedding",
+      $"label", minSim = 0.92)
+    assert(out.select("vec_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("semanticDedup: different blocks never dedup each other") {
+    val twins = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(twins, "vec_id", "embedding",
+      $"label", minSim = 0.9)
+    assert(out.count() == 2)
+  }
+
   test("scalarQuantize: elements bounded by 127, scale exact, zero vector safe") {
     val withZero = vecs.unionByName(
       Seq((6L, Array(0.0f, 0.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label"))

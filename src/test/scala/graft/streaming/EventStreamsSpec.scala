@@ -31,6 +31,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("log2 value histogram: streaming state equals the batch sketch") {
+    val streamed = EventStreams.runToMemory(spark, jsonDir, "histo",
+      EventStreams.valueHistograms, OutputMode.Complete())
+      .as[(String, Int, Long)].collect().toSet
+    val batch = EventStreams.valueHistograms(batchEvents)
+      .as[(String, Int, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // bounded state: ≤65 bins per event type
+    assert(batch.groupBy(_._1).values.forall(_.size <= 65))
+  }
+
   test("stream-static enrichment join: stream equals batch") {
     val tiers = spark.range(0, 1000)
       .selectExpr("id AS user_id",
