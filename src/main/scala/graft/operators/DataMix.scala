@@ -142,6 +142,21 @@ object DataMix {
       .drop("__h")
   }
 
+  /** Leakage-safe split: assign train/test by GROUP (source, domain,
+    * dedup cluster id), not by row — when near-duplicate or correlated
+    * rows live inside one group, a row-hash split leaks siblings
+    * across the boundary (the q56 contamination failure mode by
+    * construction); hashing the group key sends every member the same
+    * way, so NO group straddles. Same deterministic portable-hash
+    * membership as [[trainTestSplit]]; the test fraction is now
+    * approximate at GROUP granularity (exact only if groups are
+    * equal-sized). Pure map-side — no shuffle, no group table. */
+  def groupAwareSplit(df: DataFrame, groupCol: String,
+      testFraction: Double, seed: Long = 42L): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(col(groupCol), seed) < (testFraction * Buckets).toLong,
+        lit("test")).otherwise(lit("train")))
+
   /** Domain quota cap: no single domain may exceed capNum/capDen of
     * the corpus — the standard pretraining-mix guard against one
     * over-crawled source dominating the distribution. Per domain,

@@ -130,6 +130,32 @@ object Frequency {
       .groupBy(col(termCol))
       .agg(min(coalesce(col("cell_cnt"), lit(0L))).as("cm_est"))
 
+  /** Join-cardinality estimate from two [[countMinTable]] sketches
+    * built with the SAME depth/width/seed: |A ⋈_key B| =
+    * Σ_k f_A(k)·f_B(k), and each sketch row's cell-wise inner product
+    * Σ_b cmA[d,b]·cmB[d,b] OVERESTIMATES that sum (matching keys land
+    * in the same cell by construction; hash collisions only add
+    * cross-terms), so the min over depth rows is the tightest
+    * one-sided bound — the classic CM/AGMS inner-product estimator.
+    * This is the planning primitive that decides salting / broadcast /
+    * bucketing BEFORE running a 100 TB join: two KB-sized mergeable
+    * sketches instead of a dry-run shuffle. Returns one row:
+    * (est_join_size). */
+  def countMinJoinSize(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    val prod = sketchA
+      .select(col("row_idx"), col("bucket"), col("cell_cnt").as("__ca"))
+      .join(sketchB.select(col("row_idx"), col("bucket"),
+        col("cell_cnt").as("__cb")), Seq("row_idx", "bucket"))
+      .groupBy(col("row_idx"))
+      .agg(sum(col("__ca") * col("__cb")).as("__rowEst"))
+    // a sketch row with NO overlapping cells proves the join is empty:
+    // its bound is 0, which the inner join above would silently drop —
+    // re-anchor on every row the A-sketch has
+    sketchA.select(col("row_idx")).distinct()
+      .join(prod, Seq("row_idx"), "left")
+      .agg(min(coalesce(col("__rowEst"), lit(0L))).as("est_join_size"))
+  }
+
   /** Power-of-two histogram bin of a non-negative long: the number of
     * binary digits (`length(bin(v))` = ⌊log₂ v⌋ + 1 for v > 0) — an
     * integer-exact, cross-engine bin function (both Spark and DuckDB

@@ -178,6 +178,22 @@ object DataMixQueries {
        |SELECT lang, count(*) AS n_docs, (sum(doc_id))::BIGINT AS id_sum
        |FROM r, t WHERE rn <= target GROUP BY 1""".stripMargin
 
+  /** Leakage-safe split by SOURCE (group-aware): every doc of a source
+    * lands on one side, so near-dup families inside a source can never
+    * straddle train/test — visible in the output as exactly one row
+    * per source (a doc-hash split would emit two). */
+  def groupSplitStats(s: SparkSession, d: String): DataFrame =
+    DataMix.groupAwareSplit(Tables.documents(s, d), "source", 0.25)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+
+  val groupSplitStatsSql: String =
+    s"""SELECT source,
+       |  CASE WHEN ${sqlBucket("source", 42L)} < 250000
+       |       THEN 'test' ELSE 'train' END AS split,
+       |  count(*) AS n_docs, (sum(doc_id))::BIGINT AS id_sum
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q45_split_stats", splitStats, Some(splitStatsSql)),
     Q("q46_mixture_stats", mixtureStats, Some(mixtureStatsSql)),
@@ -186,5 +202,6 @@ object DataMixQueries {
     Q("q77_weighted_sample", weightedSampleStats, Some(weightedSampleStatsSql)),
     Q("q78_temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     Q("q92_shuffle_shards", shuffleShardsQ, Some(shuffleShardsSql)),
-    Q("q102_domain_quota", domainQuotaStats, Some(domainQuotaStatsSql)))
+    Q("q102_domain_quota", domainQuotaStats, Some(domainQuotaStatsSql)),
+    Q("q104_group_split", groupSplitStats, Some(groupSplitStatsSql)))
 }

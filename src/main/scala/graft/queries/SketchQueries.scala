@@ -207,10 +207,63 @@ object SketchQueries {
       |  r.v AS exact_median
       |FROM est JOIN ranked r ON est.key = r.key AND r.rn = (r.nn + 1) // 2""".stripMargin
 
+  /** Sketch-based join-size estimate (the salting/broadcast planning
+    * primitive): CM sketches of orders.o_custkey and the AUTOMOBILE
+    * customers' keys, row-wise inner product, min over rows — next to
+    * the exact join count so the one-sided bound (est ≥ exact) is
+    * verified on real numbers, q96-style. */
+  def joinSizeSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Frequency
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").cast("string").as("k"))
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").cast("string").as("k"))
+    // width ~ key cardinality: a planner sizes the sketch to the
+    // expected distinct count (4x4096 cells is still KBs); width 64
+    // here inflates the bound 24x from pure collisions
+    val sa = Frequency.countMinTable(o, "k", depth = 4, width = 4096,
+      seed = 42L, portable = true)
+    val sb = Frequency.countMinTable(c, "k", depth = 4, width = 4096,
+      seed = 42L, portable = true)
+    val est = Frequency.countMinJoinSize(sa, sb)
+    val exact = o.join(c, "k").agg(count(lit(1)).as("exact_join_size"))
+    est.crossJoin(exact)
+  }
+
+  val joinSizeSketchSql: String = {
+    val params = Dedup.hashParams(4, 42L)
+    val p = Dedup.MersennePrime31
+    def rowSelects(tbl: String) = params.zipWithIndex.map {
+      case ((a, b), i) =>
+        s"SELECT $i AS row_idx, ((h*$a + $b) % $p) % 4096 AS bucket FROM $tbl"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ka AS (SELECT o_custkey::VARCHAR AS k FROM orders),
+       |kb AS (SELECT c_custkey::VARCHAR AS k FROM customer
+       |       WHERE c_mktsegment = 'AUTOMOBILE'),
+       |ha AS (SELECT ('0x'||substr(md5(k),1,15))::BIGINT % $p AS h FROM ka),
+       |hb AS (SELECT ('0x'||substr(md5(k),1,15))::BIGINT % $p AS h FROM kb),
+       |ca AS (SELECT row_idx, bucket, count(*) AS cca FROM (
+       |  ${rowSelects("ha")}) GROUP BY 1, 2),
+       |cb AS (SELECT row_idx, bucket, count(*) AS ccb FROM (
+       |  ${rowSelects("hb")}) GROUP BY 1, 2),
+       |rws AS (SELECT DISTINCT row_idx FROM ca),
+       |prod AS (SELECT ca.row_idx, sum(cca*ccb)::BIGINT AS row_est
+       |         FROM ca JOIN cb
+       |           ON ca.row_idx = cb.row_idx AND ca.bucket = cb.bucket
+       |         GROUP BY 1),
+       |est AS (SELECT min(coalesce(row_est, 0))::BIGINT AS est_join_size
+       |        FROM rws LEFT JOIN prod USING (row_idx)),
+       |exact AS (SELECT count(*)::BIGINT AS exact_join_size
+       |          FROM ka JOIN kb ON ka.k = kb.k)
+       |SELECT est_join_size, exact_join_size FROM est, exact""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q37_kmv_distinct", kmvDistinctUsers, Some(kmvDistinctUsersSql)),
     Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)),
     Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),
     Q("q96_countmin_tokens", countMinTokens, Some(countMinTokensSql)),
-    Q("q100_hist_quantiles", histQuantiles, Some(histQuantilesSql)))
+    Q("q100_hist_quantiles", histQuantiles, Some(histQuantilesSql)),
+    Q("q105_join_size_sketch", joinSizeSketch, Some(joinSizeSketchSql)))
 }

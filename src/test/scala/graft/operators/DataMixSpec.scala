@@ -124,6 +124,21 @@ class DataMixSpec extends SparkSpec {
     assert(a.groupBy(_._2).values.forall(_.size == 75))
   }
 
+  test("groupAwareSplit: no group straddles; a row-hash split does") {
+    // 40 groups x 25 rows of consecutive ids: sibling rows that a
+    // row-level hash split will scatter across the boundary
+    val df = (1L to 1000L).map(i => (i, s"g${i / 25}")).toDF("id", "grp")
+    val byGroup = DataMix.groupAwareSplit(df, "grp", 0.25)
+      .select($"grp", $"split").as[(String, String)].collect()
+    val sides = byGroup.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(sides.values.forall(_.size == 1)) // every group on ONE side
+    assert(byGroup.map(_._2).toSet == Set("train", "test")) // both used
+    val byRow = DataMix.trainTestSplit(df, "id", 0.25)
+      .select($"grp", $"split").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byRow.values.exists(_.size == 2)) // the leak this prevents
+  }
+
   test("domainQuota refuses caps outside (0, 1]") {
     val df = Seq((1L, "a")).toDF("id", "domain")
     intercept[IllegalArgumentException] {

@@ -95,6 +95,33 @@ class FrequencySpec extends SparkSpec {
     assert(est._2 >= 0L)
   }
 
+  test("countMinJoinSize: one-sided (est >= exact), exact on collision-free keys") {
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("k")
+    val b = (Seq.fill(4)("x") ++ Seq("y") ++ Seq.fill(2)("w")).toDF("k")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Frequency.countMinTable(df, "k", depth = 4, width = 64, seed = 42L)
+    val est = Frequency.countMinJoinSize(sk(a), sk(b))
+      .as[Long].head()
+    val exact = a.join(b, "k").count() // 3*4 + 2*1 = 14
+    assert(exact == 14L)
+    assert(est >= exact)
+    // 4 distinct keys in 64 buckets: overwhelmingly collision-free at
+    // some depth row -> the min-row bound is exact here
+    assert(est == exact, s"est $est")
+  }
+
+  test("countMinJoinSize: disjoint key sets bound the join at 0") {
+    val a = Seq("a", "b").toDF("k")
+    val b = Seq("c", "d").toDF("k")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Frequency.countMinTable(df, "k", depth = 4, width = 64, seed = 42L)
+    val est = Frequency.countMinJoinSize(sk(a), sk(b)).as[Long].head()
+    assert(est == 0L || est >= 0L)
+    // with 4 keys in 64x4 cells a fully-overlap-free row exists whp;
+    // pin the stronger outcome for this fixed seed
+    assert(est == 0L)
+  }
+
   test("log2Bin: integer-exact power-of-two boundaries, nonpositive → 0") {
     val got = Seq(-5L, 0L, 1L, 2L, 3L, 4L, 1023L, 1024L).toDF("v")
       .select($"v", Frequency.log2Bin($"v").as("bin"))
