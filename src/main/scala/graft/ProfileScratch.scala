@@ -440,6 +440,40 @@ object ProfileScratch {
           println(s"  -> $rows result rows")
         }
 
+      case "pqscale" =>
+        // PQ-at-scale smoke: N synthetic 64-d embeddings → train
+        // first-k codebooks, encode the whole corpus (scan-side
+        // projection — the claim under test is that encoding is a
+        // flat per-row cost with NO shuffle), then ADC top-10 for a
+        // broadcast query batch. Evidence: encode wall linear in N,
+        // topK wall linear in N (corpus scan) + constant LUT work.
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val dim = 64
+        val corpus = spark.range(n).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (sin(pmod(col("id"), lit(256)) * lit(31) + j) +
+              sin(col("id") * lit(131) + j * lit(17)) / lit(10))
+              .cast("float")).as("embedding"))
+        val books = t(s"train codebooks (m=8, k=256) over $n vecs") {
+          operators.ProductQuant.trainCodebooks(corpus, "vec_id",
+            "embedding", m = 8, k = 256)
+        }
+        Seq(n / 10, n).foreach { sz =>
+          t(s"encode $sz vecs (m=8, k=256)") {
+            operators.ProductQuant.encode(
+                corpus.filter(col("vec_id") < sz),
+                "vec_id", "embedding", books)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        val rows = t("ADC topK k=10, 10 queries, full corpus") {
+          operators.ProductQuant.pqTopK(corpus,
+            corpus.filter(col("vec_id") < 10), "vec_id", "embedding",
+            m = 8, k = 256, topK = 10).count()
+        }
+        println(s"  -> $rows result rows")
+
       case "gensf1" =>
         // sf1.0 dataset for the order-of-magnitude bench step: 10
         // id-shifted copies of every sf0.1 table, written as parquet the

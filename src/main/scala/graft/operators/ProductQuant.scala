@@ -74,6 +74,10 @@ object ProductQuant {
     * oracle's `row_number ... ORDER BY score, code` picks). */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       books: Seq[Seq[Array[Double]]]): DataFrame = {
+    // every public vector entry point registers its own functions —
+    // callers composing encode() without pqTopK() must not crash on
+    // an unregistered graft_vector_dot (the r5 lesson)
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     val m = books.length
     val sub = books.head.head.length
     corpus

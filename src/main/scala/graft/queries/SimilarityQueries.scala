@@ -265,15 +265,21 @@ object SimilarityQueries {
     * vectors. The oracle replays codebook derivation, encoding
     * (argmin with identical tie-breaks), the per-query LUT, and the
     * fixed-order 4-term score sum. */
-  def pqAnn(s: SparkSession, d: String): DataFrame = {
+  def pqAnn(s: SparkSession, d: String): DataFrame =
+    pqTopKFor(s, d, maxQuery = 10)
+
+  private def pqTopKFor(s: SparkSession, d: String,
+      maxQuery: Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
     graft.operators.ProductQuant.pqTopK(emb,
-      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb.filter(col("vec_id") < maxQuery), "vec_id", "embedding",
       m = 4, k = 16, topK = 5)
   }
 
-  val pqAnnSql: String =
-    """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  val pqAnnSql: String = pqAnnSqlFor(10)
+
+  private def pqAnnSqlFor(maxQuery: Int): String =
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |seeds AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
       |          FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)),
       |cb AS (SELECT s, code, v[s*16+1 : s*16+16] AS cw
@@ -286,7 +292,8 @@ object SimilarityQueries {
       |enc AS (SELECT vec_id, s, code FROM (
       |          SELECT *, row_number() OVER (PARTITION BY vec_id, s
       |            ORDER BY score, code) AS r FROM d) WHERE r = 1),
-      |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      |      WHERE vec_id < $maxQuery),
       |lut AS (SELECT query_id, s, code,
       |          list_dot_product(qv[s*16+1 : s*16+16], cw) AS part
       |        FROM q, cb),
@@ -305,6 +312,34 @@ object SimilarityQueries {
       |SELECT query_id, neighbor_id, rank, approx_score FROM r
       |WHERE rank <= 5""".stripMargin
 
+  /** PQ recall vs exact brute force, q88's measurement for the PQ
+    * path: per-query overlap of PQ top-5 with exact top-5 over the
+    * same 20 queries → recall histogram. The go/no-go number before
+    * trading 64 floats for 4 nibble codes (16× fewer index bytes than
+    * even int8 SQ). */
+  def pqRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnBruteForce(s, d).select(col("query_id"),
+      col("neighbor_id"))
+    val pq = pqTopKFor(s, d, maxQuery = 20).select(
+      col("query_id").as("qq"), col("neighbor_id").as("qn"))
+    exact.join(pq,
+        col("query_id") === col("qq") && col("neighbor_id") === col("qn"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("qn")).as("n_common"))
+      .groupBy(col("n_common")).agg(count(lit(1)).as("n_queries"))
+  }
+
+  val pqRecallSql: String =
+    s"""WITH exact AS (${knnBruteForceSql.replace("\n", "\n  ")}),
+       |pq AS (${pqAnnSqlFor(20).replace("\n", "\n  ")}),
+       |per_q AS (
+       |  SELECT e.query_id, count(q.neighbor_id) AS n_common
+       |  FROM exact e LEFT JOIN pq q
+       |    ON e.query_id = q.query_id AND e.neighbor_id = q.neighbor_id
+       |  GROUP BY 1)
+       |SELECT n_common, count(*) AS n_queries FROM per_q GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
     Q("q87_quantized_ann", knnQuantized, Some(knnQuantizedSql)),
@@ -316,5 +351,6 @@ object SimilarityQueries {
     Q("q84_knn_graph_persisted", knnGraphPersisted, Some(knnGraphPersistedSql)),
     Q("q85_knn_ivf_appended", knnIvfAppended, Some(knnIvfProbedSql)),
     Q("q98_semantic_dedup", semanticDedupQ, Some(semanticDedupSql)),
-    Q("q101_pq_ann", pqAnn, Some(pqAnnSql)))
+    Q("q101_pq_ann", pqAnn, Some(pqAnnSql)),
+    Q("q106_pq_recall", pqRecall, Some(pqRecallSql)))
 }
