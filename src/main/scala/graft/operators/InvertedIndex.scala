@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index — the lexical sibling of [[IvfIndex]]: the
+  * build-once/query-many shape for term lookups over a corpus too
+  * large to re-tokenize per query (decontamination probes, "which
+  * documents mention X" audits, candidate retrieval feeding
+  * [[Retrieval.bm25TopK]] re-ranking).
+  *
+  * Layout (mirrors IvfIndex's contract exactly):
+  *
+  *   path/postings/ingest_batch=N/bucket=B/   (term, doc_id, tf)
+  *   path/meta                                (n_buckets)
+  *
+  * `bucket = portable_hash(term) mod n_buckets` is a DISCOVERED
+  * partition column, so a query's term list compiles into a literal
+  * `bucket IN (…)` predicate and the scan prunes every non-probed
+  * bucket directory — a q-term lookup reads ~q/n_buckets of the index
+  * no matter how large the corpus grows. The hash is the engine-exact
+  * portable one ([[Dedup.stringHash]]), recomputable driver-side, so
+  * routing needs no Spark job. Each increment lands in its own
+  * `ingest_batch=N` directory with overwrite: a crashed-then-replayed
+  * append replaces its own torn output (same idempotency contract as
+  * IvfIndex.append / StreamingDedup's index). Append batches must be
+  * NEW documents — per-(term,doc) tf rows are unioned across batch
+  * directories at read time, so re-ingesting a doc under a new batch
+  * id would double-count it (dedup upstream; [[Dedup]] is the tool).
+  *
+  * Tokenization is the corpus convention shared with Retrieval /
+  * TextAnalysis (lower → trim → whitespace split), so oracle SQL
+  * replays the postings relation verbatim.
+  */
+object InvertedIndex {
+
+  /** The portable 60-bit string hash, computed driver-side: identical
+    * to `Dedup.stringHash(c, portable = true)` (first 15 hex chars of
+    * md5 as a long), so term→bucket routing never needs a Spark job. */
+  def portableHashLocal(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  def bucketOfLocal(term: String, nBuckets: Int): Int =
+    java.lang.Math.floorMod(portableHashLocal(term), nBuckets.toLong).toInt
+
+  /** Postings relation of one batch: (term, doc_id, tf, bucket). */
+  private def postingsOf(batch: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame =
+    batch
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.whitespaceTokens(lower(trim(col(textCol)))))
+          .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(Dedup.stringHash(col("term"), portable = true),
+          lit(nBuckets.toLong)).cast("int"))
+
+  private def writeIncrement(batch: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int, path: String, batchId: Long): Unit =
+    postingsOf(batch, idCol, textCol, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/ingest_batch=$batchId")
+
+  /** Build the index from scratch (deletes any previous tree first —
+    * stale increments of an older index must not survive). */
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int, path: String): Unit = {
+    require(nBuckets >= 1, s"nBuckets $nBuckets")
+    val spark = corpus.sparkSession
+    val root = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.delete(root, true)
+    writeIncrement(corpus, idCol, textCol, nBuckets, path, batchId = 0L)
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append an increment of NEW documents without rebuilding. */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String, batchId: Option[Long] = None): Long = {
+    val meta = loadMeta(spark, path)
+    val id = batchId.getOrElse(nextBatchId(spark, path))
+    writeIncrement(batch, idCol, textCol, meta, path, id)
+    id
+  }
+
+  def nextBatchId(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val name = s.getPath.getName
+        val suffix = name.stripPrefix("ingest_batch=")
+        if (name.startsWith("ingest_batch=") && suffix.nonEmpty &&
+          suffix.forall(_.isDigit))
+          scala.util.Try(suffix.toLong).toOption
+        else None
+      }.maxOption.map(_ + 1).getOrElse(0L)
+  }
+
+  private def loadMeta(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").head().getInt(0)
+
+  final case class Index(postings: DataFrame, nBuckets: Int)
+
+  def load(spark: SparkSession, path: String): Index =
+    Index(spark.read.parquet(s"$path/postings"), loadMeta(spark, path))
+
+  /** Multi-term lookup, partition-pruned: rank docs by
+    * (matched distinct terms desc, summed tf desc, doc_id) and keep
+    * the top k. The bucket set is computed driver-side from the term
+    * literals — no routing job, and the scan prunes every bucket not
+    * probed. Output: (doc_id, n_matched, tf_sum). */
+  def search(index: Index, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "search: empty term list")
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    val buckets = distinctTerms.map(bucketOfLocal(_, index.nBuckets)).distinct
+    index.postings
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(distinctTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_matched"),
+        sum(col("tf")).as("tf_sum"))
+      .orderBy(col("n_matched").desc, col("tf_sum").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{Anomaly, AsOfJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -398,8 +398,49 @@ object EventQueries {
        |FROM j JOIN tot ON j.event_type = tot.event_type
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Robust per-type outlier audit over event values: the median/MAD
+    * rule of [[graft.operators.Anomaly]] at k=5, every statistic an
+    * exact integer (doubled median, quadrupled MAD, flag test
+    * multiplied through by 4), so the oracle replays the order
+    * statistics AND the flag decisions bit-for-bit. */
+  def madAnomalies(s: SparkSession, d: String): DataFrame =
+    Anomaly.madOutlierStats(
+      Tables.events(s, d)
+        .select(col("event_type"), cents(col("value")).as("c")),
+      "event_type", col("c"), k = 5L)
+
+  val madAnomaliesSql: String =
+    s"""WITH e AS (SELECT event_type, ${sqlCents("value")} AS c FROM events),
+       |r AS (SELECT event_type, c,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+       |        count(*) OVER (PARTITION BY event_type) AS n
+       |      FROM e),
+       |m AS (SELECT event_type, max(n) AS n,
+       |        (min(CASE WHEN rn = (n+1)//2 THEN c END) +
+       |         min(CASE WHEN rn = (n+2)//2 THEN c END)) AS med2
+       |      FROM r GROUP BY 1),
+       |dv AS (SELECT e.event_type, e.c, abs(2*e.c - m.med2) AS dd,
+       |         m.n, m.med2
+       |       FROM e JOIN m USING (event_type)),
+       |r2 AS (SELECT event_type, dd,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY dd) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n2
+       |       FROM dv),
+       |md AS (SELECT event_type,
+       |         (min(CASE WHEN rn = (n2+1)//2 THEN dd END) +
+       |          min(CASE WHEN rn = (n2+2)//2 THEN dd END)) AS mad4
+       |       FROM r2 GROUP BY 1)
+       |SELECT d.event_type, (max(d.n))::BIGINT AS n,
+       |  (max(d.med2))::BIGINT AS med2, (max(md.mad4))::BIGINT AS mad4,
+       |  (sum(CASE WHEN 2*d.dd > 5*md.mad4 THEN 1 ELSE 0 END))::BIGINT
+       |    AS n_anom,
+       |  (sum(CASE WHEN 2*d.dd > 5*md.mad4 THEN d.c ELSE 0 END))::BIGINT
+       |    AS anom_sum
+       |FROM dv d JOIN md USING (event_type) GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q25_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+    Q("q108_mad_anomalies", madAnomalies, Some(madAnomaliesSql)),
     Q("q26_sessionize", sessionize, Some(sessionizeSql)),
     Q("q27_json_props", jsonProps, Some(jsonPropsSql)),
     Q("q28_rollup_daily", rollupDaily, Some(rollupDailySql)),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, GraphRank, Similarity}
 import graft.functions.KmvSketch
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -103,6 +103,53 @@ object SketchQueries {
        |      FROM s)
        |SELECT id, neighbor_id, rank, similarity FROM r
        |WHERE rank <= $GraphK""".stripMargin
+  }
+
+  /** Fixed-point PageRank (3 iterations, scale 10⁶, damping 85/100)
+    * over the q70 k-NN graph — centrality-for-data-selection: the
+    * oracle rebuilds the identical edge relation and replays the
+    * integer iterations, so ranks match to the last unit. */
+  def knnPageRank(s: SparkSession, d: String): DataFrame =
+    GraphRank.pageRankScaled(
+      knnGraph(s, d).select(col("id"), col("neighbor_id")),
+      "id", "neighbor_id", iters = 3)
+      .select(col("id").as("vec_id"), col("pr").as("pr_scaled"))
+
+  val knnPageRankSql: String = {
+    val cos = "round(list_dot_product(x.v, y.v)/(x.nrm * y.nrm), 6)"
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (SELECT nd.id,
+         |    CAST(150000 + (85 * coalesce(agg_.acc, 0)) // 100 AS BIGINT)
+         |      AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e2.neighbor_id AS id, sum(p.pr // d2.outd) AS acc
+         |    FROM edges e2
+         |      JOIN $prev p ON e2.id = p.id
+         |      JOIN deg d2 ON e2.id = d2.id
+         |    GROUP BY 1) agg_ ON nd.id = agg_.id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    ${bucketSql(GraphBits)} AS bucket,
+       |    sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e),
+       |sim AS (SELECT x.vec_id AS id, y.vec_id AS neighbor_id,
+       |        $cos AS similarity
+       |      FROM b x JOIN b y
+       |        ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |r AS (SELECT *, row_number()
+       |        OVER (PARTITION BY id ORDER BY similarity DESC, neighbor_id)
+       |        AS rank
+       |      FROM sim),
+       |edges AS (SELECT id, neighbor_id FROM r WHERE rank <= $GraphK),
+       |nodes AS (SELECT DISTINCT id FROM (
+       |    SELECT id FROM edges
+       |    UNION ALL SELECT neighbor_id FROM edges) u),
+       |deg AS (SELECT id, count(*) AS outd FROM edges GROUP BY 1),
+       |it0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |${iter("it0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")}
+       |SELECT id AS vec_id, pr AS pr_scaled FROM it3""".stripMargin
   }
 
   /** Count-min sketch (4×64, portable hashes) over the document token
@@ -263,6 +310,7 @@ object SketchQueries {
     Q("q37_kmv_distinct", kmvDistinctUsers, Some(kmvDistinctUsersSql)),
     Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)),
     Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),
+    Q("q109_knn_pagerank", knnPageRank, Some(knnPageRankSql)),
     Q("q96_countmin_tokens", countMinTokens, Some(countMinTokensSql)),
     Q("q100_hist_quantiles", histQuantiles, Some(histQuantilesSql)),
     Q("q105_join_size_sketch", joinSizeSketch, Some(joinSizeSketchSql)))

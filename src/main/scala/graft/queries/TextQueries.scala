@@ -243,8 +243,40 @@ object TextQueries {
       |SELECT pair, count(*) AS cnt FROM p GROUP BY 1
       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** Persisted inverted-index lookup: `InvertedIndex.build` (postings
+    * bucket-partitioned on disk by the portable term hash) → `load` →
+    * `search` — the build-once/query-many lexical lifecycle. The term
+    * list routes to bucket literals driver-side, so the postings scan
+    * partition-prunes (spec-pinned); the oracle replays the postings
+    * relation and the (n_matched, tf_sum, doc_id) ranking. */
+  private val invTerms = Seq("merge", "vector", "stream")
+
+  def invertedSearch(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.InvertedIndex
+    val path = tempWorkDir("graft_q110_")
+    InvertedIndex.build(Tables.documents(s, d), "doc_id", "text",
+      nBuckets = 16, path)
+    InvertedIndex.search(InvertedIndex.load(s, path), invTerms, k = 20)
+  }
+
+  val invertedSearchSql: String = {
+    val inList = invTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |t AS (SELECT * FROM toks WHERE term <> ''),
+       |p AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+       |m AS (SELECT doc_id, count(DISTINCT term) AS n_matched,
+       |        sum(tf) AS tf_sum
+       |      FROM p WHERE term IN ($inList) GROUP BY 1)
+       |SELECT doc_id, n_matched::BIGINT AS n_matched, tf_sum::BIGINT AS tf_sum
+       |FROM m ORDER BY n_matched DESC, tf_sum DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q15_text_stats", textStats, Some(textStatsSql)),
+    Q("q110_inverted_search", invertedSearch, Some(invertedSearchSql)),
     Q("q16_lang_breakdown", langBreakdown, Some(langBreakdownSql)),
     Q("q17_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q18_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)),

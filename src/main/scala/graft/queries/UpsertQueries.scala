@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{DataMix, Upsert}
+import graft.operators.{DataMix, Diff, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,51 @@ object UpsertQueries {
        |  (sum(${sqlCents("o_totalprice")}))::BIGINT AS price_cents
        |FROM merged GROUP BY 1""".stripMargin
 
+  /** Snapshot diff between two generations of the orders table — the
+    * "new" generation is derived deterministically from the old one
+    * (every 97th key removed, every 89th surviving key's price bumped
+    * by exactly 1.0 — IEEE-exact on 2-decimal money — every 101st key
+    * re-inserted negated as an add), so DuckDB rebuilds the identical
+    * pair of snapshots and replays the classification. The result is
+    * [[graft.operators.Diff.diffSummary]]: per-status counts + exact
+    * key checksums. */
+  def snapshotDiffOrders(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.orders(s, d)
+    val newDf = old.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(old.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey")))
+    Diff.diffSummary(old, newDf, "o_orderkey")
+  }
+
+  val snapshotDiffOrdersSql: String =
+    """WITH n AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |d AS (
+      |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+      |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+      |         WHEN n.o_orderkey IS NULL THEN 'removed'
+      |         WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+      |           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+      |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |           OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+      |           OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+      |         THEN 'changed' ELSE 'unchanged' END AS status
+      |  FROM orders o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+      |SELECT status, count(*) AS n, (sum(k))::BIGINT AS key_sum
+      |FROM d GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
-    Q("q63_merge_upsert", mergeOrders, Some(mergeOrdersSql)))
+    Q("q63_merge_upsert", mergeOrders, Some(mergeOrdersSql)),
+    Q("q107_snapshot_diff", snapshotDiffOrders, Some(snapshotDiffOrdersSql)))
 }

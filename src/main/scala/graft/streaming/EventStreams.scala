@@ -82,6 +82,27 @@ object EventStreams {
           round(col("value") * 100, 0).cast("long")).as("bin"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Stateless stream-side anomaly tagging: reference per-type
+    * (med2, mad4) stats — computed batch-side by
+    * [[graft.operators.Anomaly.madOutlierStats]] over a trusted window
+    * — broadcast into the stream, each event flagged by the same
+    * integer rule (2·|2v − med2| > k·mad4). A stream-static broadcast
+    * join plus a projection: no state, no watermark, so the transform
+    * runs identically on batch frames (parity spec-pinned). Event
+    * types absent from the reference stats pass through unflagged —
+    * an unseen type has no distribution to be anomalous against;
+    * route those to a separate quarantine if first-seen types matter. */
+  def anomalyFlags(events: DataFrame, stats: DataFrame,
+      k: Long): DataFrame = {
+    val c = round(col("value") * 100, 0).cast("long")
+    events.join(
+        broadcast(stats.select(col("event_type"), col("med2"), col("mad4"))),
+        Seq("event_type"), "left")
+      .withColumn("is_anom",
+        when(col("med2").isNull, lit(false))
+          .otherwise(abs(c * 2L - col("med2")) * 2L > lit(k) * col("mad4")))
+  }
+
   /** Native session windows (30-min gap): the streaming-first form of
     * EventQueries.sessionize. */
   def sessionWindows(events: DataFrame): DataFrame = {

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index: driver-side hash parity with the Spark
+  * expression (the routing contract), search semantics, append ≡
+  * rebuild, crash-replay idempotency, and the pruned-scan plan shape. */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) = rows.toDF("id", "text")
+
+  test("driver-side portable hash matches the Spark expression") {
+    val terms = Seq("merge", "vector", "stream", "a", "ü", "", "x y")
+    val viaSpark = terms.toDF("t")
+      .select(col("t"), Dedup.stringHash(col("t"), portable = true).as("h"))
+      .as[(String, Long)].collect().toMap
+    terms.foreach { t =>
+      assert(InvertedIndex.portableHashLocal(t) === viaSpark(t), s"term '$t'")
+    }
+  }
+
+  test("search ranks by matched terms, then summed tf, then id") {
+    val dir = java.nio.file.Files.createTempDirectory("inv1").toString
+    val c = corpus(
+      1L -> "alpha beta alpha",     // 2 terms matched, tf 3
+      2L -> "alpha alpha alpha",    // 1 term, tf 3
+      3L -> "beta",                 // 1 term, tf 1
+      4L -> "gamma delta")          // 0 matched
+    InvertedIndex.build(c, "id", "text", nBuckets = 4, dir)
+    val got = InvertedIndex.search(InvertedIndex.load(spark, dir),
+      Seq("alpha", "beta"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3L), (2L, 1L, 3L), (3L, 1L, 1L)))
+  }
+
+  test("build(A ∪ B) ≡ build(A); append(B)") {
+    val a = corpus(1L -> "x y x", 2L -> "y z")
+    val b = corpus(3L -> "x q", 4L -> "z z z")
+    val dir1 = java.nio.file.Files.createTempDirectory("inv2a").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("inv2b").toString
+    InvertedIndex.build(a.unionByName(b), "id", "text", 8, dir1)
+    InvertedIndex.build(a, "id", "text", 8, dir2)
+    InvertedIndex.append(spark, dir2, b, "id", "text")
+    def dump(d: String) = InvertedIndex.load(spark, d).postings
+      .select("term", "doc_id", "tf", "bucket")
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(dump(dir1) === dump(dir2))
+  }
+
+  test("a replayed append overwrites itself (idempotent)") {
+    val dir = java.nio.file.Files.createTempDirectory("inv3").toString
+    InvertedIndex.build(corpus(1L -> "a b"), "id", "text", 4, dir)
+    val batch = corpus(2L -> "b c b")
+    def dump() = InvertedIndex.load(spark, dir).postings
+      .select("term", "doc_id", "tf", "bucket")
+      .as[(String, Long, Long, Int)].collect().toSet
+    val id = InvertedIndex.append(spark, dir, batch, "id", "text")
+    val once = dump()
+    // crash-replay: the same logical batch lands again under the SAME id
+    InvertedIndex.append(spark, dir, batch, "id", "text", Some(id))
+    val twice = dump()
+    assert(once === twice)
+    // a NEW batch id for genuinely new docs still appends
+    assert(InvertedIndex.nextBatchId(spark, dir) === id + 1)
+  }
+
+  test("search scan prunes non-probed bucket partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("inv4").toString
+    val big = (1L to 200L).map(i => (i, s"term$i common")).toDF("id", "text")
+    InvertedIndex.build(big, "id", "text", nBuckets = 16, dir)
+    val plan = InvertedIndex.search(InvertedIndex.load(spark, dir),
+      Seq("term7", "term8"), k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      "bucket#\\d+ (IN|=)".r.findFirstIn(plan).isDefined,
+      s"expected a literal bucket partition filter in:\n$plan")
+  }
+}

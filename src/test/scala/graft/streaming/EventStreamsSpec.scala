@@ -56,6 +56,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.map(_._2).sum == batchEvents.count())
   }
 
+  test("anomaly flags: stream equals batch; agree with the batch rule") {
+    val stats = graft.operators.Anomaly.madOutlierStats(
+      batchEvents.select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("c")),
+      "event_type", col("c"), k = 5L)
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.anomalyFlags(df, stats, k = 5L)
+        .select(col("event_id"), col("is_anom"))
+    val streamed = proj(EventStreams.readJsonStream(spark, jsonDir))
+    val q = streamed.writeStream.format("memory").queryName("anom")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fromStream = spark.table("anom")
+      .as[(Long, Boolean)].collect().toSet
+    val fromBatch = proj(batchEvents).as[(Long, Boolean)].collect().toSet
+    assert(fromStream == fromBatch)
+    // the flag population matches the aggregate counts from the batch op
+    val nFlagged = fromBatch.count(_._2).toLong
+    val nAgg = stats.agg(sum("n_anom")).as[Long].head()
+    assert(nFlagged == nAgg && nAgg > 0L)
+  }
+
   test("sliding windows: stream equals batch; events land in 4 overlapping windows") {
     val streamed = EventStreams.runToMemory(spark, jsonDir, "sliding",
       EventStreams.slidingCounts, OutputMode.Complete())
