@@ -391,7 +391,34 @@ object DedupQueries {
        |SELECT id_b, id_a, round(common::DOUBLE/n_b, 6)
        |FROM c WHERE round(common::DOUBLE/n_b, 6) >= 0.8""".stripMargin
 
+  /** Prefix-filtered all-pairs Jaccard ≥ 4/5 — the LOSSLESS scale path
+    * for exact similarity join ([[graft.operators.Dedup
+    * .prefixJaccardPairs]]): candidates only from each doc's
+    * rarest-first prefix. The oracle is deliberately the PLAIN exact
+    * all-pairs SQL with no prefix anywhere: equality against the naive
+    * join — not a replay of the optimization — is the correctness
+    * claim (same pattern as the salted-join oracles). */
+  def prefixJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, tNum = 4L, tDen = 5L)
+
+  val prefixJaccardSql: String =
+    s"""WITH ${shingleCtes(3)},
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             count(*) AS common
+       |           FROM sh a JOIN sh b
+       |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+       |SELECT id_a, id_b,
+       |  common::DOUBLE/(sa.n_sh + sb.n_sh - common) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE common * 5 >= 4 * (sa.n_sh + sb.n_sh - common)""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q113_prefix_jaccard", prefixJaccard, Some(prefixJaccardSql)),
     Q("q19_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q20_minhash_lsh", minHashLsh, Some(minHashLshSql)),
     Q("q21_simhash", simHash, Some(simHashSql)),

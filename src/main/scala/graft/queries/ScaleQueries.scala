@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{RangeJoin, Skew}
+import graft.operators.{Layout, RangeJoin, Skew}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,7 +76,43 @@ object ScaleQueries {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1""".stripMargin
 
+  /** Z-order layout audit: lineitem keyed by (l_partkey mod 512,
+    * l_suppkey mod 512), Morton-interleaved into an 18-bit z key whose
+    * top 5 bits name 32 quadtree blocks (`z div 2^13` — a pure
+    * projection, no sort anywhere). Per-block min/max of both dims
+    * demonstrates the layout guarantee file statistics pruning relies
+    * on: every block is a ≤128×64 rectangle of the 512×512 key space,
+    * so a predicate on EITHER dimension prunes ~7/8 of the blocks —
+    * sort by one key alone and the other dimension's spans cover the
+    * whole domain. The oracle replays the bit-interleave arithmetic
+    * term-for-term. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    // ×37 (coprime to 512) spreads the small suppkey domain across the
+    // full y range, so every block is populated at every sf
+    val li = Tables.lineitem(s, d).select(
+      pmod(col("l_partkey"), lit(512L)).as("x"),
+      pmod(col("l_suppkey") * 37L, lit(512L)).as("y"))
+    li.withColumn("zfile",
+        shiftright(Layout.morton2(col("x"), col("y"), 9), 13))
+      .groupBy(col("zfile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
+  val zorderLayoutSql: String = {
+    val z = Layout.morton2Sql("x", "y", 9)
+    s"""WITH k AS (SELECT l_partkey % 512 AS x, (l_suppkey * 37) % 512 AS y
+       |  FROM lineitem),
+       |z AS (SELECT x, y, ($z) >> 13 AS zfile FROM k)
+       |SELECT zfile, count(*) AS n,
+       |  min(x) AS x_min, max(x) AS x_max,
+       |  min(y) AS y_min, max(y) AS y_max
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q112_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Q("q35_range_join", rangeJoinBands, Some(rangeJoinBandsSql)),
     Q("q36_salted_join", saltedJoinPriority, Some(saltedJoinPrioritySql)),
     Q("q61_adaptive_salted_join", adaptiveSaltedQty, Some(adaptiveSaltedQtySql)))

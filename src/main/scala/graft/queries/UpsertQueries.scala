@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{DataMix, Diff, Upsert}
+import graft.operators.{DataMix, Diff, Ivm, Upsert}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,35 @@ object UpsertQueries {
        |  (sum(${sqlCents("o_totalprice")}))::BIGINT AS price_cents
        |FROM merged GROUP BY 1""".stripMargin
 
+  /** Incremental view maintenance: q63's per-status aggregate, but
+    * maintained by folding ONLY the change feed into the pre-built
+    * aggregate ([[graft.operators.Ivm]]) — the base table is scanned
+    * once to build the starting aggregate and once (keys-joined) to
+    * recover old images; never rescanned for the refresh. The oracle
+    * is deliberately q63's full-recompute SQL: incremental ≡ recompute
+    * is the IVM contract, checked to the last cent. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"))
+    val bkt = DataMix.hashBucket(col("o_orderkey"), Seed)
+    val deletes = base.filter(bkt < 100000)
+      .select(lit("delete").as("op"), col("o_orderkey"),
+        col("o_orderstatus"), col("price_cents"))
+    val updates = base.filter(bkt >= 100000 && bkt < 200000)
+      .select(lit("update").as("op"), col("o_orderkey"),
+        lit("U").as("o_orderstatus"), col("price_cents"))
+    val inserts = base.filter(bkt >= 200000 && bkt < 300000)
+      .select(lit("insert").as("op"),
+        (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("price_cents"))
+    val changes = deletes.unionByName(updates).unionByName(inserts)
+    val agg0 = base.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("price_cents"))
+    Ivm.maintainSumCountAgg(agg0, base, changes, "o_orderkey", "op",
+      "o_orderstatus", "n_orders", Seq("price_cents"))
+  }
+
   /** Snapshot diff between two generations of the orders table — the
     * "new" generation is derived deterministically from the old one
     * (every 97th key removed, every 89th surviving key's price bumped
@@ -102,5 +131,6 @@ object UpsertQueries {
 
   def all: Seq[Q] = Seq(
     Q("q63_merge_upsert", mergeOrders, Some(mergeOrdersSql)),
-    Q("q107_snapshot_diff", snapshotDiffOrders, Some(snapshotDiffOrdersSql)))
+    Q("q107_snapshot_diff", snapshotDiffOrders, Some(snapshotDiffOrdersSql)),
+    Q("q111_incremental_agg", incrementalAgg, Some(mergeOrdersSql)))
 }
