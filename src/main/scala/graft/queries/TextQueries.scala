@@ -274,9 +274,52 @@ object TextQueries {
        |FROM m ORDER BY n_matched DESC, tf_sum DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Vocabulary coverage / OOV audit: the top-100 terms of the English
+    * slice (count desc, term asc — a total order, so the cutoff is
+    * deterministic) form the vocabulary; every language's token stream
+    * is scored against it. The rate ships as integer parts-per-million
+    * (floor div) — no float ratio in the gate. The vocabulary
+    * broadcast-joins against the token stream, so the audit is one
+    * pass over the corpus regardless of corpus size — the coverage
+    * check run before committing to a tokenizer/vocab on new data. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(TA.whitespaceTokens(lower(trim(col("text"))))).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = toks.filter(col("lang") === "en")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(100)
+      .select(col("term"), lit(1L).as("__inv"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000000) div n_tokens").as("oov_ppm"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |t AS (SELECT * FROM toks WHERE term <> ''),
+       |vocab AS (SELECT term FROM (
+       |    SELECT term, count(*) AS cnt FROM t WHERE lang = 'en'
+       |    GROUP BY 1)
+       |  ORDER BY cnt DESC, term LIMIT 100)
+       |SELECT lang, count(*) AS n_tokens,
+       |  (sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_oov,
+       |  ((sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000000)
+       |    // count(*))::BIGINT AS oov_ppm
+       |FROM t LEFT JOIN vocab v ON t.term = v.term
+       |GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q15_text_stats", textStats, Some(textStatsSql)),
     Q("q110_inverted_search", invertedSearch, Some(invertedSearchSql)),
+    Q("q115_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Q("q16_lang_breakdown", langBreakdown, Some(langBreakdownSql)),
     Q("q17_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q18_rolling_fingerprint", rollingFingerprint, Some(rollingFingerprintSql)),

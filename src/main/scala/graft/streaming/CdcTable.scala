@@ -53,3 +53,64 @@ final class CdcTable(
       .foreachBatch((batch: Dataset[Row], _: Long) => applyBatch(batch))
       .start()
 }
+
+/** A [[CdcTable]] with a co-maintained count/sum aggregate: every
+  * change batch updates the snapshot AND incrementally refreshes the
+  * materialized aggregate through [[graft.operators.Ivm]] — the
+  * aggregate's refresh cost tracks the batch, never the table. The
+  * delta computation reads the PRE-change snapshot (old images), so
+  * ordering inside [[applyBatch]] is load-bearing: aggregate first,
+  * table second.
+  *
+  * Redelivery: `foreachBatch` can re-deliver a batch after a crash;
+  * re-applying deltas would double-count, so [[attach]] skips batch
+  * ids at or below the last applied one (the standard transactional-
+  * sink dedup; ids are monotonic per checkpoint). Generations flip
+  * in-memory after both writes land — a torn attempt leaves orphan
+  * gen directories that are never flipped to, same contract as the
+  * base table. The maintain ≡ recompute invariant over any batch
+  * sequence is pinned by CdcTableSpec. */
+final class CdcAggTable(
+    spark: SparkSession, dir: String, keyCol: String, groupCol: String,
+    countCol: String, sumCols: Seq[String], opCol: String = "op") {
+
+  val table = new CdcTable(spark, s"$dir/table", keyCol, opCol)
+  @volatile private var aggGen: Int = -1
+  @volatile private var lastBatchId: Long = -1L
+
+  private def writeAgg(df: DataFrame): Unit = {
+    val next = aggGen + 1
+    df.write.mode("overwrite").parquet(s"$dir/agg/gen=$next")
+    aggGen = next
+  }
+
+  /** Publish a full base snapshot: table generation + the aggregate
+    * computed ONCE from it (the last full scan this table needs). */
+  def publish(base: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    table.publish(base)
+    writeAgg(base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as(countCol),
+        sumCols.map(c => sum(col(c)).as(c)): _*))
+  }
+
+  def aggSnapshot: DataFrame = {
+    require(aggGen >= 0, "CdcAggTable has no snapshot yet — publish first")
+    spark.read.parquet(s"$dir/agg/gen=$aggGen")
+  }
+
+  def applyBatch(changes: DataFrame): Unit = {
+    writeAgg(graft.operators.Ivm.maintainSumCountAgg(
+      aggSnapshot, table.snapshot, changes, keyCol, opCol, groupCol,
+      countCol, sumCols))
+    table.applyBatch(changes)
+  }
+
+  def attach(changes: DataFrame): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        if (id > lastBatchId) { applyBatch(batch); lastBatchId = id }
+      }
+      .start()
+}

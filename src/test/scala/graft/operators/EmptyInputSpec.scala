@@ -41,6 +41,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(Hierarchy.ancestorClosure(noNodes, "id", "parent").count() == 0)
   }
 
+  test("r7 additions on empty input: diff, anomaly, rank, ivm, prefix join") {
+    val noKeyed = Seq.empty[(Long, String, Long)].toDF("k", "g", "sv")
+    // diff of two empty snapshots, and empty-vs-nonempty
+    assert(Diff.snapshotDiff(noKeyed, noKeyed, Seq("k")).count() == 0)
+    val one = Seq((1L, "a", 10L)).toDF("k", "g", "sv")
+    assert(Diff.snapshotDiff(noKeyed, one, Seq("k"))
+      .select("status").as[String].collect().toSeq == Seq("added"))
+    // anomaly stats over zero rows
+    assert(Anomaly.madOutlierStats(noKeyed, "g", col("sv"), 5L).count() == 0)
+    // pagerank over zero edges
+    assert(GraphRank.pageRankScaled(noEdges.toDF("src", "dst"),
+      "src", "dst", 3).count() == 0)
+    // ivm with an empty feed is identity on the aggregate
+    val agg0 = one.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("sv")).as("sv"))
+    val noFeed = Seq.empty[(String, Long, String, Long)]
+      .toDF("op", "k", "g", "sv")
+    assert(Ivm.maintainSumCountAgg(agg0, one, noFeed, "k", "op", "g",
+      "n", Seq("sv")).as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10L)))
+    // prefix join over an empty corpus
+    assert(Dedup.prefixJaccardPairs(noDocs, "doc_id", "text", 3,
+      4L, 5L).count() == 0)
+  }
+
   test("upsert with empty changes is identity; empty base takes inserts") {
     val base = Seq((1L, "a")).toDF("k", "v")
     val noChanges = Seq.empty[(String, Long, String)].toDF("op", "k", "v")
