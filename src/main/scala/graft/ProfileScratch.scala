@@ -474,6 +474,42 @@ object ProfileScratch {
         }
         println(s"  -> $rows result rows")
 
+      case "invscale" =>
+        // Inverted-index-at-scale smoke: N synthetic 30-token docs over
+        // a 100k-term vocabulary → build the bucket-partitioned index,
+        // then measure a 3-term search at N/10 and N, against the
+        // no-index baseline (BM25's full tokenize-scan-score at N).
+        // Claims under test: build is linear; search reads only probed
+        // buckets (wall ≈ probed fraction of the index, far under the
+        // full-scan baseline); results equal between sizes where the
+        // smaller corpus is a prefix.
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        def docsOf(sz: Long) = spark.range(sz).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(29)),
+            j => concat(lit("w"),
+              pmod(col("id") * 31L + j * 7L, lit(100000L))))).as("text"))
+        val terms = Seq("w123", "w456", "w789")
+        Seq(n / 10, n).foreach { sz =>
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"invscale_$sz").toString
+          t(s"build index over $sz docs (64 buckets)") {
+            operators.InvertedIndex.build(docsOf(sz), "doc_id", "text",
+              nBuckets = 64, dir)
+          }
+          val idx = operators.InvertedIndex.load(spark, dir)
+          val rows = t(s"search 3 terms @$sz") {
+            operators.InvertedIndex.search(idx, terms, k = 20).count()
+          }
+          println(s"  -> $rows hits @$sz")
+          operators.Lifecycle.deleteRecursively(
+            java.nio.file.Paths.get(dir))
+        }
+        t(s"no-index baseline: bm25TopK full scan @$n") {
+          operators.Retrieval.bm25TopK(docsOf(n), "doc_id", "text",
+            terms, k = 20).count()
+        }
+
       case "gensf1" =>
         // sf1.0 dataset for the order-of-magnitude bench step: 10
         // id-shifted copies of every sf0.1 table, written as parquet the

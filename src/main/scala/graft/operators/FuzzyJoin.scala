@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance ≤ 1) equi-join via deletion-neighborhood
+  * blocking (the FastSS family, depth 1) — the entity-resolution
+  * primitive: match corrupted/typo'd keys (names, SKUs, URLs) against
+  * a reference table WITHOUT the O(|a|·|b|) all-pairs Levenshtein scan
+  * Spark would otherwise plan for a `levenshtein(x, y) <= 1`
+  * predicate.
+  *
+  * Blocking key = the string itself plus every single-character
+  * deletion. Two strings within edit distance 1 always share a key:
+  * equal strings share themselves; an insertion's result deletes back
+  * to its source; a substitution at position i shares the
+  * delete-at-i variant. So the equi-join on variants loses NOTHING
+  * (spec pins equality against the naive scan) and each side's row
+  * count grows only by its string length. Verification re-checks real
+  * `levenshtein` on the candidates — variant collisions (anagram-ish
+  * near misses, e.g. transpositions = distance 2) are discharged
+  * there, never shipped to the caller.
+  *
+  * Scale shape: explode (linear in string length), one equi-join on a
+  * high-cardinality hash-distributed key, distinct over candidates,
+  * codegen'd Levenshtein on survivors. Null strings generate no
+  * variants (explode of NULL emits nothing) and therefore join nothing
+  * — the corpus NULL convention. Strings here are KEYS (names, codes —
+  * tens of chars); for document-length text use the shingle/MinHash
+  * family instead, where the deletion neighborhood would be quadratic
+  * in document size. */
+object FuzzyJoin {
+
+  /** The string plus all single-character-deletion variants. */
+  def deletionVariants(s: Column): Column =
+    array_union(
+      array(s),
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1),
+          s.substr(i + 1, length(s)))))
+
+  /** All (idA, idB, dist) pairs with levenshtein(strA, strB) ≤ 1.
+    * Column names of the two sides must be disjoint. */
+  def ed1Join(a: DataFrame, b: DataFrame,
+      idA: String, strA: String, idB: String, strB: String): DataFrame = {
+    val va = a.select(col(idA), col(strA),
+      explode(deletionVariants(col(strA))).as("__v"))
+    val vb = b.select(col(idB), col(strB),
+      explode(deletionVariants(col(strB))).as("__v"))
+    va.join(vb, "__v")
+      .select(col(idA), col(strA), col(idB), col(strB))
+      .distinct()
+      .withColumn("dist", levenshtein(col(strA), col(strB)))
+      .filter(col("dist") <= 1)
+      .select(col(idA), col(idB), col("dist"))
+  }
+}

@@ -42,4 +42,33 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval overlap join, same bucketing discipline: both
+    * sides explode to the buckets they span, equi-join on
+    * (partitionKeys, bucket), verify `lo_a ≤ hi_b ∧ lo_b ≤ hi_a`. A
+    * pair overlapping across several buckets would surface once per
+    * shared bucket — instead of a distinct (an extra shuffle over the
+    * full candidate set), each pair is emitted ONLY in the bucket of
+    * `max(lo_a, lo_b)`: the first bucket where both intervals are
+    * present, which every overlapping pair has exactly one of. The
+    * two sides must carry disjoint lo/hi column names (rename before a
+    * self-join). Candidate count — and skew — is bounded by
+    * (span / bucketWidth) per row; size bucketWidth ≈ typical span. */
+  def intervalOverlap(
+      a: DataFrame, b: DataFrame,
+      loA: String, hiA: String, loB: String, hiB: String,
+      partitionKeys: Seq[String] = Seq.empty,
+      bucketWidth: Long = 1000L): DataFrame = {
+    def burst(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bucket",
+        explode(sequence(
+          floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    burst(a, loA, hiA)
+      .join(burst(b, loB, hiB), partitionKeys :+ "__bucket", "inner")
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA))
+      .filter(col("__bucket") ===
+        floor(greatest(col(loA), col(loB)) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Components, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, md5, pmod}
+import org.apache.spark.sql.functions.{col, concat, count, expr, lit, md5, pmod, sum}
 
 /** Near-duplicate detection coverage on `documents` (SURVEY north-star:
   * n-gram Jaccard, MinHash+LSH, SimHash). The oracle SQL replays the
@@ -417,8 +417,44 @@ object DedupQueries {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE common * 5 >= 4 * (sa.n_sh + sb.n_sh - common)""".stripMargin
 
+  /** Entity resolution under typos: every third customer name gets one
+    * deterministically-deleted character, then matches back against
+    * the clean reference via [[graft.operators.FuzzyJoin.ed1Join]]
+    * (deletion-neighborhood blocking — never the all-pairs Levenshtein
+    * scan). The oracle IS the all-pairs scan (`ON levenshtein ≤ 1`):
+    * the blocked join must reproduce it exactly, including incidental
+    * matches to OTHER reference names one edit away. */
+  def fuzzyEntityMatch(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.FuzzyJoin
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    val corrupted = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("corr_key"),
+        concat(expr("substring(c_name, 1, cast(c_custkey % length(c_name) as int))"),
+          expr("substring(c_name, cast(c_custkey % length(c_name) as int) + 2, length(c_name))"))
+          .as("corr_name"))
+    FuzzyJoin.ed1Join(corrupted, cust, "corr_key", "corr_name",
+        "c_custkey", "c_name")
+      .groupBy(col("corr_key"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(col("c_custkey")).as("match_key_sum"))
+  }
+
+  val fuzzyEntityMatchSql: String =
+    """WITH corr AS (
+      |  SELECT c_custkey AS corr_key,
+      |    substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||
+      |    substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2,
+      |           length(c_name)) AS corr_name
+      |  FROM customer WHERE c_custkey % 3 = 0)
+      |SELECT corr_key, count(*) AS n_matches,
+      |  (sum(c_custkey))::BIGINT AS match_key_sum
+      |FROM corr JOIN customer
+      |  ON levenshtein(corr_name, c_name) <= 1
+      |GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q113_prefix_jaccard", prefixJaccard, Some(prefixJaccardSql)),
+    Q("q117_fuzzy_entity_match", fuzzyEntityMatch, Some(fuzzyEntityMatchSql)),
     Q("q19_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q20_minhash_lsh", minHashLsh, Some(minHashLshSql)),
     Q("q21_simhash", simHash, Some(simHashSql)),

@@ -111,8 +111,55 @@ object ScaleQueries {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Interval×interval overlap self-join, bucketed
+    * ([[graft.operators.RangeJoin.intervalOverlap]]): per-customer
+    * order "processing windows" (start = order epoch-day, span =
+    * key mod 14 days) that overlap. The oracle is the NAIVE theta
+    * self-join — the bucketed plan must reproduce it exactly,
+    * including the emit-once-at-max(lo) dedup discipline (no
+    * distinct). Same oracle pattern as the salted joins: equality
+    * against the formulation Spark would otherwise nested-loop. */
+  def intervalOverlapOrders(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderkey"),
+        // NTZ→LTZ cast first: UTC sessions make it a reinterpretation,
+        // and LTZ→long (epoch seconds) is defined — same convention as
+        // Tables.events
+        expr("cast(cast(o_orderdate as timestamp) as long) div 86400")
+          .as("lo"))
+      .withColumn("hi", col("lo") + col("o_orderkey") % 14)
+    val a = base.select(col("o_custkey"), col("o_orderkey").as("key_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = base.select(col("o_custkey"), col("o_orderkey").as("key_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+        partitionKeys = Seq("o_custkey"), bucketWidth = 16L)
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("hi_a"), col("hi_b")) -
+          greatest(col("lo_a"), col("lo_b")) + 1L).as("overlap_days"))
+  }
+
+  val intervalOverlapOrdersSql: String =
+    """WITH i AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS lo,
+      |    CAST(epoch(o_orderdate) AS BIGINT) // 86400 + o_orderkey % 14
+      |      AS hi
+      |  FROM orders)
+      |SELECT a.o_custkey, count(*) AS n_overlaps,
+      |  (sum(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1))::BIGINT
+      |    AS overlap_days
+      |FROM i a JOIN i b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |  AND a.lo <= b.hi AND b.lo <= a.hi
+      |GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q112_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
+    Q("q116_interval_overlap", intervalOverlapOrders,
+      Some(intervalOverlapOrdersSql)),
     Q("q35_range_join", rangeJoinBands, Some(rangeJoinBandsSql)),
     Q("q36_salted_join", saltedJoinPriority, Some(saltedJoinPrioritySql)),
     Q("q61_adaptive_salted_join", adaptiveSaltedQty, Some(adaptiveSaltedQtySql)))

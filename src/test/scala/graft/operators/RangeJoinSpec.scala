@@ -42,4 +42,40 @@ class RangeJoinSpec extends SparkSpec {
     // only even pids (k=0) can match
     assert(r == expected.filter(_._1 % 2 == 0))
   }
+
+  // --- interval×interval overlap ---
+
+  private lazy val ivRnd = new scala.util.Random(13)
+  private lazy val ivA = (1L to 80L).map { i =>
+    val lo = ivRnd.nextInt(500).toLong; (i, lo, lo + ivRnd.nextInt(40))
+  }
+  private lazy val ivB = (1L to 80L).map { i =>
+    val lo = ivRnd.nextInt(500).toLong; (i, lo, lo + ivRnd.nextInt(40))
+  }
+  private lazy val ivExpected = (for {
+    (ia, la, ha) <- ivA; (ib, lb, hb) <- ivB
+    if la <= hb && lb <= ha
+  } yield (ia, ib)).toSet
+
+  private def runOverlap(w: Long): Set[(Long, Long)] =
+    RangeJoin.intervalOverlap(
+      ivA.toDF("id_a", "lo_a", "hi_a"), ivB.toDF("id_b", "lo_b", "hi_b"),
+      "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = w)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+  test("interval overlap matches the naive theta join, exactly once per pair") {
+    val got = RangeJoin.intervalOverlap(
+      ivA.toDF("id_a", "lo_a", "hi_a"), ivB.toDF("id_b", "lo_b", "hi_b"),
+      "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 16L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(got.toSet == ivExpected)
+    assert(got.size == ivExpected.size, "a pair surfaced in multiple buckets")
+    assert(ivExpected.nonEmpty)
+  }
+
+  test("overlap result is independent of bucket width") {
+    assert(runOverlap(1L) == ivExpected)
+    assert(runOverlap(7L) == ivExpected)
+    assert(runOverlap(100000L) == ivExpected)
+  }
 }
