@@ -175,4 +175,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q116: interval overlap is an equi-join on the bucket, never a nested loop") {
+    val p = plan("q116_interval_overlap")
+    // the naive formulation (pure theta predicate) would plan a
+    // nested-loop; the bucketed rewrite must keep it an equi-join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q117: fuzzy match equi-joins on deletion variants, never all-pairs") {
+    val p = plan("q117_fuzzy_entity_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // Levenshtein runs as a post-join filter on candidates only
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("q108: per-key robust stats broadcast back to the fact stream") {
+    val p = plan("q108_mad_anomalies")
+    // two stats frames (median, MAD) both rejoin as broadcast — the
+    // fact stream is never shuffled for the join itself
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q115: the vocabulary joins the token stream as broadcast") {
+    val p = plan("q115_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
