@@ -438,9 +438,44 @@ object EventQueries {
        |    AS anom_sum
        |FROM dv d JOIN md USING (event_type) GROUP BY 1""".stripMargin
 
+  /** Behavioral transition matrix (the Markov-chain feature table for
+    * sequence models / funnel analysis): per-user event streams ordered
+    * by (ts, event_id) — a TOTAL order, so lag() is deterministic —
+    * reduced to (prev_type → type) counts plus exact summed gap
+    * seconds. One shuffle on user_id for the window, one keyed
+    * aggregation over ≤|types|² groups. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      // epoch MICROSECONDS: integer-exact in both engines (a seconds
+      // cast differs — Spark floors, DuckDB's double epoch() rounds)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("gap_us_sum"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(ts) AS us,
+      |    lag(event_type) OVER w AS prev_type,
+      |    lag(epoch_us(ts)) OVER w AS prev_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT prev_type, event_type, count(*) AS n,
+      |  (sum(us - prev_us))::BIGINT AS gap_us_sum
+      |FROM s WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q25_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Q("q108_mad_anomalies", madAnomalies, Some(madAnomaliesSql)),
+    Q("q118_event_transitions", eventTransitions, Some(eventTransitionsSql)),
     Q("q26_sessionize", sessionize, Some(sessionizeSql)),
     Q("q27_json_props", jsonProps, Some(jsonPropsSql)),
     Q("q28_rollup_daily", rollupDaily, Some(rollupDailySql)),
