@@ -47,16 +47,20 @@ object InvertedIndex {
   def bucketOfLocal(term: String, nBuckets: Int): Int =
     java.lang.Math.floorMod(portableHashLocal(term), nBuckets.toLong).toInt
 
-  /** Postings relation of one batch: (term, doc_id, tf, bucket). */
+  /** Postings relation of one batch: (term, doc_id, tf, positions,
+    * bucket) — positions are the 0-based token offsets, sorted, which
+    * makes the index PHRASE-capable (see [[phraseSearch]]) at the cost
+    * of one int per token occurrence. */
   private def postingsOf(batch: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame =
     batch
       .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.whitespaceTokens(lower(trim(col(textCol)))))
-          .as("term"))
+        posexplode(TextAnalysis.whitespaceTokens(lower(trim(col(textCol))))))
+      .toDF("doc_id", "pos", "term")
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket",
         pmod(Dedup.stringHash(col("term"), portable = true),
           lit(nBuckets.toLong)).cast("int"))
@@ -120,6 +124,37 @@ object InvertedIndex {
     * the top k. The bucket set is computed driver-side from the term
     * literals — no routing job, and the scan prunes every bucket not
     * probed. Output: (doc_id, n_matched, tf_sum). */
+  /** Exact phrase lookup through the positional postings: a doc
+    * matches where the phrase terms appear at CONSECUTIVE positions.
+    * Each term's postings load bucket-pruned (as in [[search]]); the
+    * i-th term's positions shift by −i, and the occurrence count is
+    * the size of the intersection of the shifted arrays — the classic
+    * positional-postings merge as one join chain plus array
+    * intersections, no re-tokenization of any document. Output:
+    * (doc_id, n_occurrences) top-k. */
+  def phraseSearch(index: Index, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch: need >= 2 terms")
+    val terms = phrase.map(_.toLowerCase)
+    val buckets = terms.map(bucketOfLocal(_, index.nBuckets)).distinct
+    val posted = index.postings
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(terms.distinct: _*))
+    val frames = terms.zipWithIndex.map { case (t, i) =>
+      posted.filter(col("term") === t)
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - i).as(s"__p_$i"))
+    }
+    val joined = frames.reduce((a, b) => a.join(b, "doc_id"))
+    val inter = (1 until terms.size).foldLeft(col("__p_0")) {
+      (acc, i) => array_intersect(acc, col(s"__p_$i"))
+    }
+    joined.withColumn("n_occurrences", size(inter))
+      .filter(col("n_occurrences") > 0)
+      .select(col("doc_id"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def search(index: Index, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "search: empty term list")
     val distinctTerms = terms.map(_.toLowerCase).distinct

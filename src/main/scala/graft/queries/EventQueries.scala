@@ -472,10 +472,43 @@ object EventQueries {
       |FROM s WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** Per-user exponentially-weighted running value (α = 2/10), the
+    * smoothing primitive for per-entity state features. The recurrence
+    * `r' = (2·c + 8·r) div 10` is a sequential integer fold, inherently
+    * order-dependent — so it runs as an ARRAY fold over each user's
+    * time-ordered values (millions of keys × bounded series each: the
+    * right distributed shape — one shuffle to the key, fold inside the
+    * row; an unbounded single series would instead chunk + re-fold).
+    * Fixed-point `div` keeps every step engine-exact: DuckDB's
+    * list_reduce seeds with the first element, so the Spark fold seeds
+    * with `arr[1]` to match. */
+  def userEwma(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          cents(col("value")).as("c")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(col("e"))).as("__arr"))
+      .withColumn("__vals", expr("transform(__arr, x -> x.c)"))
+      .withColumn("ewma_cents",
+        expr("""aggregate(slice(__vals, 2, greatest(size(__vals) - 1, 0)),
+                __vals[0], (acc, x) -> (2*x + 8*acc) div 10)"""))
+      .select(col("user_id"), col("n_events"), col("ewma_cents"))
+
+  val userEwmaSql: String =
+    s"""WITH e AS (SELECT user_id, ts, event_id,
+       |    ${sqlCents("value")} AS c FROM events)
+       |SELECT user_id, count(*) AS n_events,
+       |  list_reduce(list(c ORDER BY ts, event_id),
+       |    (acc, x) -> (2*x + 8*acc) // 10) AS ewma_cents
+       |FROM e GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q25_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Q("q108_mad_anomalies", madAnomalies, Some(madAnomaliesSql)),
     Q("q118_event_transitions", eventTransitions, Some(eventTransitionsSql)),
+    Q("q121_user_ewma", userEwma, Some(userEwmaSql)),
     Q("q26_sessionize", sessionize, Some(sessionizeSql)),
     Q("q27_json_props", jsonProps, Some(jsonPropsSql)),
     Q("q28_rollup_daily", rollupDaily, Some(rollupDailySql)),

@@ -362,9 +362,39 @@ object TextQueries {
       |GROUP BY 1, 2
       |ORDER BY n_cooc DESC, term_a, term_b LIMIT 20""".stripMargin
 
+  /** Exact phrase search through the POSITIONAL inverted index: the
+    * i-th phrase term's positions shift by −i and intersect — no
+    * document is re-tokenized at query time, and the postings scan is
+    * bucket-pruned to the phrase's terms. Oracle replays positions
+    * from the raw corpus with an adjacency join. */
+  def phraseSearchDocs(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.InvertedIndex
+    val path = tempWorkDir("graft_q120_")
+    InvertedIndex.build(Tables.documents(s, d), "doc_id", "text",
+      nBuckets = 16, path)
+    InvertedIndex.phraseSearch(InvertedIndex.load(s, path),
+      Seq("table", "hash"), k = 15)
+  }
+
+  val phraseSearchDocsSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |tk AS (SELECT doc_id, i AS pos, toks[i] AS term
+      |       FROM docs, unnest(range(1, len(toks)+1)) t(i)),
+      |m AS (SELECT a.doc_id, count(*) AS n_occurrences
+      |      FROM tk a JOIN tk b
+      |        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |      WHERE a.term = 'table' AND b.term = 'hash'
+      |      GROUP BY 1)
+      |SELECT doc_id, (n_occurrences)::INT AS n_occurrences
+      |FROM m ORDER BY n_occurrences DESC, doc_id LIMIT 15""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q15_text_stats", textStats, Some(textStatsSql)),
     Q("q110_inverted_search", invertedSearch, Some(invertedSearchSql)),
+    Q("q120_phrase_search", phraseSearchDocs, Some(phraseSearchDocsSql)),
     Q("q115_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Q("q119_term_cooccurrence", termCooccurrence, Some(termCooccurrenceSql)),
     Q("q16_lang_breakdown", langBreakdown, Some(langBreakdownSql)),

@@ -54,4 +54,29 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
     assert(scan.select($"id").as[Long].collect().toSet == Set(1L, 3L))
   }
+
+  test("parquet aggregate pushdown answers count/min/max from footer statistics") {
+    // a 100 TB COUNT(*)/MIN/MAX should read row-group metadata, not
+    // data pages — DS v2 does this when aggregatePushdown is on
+    val dir = tmp("aggpush")
+    df.write.mode("overwrite").parquet(dir)
+    val saved = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // v2 path required for aggregate pushdown (v1 file source skips it)
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      val agg = spark.read.parquet(dir)
+        .agg(count(lit(1)).as("n"), min($"id").as("lo"), max($"id").as("hi"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"), plan)
+      assert("PushedAggregation: \\[\\]".r.findFirstIn(plan).isEmpty, plan)
+      assert(agg.as[(Long, Long, Long)].head() == ((3L, 1L, 3L)))
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+      spark.conf.unset("spark.sql.sources.useV1SourceList")
+    }
+  }
 }

@@ -66,6 +66,26 @@ class InvertedIndexSpec extends SparkSpec {
     assert(InvertedIndex.nextBatchId(spark, dir) === id + 1)
   }
 
+  test("phrase search: consecutive positions only, overlaps counted, dup terms") {
+    val dir = java.nio.file.Files.createTempDirectory("inv5").toString
+    val c = corpus(
+      1L -> "x y z x y",   // "x y" occurs at 0 and 3
+      2L -> "x z y",       // both terms, never adjacent
+      3L -> "y x",         // reversed — no match
+      4L -> "a a a")       // dup-term phrase "a a" → 2 occurrences
+    InvertedIndex.build(c, "id", "text", nBuckets = 4, dir)
+    val idx = InvertedIndex.load(spark, dir)
+    val xy = InvertedIndex.phraseSearch(idx, Seq("x", "y"), k = 10)
+      .as[(Long, Int)].collect().toSet
+    assert(xy === Set((1L, 2)))
+    val aa = InvertedIndex.phraseSearch(idx, Seq("a", "a"), k = 10)
+      .as[(Long, Int)].collect().toSet
+    assert(aa === Set((4L, 2)))
+    val xyz = InvertedIndex.phraseSearch(idx, Seq("x", "y", "z"), k = 10)
+      .as[(Long, Int)].collect().toSet
+    assert(xyz === Set((1L, 1)))
+  }
+
   test("search scan prunes non-probed bucket partitions") {
     val dir = java.nio.file.Files.createTempDirectory("inv4").toString
     val big = (1L to 200L).map(i => (i, s"term$i common")).toDF("id", "text")
