@@ -532,7 +532,56 @@ object RelationalQueries {
        |  quantile_cont(${sqlCents("l_extendedprice")}, 0.75) AS p75_cents
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Exact per-group covariance/correlation building blocks — the
+    * feature-correlation audit without a single float accumulation:
+    * cov numerator `n·Σxy − Σx·Σy` and the two variance numerators
+    * are pure 64-bit sums over integral inputs (quantity is a whole
+    * number; discount lifts through cents), so they replay exactly
+    * where `covar_samp`/`corr` would drift by summation order. The
+    * caller divides once at the end (corr² = cov²/(vx·vy)) — here the
+    * raw integer numerators ARE the result, so the gate checks every
+    * bit. Column choice is an overflow decision, made with numbers:
+    * price-cents squared overflows 2^63 at ~6k rows/group (measured
+    * 1.5e22 at sf0.01 — caught before registration); discount-cents
+    * (≤10) keep n·Σxy under 2^50 past 10⁹ rows. Wider inputs → lift
+    * the sums to DECIMAL(38,0). */
+  def exactCovariance(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        cents(col("l_discount")).as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"), sum(col("p")).as("sum_p"),
+        sum(col("q") * col("p")).as("sum_qp"),
+        sum(col("q") * col("q")).as("sum_qq"),
+        sum(col("p") * col("p")).as("sum_pp"))
+      .select(col("l_returnflag"), col("n"),
+        (col("n") * col("sum_qp") - col("sum_q") * col("sum_p"))
+          .as("cov_num"),
+        (col("n") * col("sum_qq") - col("sum_q") * col("sum_q"))
+          .as("var_q_num"),
+        (col("n") * col("sum_pp") - col("sum_p") * col("sum_p"))
+          .as("var_p_num"))
+
+  val exactCovarianceSql: String =
+    s"""WITH e AS (SELECT l_returnflag,
+       |    CAST(l_quantity AS BIGINT) AS q,
+       |    ${sqlCents("l_discount")} AS p
+       |  FROM lineitem),
+       |s AS (SELECT l_returnflag, count(*) AS n,
+       |    (sum(q))::BIGINT AS sum_q, (sum(p))::BIGINT AS sum_p,
+       |    (sum(q*p))::BIGINT AS sum_qp, (sum(q*q))::BIGINT AS sum_qq,
+       |    (sum(p*p))::BIGINT AS sum_pp
+       |  FROM e GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |  n*sum_qp - sum_q*sum_p AS cov_num,
+       |  n*sum_qq - sum_q*sum_q AS var_q_num,
+       |  n*sum_pp - sum_p*sum_p AS var_p_num
+       |FROM s""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q122_exact_covariance", exactCovariance, Some(exactCovarianceSql)),
     Q("q62_group_quantiles", groupQuantiles, Some(groupQuantilesSql)),
     Q("q39_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     Q("q40_below_avg_qty", belowAvgQuantity, Some(belowAvgQuantitySql)),
