@@ -93,6 +93,16 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"mins":$mins,"spread":$spread,"sf":"$sfDir"}"""
     println(json)
+    // The driver's stdout capture keeps only a ~2000-char TAIL, which
+    // truncates the full per-query map mid-stream (every BENCH_r*.json
+    // so far has parsed:null). Print a compact self-describing summary
+    // LAST — headline totals + the 10 slowest queries — so whatever
+    // tail survives is a complete, parseable JSON line.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     // Also persist the whole JSON line to a file: the driver's stdout
     // capture head-truncates long lines, which cost round 2 its q01-q19
     // numbers; a file survives whole.

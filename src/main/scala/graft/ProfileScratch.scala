@@ -600,6 +600,61 @@ object ProfileScratch {
             spark.read.parquet(s"$outDir/$tbl.parquet").count() + " rows")
         }
 
+      case "cdcscale" =>
+        // The r7-verdict measurement: per-batch WRITE VOLUME of the
+        // bucketed CDC table must track the batch, not the table.
+        // Base = sf0.1 orders ×10 (≈15M rows); batches touch ~1k keys.
+        // Printed: bytes written per generation for flat vs bucketed,
+        // and the bucketed/flat ratio (expect ≈ touchedBuckets/nBuckets).
+        val copies = args.lift(1).map(_.toInt).getOrElse(10)
+        val nBuckets = args.lift(2).map(_.toInt).getOrElse(1024)
+        val ord = spark.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val maxKey = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+        val big = (0 until copies).map(i => ord.withColumn("o_orderkey",
+          col("o_orderkey") + lit(maxKey * i))).reduce(_ unionByName _)
+        def dirBytes(path: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(p)) 0L
+          else fs.getContentSummary(p).getLength
+        }
+        def batchOf(lo: Long, n: Long) = big
+          .filter(col("o_orderkey") >= lo && col("o_orderkey") < lo + n)
+          .select(lit("update").as("op"), col("o_orderkey"),
+            lit("U").as("o_orderstatus"), col("o_totalprice"))
+        val bktDir = java.nio.file.Files
+          .createTempDirectory("cdcscale_bkt").toString
+        val flatDir = java.nio.file.Files
+          .createTempDirectory("cdcscale_flat").toString
+        val bkt = new streaming.BucketedCdcTable(
+          spark, bktDir, "o_orderkey", nBuckets)
+        t(s"bucketed publish ${copies}x orders")(bkt.publish(big))
+        val flat = new streaming.CdcTable(spark, flatDir, "o_orderkey")
+        t("flat publish")(flat.publish(big))
+        val baseBytes = dirBytes(s"$bktDir/data/gen=0")
+        println(f"base snapshot: $baseBytes%,d bytes, $nBuckets buckets")
+        Seq(100L, 1000L, 10000L).zipWithIndex.foreach { case (n, i) =>
+          val g = i + 1
+          val b = batchOf(1000L + 20000L * i, n)
+          t(s"bucketed batch $g ($n keys)")(bkt.applyBatch(b))
+          t(s"flat batch $g ($n keys)")(flat.applyBatch(b))
+          val bw = dirBytes(s"$bktDir/data/gen=$g")
+          val fw = dirBytes(s"$flatDir/gen=$g")
+          // touched buckets is the scale-transferable number: write
+          // volume = touched × bucketBytes, and at production sizes a
+          // bucket is a ~256 MB file, so parquet footer overhead (which
+          // dominates these 28 KB toy buckets) vanishes
+          val touched = spark.read
+            .parquet(s"$bktDir/manifest/gen=$g")
+            .filter(col("data_gen") === g).count()
+          println(f"batch $g%d ($n%,d keys): touched $touched%,d/" +
+            f"$nBuckets%,d buckets (${touched.toDouble / nBuckets}%.4f), " +
+            f"bucketed wrote $bw%,d B, flat wrote $fw%,d B, " +
+            f"ratio ${bw.toDouble / fw}%.4f")
+        }
+        println(s"bucketed snapshot rows: ${bkt.snapshot.count()}")
+
       case "query" =>
         // Generic single-query profiler: warmup at sf0.001, then two
         // timed noop-sink runs at $SPARK_GRAFT_SF_DIR.

@@ -40,7 +40,16 @@ object FuzzyJoin {
           s.substr(i + 1, length(s)))))
 
   /** All (idA, idB, dist) pairs with levenshtein(strA, strB) ≤ 1.
-    * Column names of the two sides must be disjoint. */
+    * Column names of the two sides must be disjoint.
+    *
+    * Precondition: (id, str) rows must be DISTINCT on each side (the
+    * same one-op-per-key contract [[Ivm]]/[[Upsert]] document). The
+    * candidate `distinct()` exists to collapse the MULTIPLE shared
+    * variants one pair can match through (equal strings share every
+    * deletion), and it would also collapse duplicate input rows — so
+    * with duplicated (id, str) rows the pair multiplicity diverges
+    * from the naive all-pairs scan, which preserves them. Dedup
+    * upstream if input rows can repeat. */
   def ed1Join(a: DataFrame, b: DataFrame,
       idA: String, strA: String, idB: String, strB: String): DataFrame = {
     val va = a.select(col(idA), col(strA),

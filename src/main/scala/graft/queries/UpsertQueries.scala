@@ -130,13 +130,14 @@ object UpsertQueries {
       |FROM d GROUP BY 1""".stripMargin
 
   /** CDC time travel: orders published into an on-disk
-    * [[graft.streaming.CdcTable]], two deterministic change batches
-    * folded in (batch 1 = q63's feed; batch 2 deletes/updates a
-    * disjoint key region), then ALL THREE generations read back and
-    * summarized — the write-new-then-flip generation protocol is what
-    * makes every past state a plain parquet read. The oracle rebuilds
-    * gen0/gen1/gen2 relationally (unrolled apply CTEs) and must match
-    * per-generation to the cent. */
+    * [[graft.streaming.BucketedCdcTable]], two deterministic change
+    * batches folded in (batch 1 = q63's feed; batch 2 deletes/updates
+    * a disjoint key region), then ALL THREE generations read back via
+    * their manifests and summarized — each batch rewrote only the
+    * key-buckets it touched, and the manifest-per-generation protocol
+    * keeps every past state a plain partition-pruned parquet read.
+    * The oracle rebuilds gen0/gen1/gen2 relationally (unrolled apply
+    * CTEs) and must match per-generation to the cent. */
   def cdcTimeTravel(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"),
@@ -160,12 +161,14 @@ object UpsertQueries {
         .select(op("update"), col("o_orderkey"),
           lit("V").as("o_orderstatus"), col("price_cents")))
     val dir = tempWorkDir("graft_q114_")
-    val cdc = new graft.streaming.CdcTable(s, dir, "o_orderkey")
+    // the scale variant: batches 1 and 2 rewrite only the key-buckets
+    // they touch; time travel reads each generation's manifest
+    val cdc = new graft.streaming.BucketedCdcTable(
+      s, dir, "o_orderkey", nBuckets = 32)
     cdc.publish(base)
     cdc.applyBatch(feed1)
     cdc.applyBatch(feed2)
-    (0 to 2).map(g => s.read.parquet(s"$dir/gen=$g")
-        .withColumn("gen", lit(g.toLong)))
+    (0 to 2).map(g => cdc.snapshotAt(g).withColumn("gen", lit(g.toLong)))
       .reduce(_ unionByName _)
       .groupBy(col("gen"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),

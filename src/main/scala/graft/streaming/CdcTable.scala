@@ -15,16 +15,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Scale: each batch costs one anti-join of the snapshot against the
   * batch's touched keys (broadcast — CDC batches are small relative to
-  * the table) plus a full snapshot rewrite. The rewrite is the price of
-  * plain parquet; with file-level transactions only touched files
-  * rewrite. Generations also give free time travel and crash safety:
-  * a half-written generation is simply never flipped to.
+  * the table) plus a full snapshot rewrite. That rewrite makes this
+  * the SMALL-table variant; [[BucketedCdcTable]] is the scale path —
+  * identical semantics, but the snapshot is hash-bucketed on the key
+  * and a batch rewrites only its touched buckets, so write volume
+  * tracks the batch instead of the table. Generations also give free
+  * time travel and crash safety: a half-written generation is simply
+  * never flipped to.
   */
 final class CdcTable(
     spark: SparkSession, dir: String, keyCol: String,
     opCol: String = "op", seqCol: Option[String] = None) {
 
-  @volatile private var gen: Int = -1
+  private def fs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Recovered on construction: the highest `gen=N` directory whose
+    * _SUCCESS marker landed — a restarted process resumes at the last
+    * committed generation instead of forgetting the table exists. A
+    * torn generation (no _SUCCESS) is never flipped to. */
+  @volatile private var gen: Int = CdcCommits.maxCommittedGen(fs, dir)
+
+  /** Clamp to an externally-committed generation ([[CdcAggTable]]
+    * recovery: the commit record, not the bare directory listing, is
+    * the truth for the table+aggregate PAIR). */
+  private[streaming] def resetTo(g: Int): Unit = gen = g
 
   /** Publish a full snapshot as the next generation (used for the
     * initial load and by [[applyBatch]]). */
@@ -65,11 +80,16 @@ final class CdcTable(
   * Redelivery: `foreachBatch` can re-deliver a batch after a crash;
   * re-applying deltas would double-count, so [[attach]] skips batch
   * ids at or below the last applied one (the standard transactional-
-  * sink dedup; ids are monotonic per checkpoint). Generations flip
-  * in-memory after both writes land — a torn attempt leaves orphan
-  * gen directories that are never flipped to, same contract as the
-  * base table. The maintain ≡ recompute invariant over any batch
-  * sequence is pinned by CdcTableSpec. */
+  * sink dedup; ids are monotonic per checkpoint). The skip state
+  * SURVIVES the crash it guards against: every publish/applyBatch
+  * ends by writing a commit record (batchId, tableGen, aggGen) under
+  * `dir/commits` — temp-file + rename, so a record is whole or
+  * absent — and construction recovers all three from the latest
+  * record. A crash between the table/aggregate writes and the commit
+  * leaves orphan gen directories that recovery never flips to; the
+  * redelivered batch then re-applies against the PRE-batch pair and
+  * overwrites the orphans idempotently. The maintain ≡ recompute
+  * invariant over any batch sequence is pinned by CdcTableSpec. */
 final class CdcAggTable(
     spark: SparkSession, dir: String, keyCol: String, groupCol: String,
     countCol: String, sumCols: Seq[String], opCol: String = "op") {
@@ -77,6 +97,20 @@ final class CdcAggTable(
   val table = new CdcTable(spark, s"$dir/table", keyCol, opCol)
   @volatile private var aggGen: Int = -1
   @volatile private var lastBatchId: Long = -1L
+
+  private def fs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  // recover the last COMMITTED (batchId, tableGen, aggGen) triple: the
+  // commit record is the truth for the pair — bare gen directories
+  // beyond it are torn attempts and stay orphaned
+  CdcCommits.latest(fs, s"$dir/commits").foreach {
+    case (b, tg, ag) => lastBatchId = b; table.resetTo(tg); aggGen = ag
+  }
+
+  private def commit(batchId: Long): Unit =
+    CdcCommits.write(fs, s"$dir/commits", idx = aggGen.toLong,
+      batchId = batchId, tableGen = table.generation, aggGen = aggGen)
 
   private def writeAgg(df: DataFrame): Unit = {
     val next = aggGen + 1
@@ -92,6 +126,7 @@ final class CdcAggTable(
     writeAgg(base.groupBy(col(groupCol))
       .agg(count(lit(1)).as(countCol),
         sumCols.map(c => sum(col(c)).as(c)): _*))
+    commit(lastBatchId)
   }
 
   def aggSnapshot: DataFrame = {
@@ -99,18 +134,24 @@ final class CdcAggTable(
     spark.read.parquet(s"$dir/agg/gen=$aggGen")
   }
 
-  def applyBatch(changes: DataFrame): Unit = {
+  /** Fold one change batch in. `batchId` (when ≥ 0, the streaming
+    * micro-batch id) advances the redelivery watermark; the commit
+    * record lands only after BOTH writes, so a crash anywhere before
+    * it re-applies against the pre-batch pair idempotently. */
+  def applyBatch(changes: DataFrame, batchId: Long = -1L): Unit = {
     writeAgg(graft.operators.Ivm.maintainSumCountAgg(
       aggSnapshot, table.snapshot, changes, keyCol, opCol, groupCol,
       countCol, sumCols))
     table.applyBatch(changes)
+    if (batchId >= 0) lastBatchId = batchId
+    commit(lastBatchId)
   }
 
   def attach(changes: DataFrame): StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (id > lastBatchId) { applyBatch(batch); lastBatchId = id }
+        if (id > lastBatchId) applyBatch(batch, id)
       }
       .start()
 }

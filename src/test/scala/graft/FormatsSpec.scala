@@ -61,6 +61,7 @@ class FormatsSpec extends SparkSpec {
     val dir = tmp("aggpush")
     df.write.mode("overwrite").parquet(dir)
     val saved = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val savedV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
     try {
       spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
       // v2 path required for aggregate pushdown (v1 file source skips it)
@@ -76,7 +77,10 @@ class FormatsSpec extends SparkSpec {
         case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
         case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
       }
-      spark.conf.unset("spark.sql.sources.useV1SourceList")
+      savedV1 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
     }
   }
 }

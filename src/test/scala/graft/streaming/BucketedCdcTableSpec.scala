@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class BucketedCdcTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  // a batch sequence with group birth (new keys), death (all keys of a
+  // bucket deleted), updates, and a no-op batch
+  private def base: DataFrame =
+    (1L to 200L).map(k => (k, s"g${k % 5}", k * 10)).toDF("k", "g", "v")
+  private def batches: Seq[DataFrame] = Seq(
+    Seq(("delete", 7L, "", 0L), ("update", 8L, "g3", 888L),
+      ("insert", 501L, "new", 1L)).toDF("op", "k", "g", "v"),
+    Seq(("delete", 501L, "", 0L), ("insert", 502L, "new", 2L),
+      ("update", 1L, "g0", 111L)).toDF("op", "k", "g", "v"),
+    Seq.empty[(String, Long, String, Long)].toDF("op", "k", "g", "v"))
+
+  test("bucketed ≡ flat over a batch sequence, per generation") {
+    val flatDir = tmp("cdcflat")
+    val flat = new CdcTable(spark, flatDir, "k")
+    val bkt = new BucketedCdcTable(spark, tmp("cdcbkt"), "k", nBuckets = 8)
+    flat.publish(base); bkt.publish(base)
+    batches.foreach { b => flat.applyBatch(b); bkt.applyBatch(b) }
+    assert(bkt.generation == flat.generation)
+    // per-generation equality: flat gen dirs vs bucketed manifests
+    (0 to flat.generation).foreach { g =>
+      val f = spark.read.parquet(s"$flatDir/gen=$g")
+        .as[(Long, String, Long)].collect().toSet
+      val b = bkt.snapshotAt(g).as[(Long, String, Long)].collect().toSet
+      assert(b === f, s"generation $g diverged")
+    }
+  }
+
+  test("a batch rewrites only its touched buckets") {
+    val dir = tmp("cdctouch")
+    val t = new BucketedCdcTable(spark, dir, "k", nBuckets = 16)
+    t.publish(base)
+    t.applyBatch(Seq(("update", 3L, "g3", 999L)).toDF("op", "k", "g", "v"))
+    // gen=1's data directory contains exactly ONE bucket — key 3's
+    val gen1 = new java.io.File(s"$dir/data/gen=1")
+      .listFiles().filter(_.getName.startsWith("__bkt=")).map(_.getName)
+    assert(gen1.length == 1, gen1.toSeq.toString)
+    // untouched buckets still resolve through the gen=0 data
+    assert(t.snapshot.count() == 200)
+    assert(t.snapshot.filter($"k" === 3L).select($"v").as[Long].head() == 999L)
+  }
+
+  test("construction recovers the last committed generation") {
+    val dir = tmp("cdcrec")
+    val t = new BucketedCdcTable(spark, dir, "k", nBuckets = 4)
+    t.publish(base)
+    t.applyBatch(batches.head)
+    val expect = t.snapshot.as[(Long, String, Long)].collect().toSet
+    // a fresh instance (post-crash process) resumes at gen 1
+    val t2 = new BucketedCdcTable(spark, dir, "k", nBuckets = 4)
+    assert(t2.generation == 1)
+    assert(t2.snapshot.as[(Long, String, Long)].collect().toSet === expect)
+    // a torn manifest (no _SUCCESS) is never flipped to
+    val torn = new java.io.File(s"$dir/manifest/gen=9")
+    torn.mkdirs()
+    val t3 = new BucketedCdcTable(spark, dir, "k", nBuckets = 4)
+    assert(t3.generation == 1)
+  }
+
+  test("auto-compaction bounds the snapshot's read fan-out") {
+    val dir = tmp("cdccomp")
+    val t = new BucketedCdcTable(spark, dir, "k", nBuckets = 4,
+      autoCompactAt = 3)
+    t.publish(base)
+    (1L to 6L).foreach { i =>
+      t.applyBatch(Seq(("update", i, "gX", i)).toDF("op", "k", "g", "v"))
+      assert(t.referencedGens <= 4, s"after batch $i: ${t.referencedGens}")
+    }
+    assert(t.snapshot.count() == 200)
+    assert(t.snapshot.filter($"g" === "gX").count() == 6)
+  }
+
+  test("flat CdcTable recovers its generation across construction") {
+    val dir = tmp("cdcflatrec")
+    val t = new CdcTable(spark, dir, "k")
+    t.publish(base)
+    t.applyBatch(batches.head)
+    val t2 = new CdcTable(spark, dir, "k")
+    assert(t2.generation == 1)
+    assert(t2.snapshot.count() == t.snapshot.count())
+  }
+
+  test("CdcAggTable recovers batch watermark and pair across construction") {
+    val dir = tmp("cdcaggrec")
+    val t = new CdcAggTable(spark, dir, "k", "g", "n", Seq("v"))
+    t.publish(base)
+    t.applyBatch(batches.head, batchId = 0L)
+    t.applyBatch(batches(1), batchId = 1L)
+    val expected = t.aggSnapshot.as[(String, Long, Long)].collect().toSet
+    val t2 = new CdcAggTable(spark, dir, "k", "g", "n", Seq("v"))
+    assert(t2.aggSnapshot.as[(String, Long, Long)].collect().toSet === expected)
+    // redelivery of an already-committed batch id is a no-op even in
+    // the recovered process: attach-level dedup reads the commit record
+    assert(t2.table.snapshot.count() == t.table.snapshot.count())
+    val recomputed = t2.table.snapshot.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(t2.aggSnapshot.as[(String, Long, Long)].collect().toSet === recomputed)
+  }
+}
