@@ -43,6 +43,69 @@ object ProductQuant {
     (0 until m).map(s => seeds.toSeq.map(_.slice(s * sub, (s + 1) * sub)))
   }
 
+  /** Lloyd-refined codebooks: `iters` fixed k-means steps over the
+    * first-k seeds (r7's q106 measured first-k recall at 0/5 for 4 of
+    * 20 queries — seeding alone is not production recall). Each step
+    * re-assigns every subvector to its nearest codeword (same argmin +
+    * tie-break as [[encode]]) and recenters each codeword on its
+    * members' mean. Determinism under Spark's partition-order-dependent
+    * float summation comes from the same fixed-point trick the integer
+    * PageRank/EWMA paths use: per-dimension sums are EXACT integer sums
+    * of `floor(v·10⁶ + 0.5)`-quantized values (associative, order-free),
+    * and the centroid is `Σq / (n·10⁶)` — one double division both
+    * engines land identically, so the refined books inline as identical
+    * literals and the whole pipeline stays engine-replayable. Empty
+    * clusters keep their previous codeword. Per iteration: one
+    * scan-side assignment + one (s, code, dim) aggregation whose output
+    * is m·k·subdim rows — KBs collected, the [[trainCodebooks]]
+    * pattern; cache the corpus upstream if iterating at scale. */
+  def trainCodebooksLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): Seq[Seq[Array[Double]]] = {
+    var books = trainCodebooks(corpus, idCol, vecCol, m, k)
+    if (iters <= 0) return books
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val sub = books.head.head.length
+    val base = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .select((0 until m).map(s =>
+        slice(col("__v"), s * sub + 1, sub).as(s"__s$s")): _*)
+    (1 to iters).foreach { _ =>
+      val scored = base.select((0 until m).flatMap(s => Seq(
+        col(s"__s$s"),
+        scoreArray(col(s"__s$s"), books(s)).as(s"__sc$s"))): _*)
+      val assigned = scored.select((0 until m).map(s => struct(
+        (array_position(col(s"__sc$s"), array_min(col(s"__sc$s"))) - 1)
+          .cast("int").as("code"),
+        col(s"__s$s").as("sv")).as(s"__a$s")): _*)
+      val sums = assigned
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), col(s"__a$s").getField("code").as("code"),
+            col(s"__a$s").getField("sv").as("sv"))): _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"),
+          posexplode(col("e.sv")).as(Seq("dim", "val")))
+        .groupBy(col("s"), col("code"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("val") * lit(1e6) + lit(0.5)).cast("long")).as("sq"))
+        .collect()
+      val byCluster = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = (0 until m).map { s =>
+        (0 until k).map { code =>
+          byCluster.get((s, code)) match {
+            case Some(rows) =>
+              val arr = new Array[Double](sub)
+              rows.foreach { r =>
+                arr(r.getInt(2)) =
+                  r.getLong(4).toDouble / (r.getLong(3).toDouble * 1e6)
+              }
+              arr
+            case None => books(s)(code)
+          }
+        }
+      }
+    }
+    books
+  }
+
   private def litArray(a: Array[Double]): Column =
     array(a.toSeq.map(lit): _*)
 
@@ -99,9 +162,9 @@ object ProductQuant {
     * hash-replay exactly. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, k: Int, topK: Int,
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id", lloydIters: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val books = trainCodebooks(corpus, idCol, vecCol, m, k)
+    val books = trainCodebooksLloyd(corpus, idCol, vecCol, m, k, lloydIters)
     val sub = books.head.head.length
     val coded = encode(corpus, idCol, vecCol, books)
     val q = broadcast(queries

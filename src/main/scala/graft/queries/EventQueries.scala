@@ -504,7 +504,21 @@ object EventQueries {
        |    (acc, x) -> (2*x + 8*acc) // 10) AS ewma_cents
        |FROM e GROUP BY 1""".stripMargin
 
+  /** q121's EWMA through the CHUNKED fold ([[graft.operators
+    * .ChunkedFold.ewmaChunked]], 32-event segments): same recurrence,
+    * same oracle, but no row ever holds a full series — the variant a
+    * 100M-event hot entity needs. Running both against one oracle is
+    * the cross-shape pin that the segment composition is exact. */
+  def userEwmaChunked(s: SparkSession, d: String): DataFrame =
+    graft.operators.ChunkedFold.ewmaChunked(
+      Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), cents(col("value")).as("c")),
+      "user_id", Seq(col("ts"), col("event_id")), col("c"),
+      num = 2, den = 10, chunkSize = 32)
+      .withColumnRenamed("ewma", "ewma_cents")
+
   def all: Seq[Q] = Seq(
+    Q("q124_user_ewma_chunked", userEwmaChunked, Some(userEwmaSql)),
     Q("q25_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Q("q108_mad_anomalies", madAnomalies, Some(madAnomaliesSql)),
     Q("q118_event_transitions", eventTransitions, Some(eventTransitionsSql)),

@@ -61,6 +61,38 @@ class ProductQuantSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("trainCodebooksLloyd: deterministic across partitionings, bit-equal") {
+    // the determinism claim is exactly "partition order can't change the
+    // books": integer per-dim sums are order-free, so 1 partition vs 5
+    // partitions vs reversed input must land bit-identical doubles
+    def books(df: org.apache.spark.sql.DataFrame) =
+      ProductQuant.trainCodebooksLloyd(df, "vec_id", "embedding",
+        m = 2, k = 4, iters = 3)
+    val a = books(vecs.repartition(1))
+    val b = books(vecs.repartition(5))
+    val c = books(vecs.orderBy($"vec_id".desc).repartition(3))
+    assert(a.map(_.map(_.toSeq)) == b.map(_.map(_.toSeq)))
+    assert(a.map(_.map(_.toSeq)) == c.map(_.map(_.toSeq)))
+  }
+
+  test("trainCodebooksLloyd: recenters occupied cells, keeps empty ones") {
+    val seeds = ProductQuant.trainCodebooks(vecs, "vec_id", "embedding",
+      m = 2, k = 4)
+    val refined = ProductQuant.trainCodebooksLloyd(vecs, "vec_id",
+      "embedding", m = 2, k = 4, iters = 1)
+    // vecs 1 and 5 both assign to (s=0, code=0): its centroid moves to
+    // their mean ((1.0 + 0.98)/2 per dim, through the 1e6 fixed point)
+    assert(refined(0)(0).toSeq == Seq.fill(4)(0.99))
+    // iters=0 is the identity
+    val zero = ProductQuant.trainCodebooksLloyd(vecs, "vec_id",
+      "embedding", m = 2, k = 4, iters = 0)
+    assert(zero.map(_.map(_.toSeq)) == seeds.map(_.map(_.toSeq)))
+    // every refined codeword is finite and shaped (empty cells keep
+    // their seed value rather than collapsing to NaN/zero)
+    assert(refined.forall(_.forall(cw =>
+      cw.length == 4 && cw.forall(d => !d.isNaN && !d.isInfinite))))
+  }
+
   test("dim not divisible by m is refused loudly") {
     val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
