@@ -490,20 +490,29 @@ object ProfileScratch {
             j => concat(lit("w"),
               pmod(col("id") * 31L + j * 7L, lit(100000L))))).as("text"))
         val terms = Seq("w123", "w456", "w789")
+        def dirBytesOf(path: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(spark.sessionState.newHadoopConf())
+            .getContentSummary(p).getLength
+        }
         Seq(n / 10, n).foreach { sz =>
-          val dir = java.nio.file.Files
-            .createTempDirectory(s"invscale_$sz").toString
-          t(s"build index over $sz docs (64 buckets)") {
-            operators.InvertedIndex.build(docsOf(sz), "doc_id", "text",
-              nBuckets = 64, dir)
+          Seq(true, false).foreach { positional =>
+            val mode = if (positional) "positional" else "lean"
+            val dir = java.nio.file.Files
+              .createTempDirectory(s"invscale_$sz").toString
+            t(s"build $mode index over $sz docs (64 buckets)") {
+              operators.InvertedIndex.build(docsOf(sz), "doc_id", "text",
+                nBuckets = 64, dir, positions = positional)
+            }
+            println(f"  -> $mode index: ${dirBytesOf(dir)}%,d bytes")
+            val idx = operators.InvertedIndex.load(spark, dir)
+            val rows = t(s"search 3 terms @$sz ($mode)") {
+              operators.InvertedIndex.search(idx, terms, k = 20).count()
+            }
+            println(s"  -> $rows hits @$sz")
+            operators.Lifecycle.deleteRecursively(
+              java.nio.file.Paths.get(dir))
           }
-          val idx = operators.InvertedIndex.load(spark, dir)
-          val rows = t(s"search 3 terms @$sz") {
-            operators.InvertedIndex.search(idx, terms, k = 20).count()
-          }
-          println(s"  -> $rows hits @$sz")
-          operators.Lifecycle.deleteRecursively(
-            java.nio.file.Paths.get(dir))
         }
         t(s"no-index baseline: bm25TopK full scan @$n") {
           operators.Retrieval.bm25TopK(docsOf(n), "doc_id", "text",

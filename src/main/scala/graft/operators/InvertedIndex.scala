@@ -47,51 +47,64 @@ object InvertedIndex {
   def bucketOfLocal(term: String, nBuckets: Int): Int =
     java.lang.Math.floorMod(portableHashLocal(term), nBuckets.toLong).toInt
 
-  /** Postings relation of one batch: (term, doc_id, tf, positions,
+  /** Postings relation of one batch: (term, doc_id, tf[, positions],
     * bucket) — positions are the 0-based token offsets, sorted, which
     * makes the index PHRASE-capable (see [[phraseSearch]]) at the cost
-    * of one int per token occurrence. */
+    * of one int per token occurrence; `positional = false` skips them
+    * for BM25/lookup-only indexes (r7 measured the position arrays at
+    * ~2× search wall on sf1.0 — pay for phrase capability only when a
+    * caller needs it). */
   private def postingsOf(batch: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame =
-    batch
+      nBuckets: Int, positional: Boolean): DataFrame = {
+    val grouped = batch
       .select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.whitespaceTokens(lower(trim(col(textCol))))))
       .toDF("doc_id", "pos", "term")
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
-      .withColumn("bucket",
-        pmod(Dedup.stringHash(col("term"), portable = true),
-          lit(nBuckets.toLong)).cast("int"))
+    val agged =
+      if (positional)
+        grouped.agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+      else grouped.agg(count(lit(1)).as("tf"))
+    agged.withColumn("bucket",
+      pmod(Dedup.stringHash(col("term"), portable = true),
+        lit(nBuckets.toLong)).cast("int"))
+  }
 
   private def writeIncrement(batch: DataFrame, idCol: String,
-      textCol: String, nBuckets: Int, path: String, batchId: Long): Unit =
-    postingsOf(batch, idCol, textCol, nBuckets)
+      textCol: String, nBuckets: Int, positional: Boolean, path: String,
+      batchId: Long): Unit =
+    postingsOf(batch, idCol, textCol, nBuckets, positional)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/ingest_batch=$batchId")
 
   /** Build the index from scratch (deletes any previous tree first —
-    * stale increments of an older index must not survive). */
+    * stale increments of an older index must not survive).
+    * `positions = false` builds the lean lookup/BM25-only variant;
+    * the flag is recorded in meta so appends stay schema-consistent
+    * and [[phraseSearch]] can refuse loudly. */
   def build(corpus: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int, path: String): Unit = {
+      nBuckets: Int, path: String, positions: Boolean = true): Unit = {
     require(nBuckets >= 1, s"nBuckets $nBuckets")
     val spark = corpus.sparkSession
     val root = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root)) fs.delete(root, true)
-    writeIncrement(corpus, idCol, textCol, nBuckets, path, batchId = 0L)
+    writeIncrement(corpus, idCol, textCol, nBuckets, positions, path,
+      batchId = 0L)
     import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
+    Seq((nBuckets, positions)).toDF("n_buckets", "positional")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Append an increment of NEW documents without rebuilding. */
+  /** Append an increment of NEW documents without rebuilding; the
+    * increment inherits the index's recorded positional mode. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String, batchId: Option[Long] = None): Long = {
-    val meta = loadMeta(spark, path)
+    val (nBuckets, positional) = loadMeta(spark, path)
     val id = batchId.getOrElse(nextBatchId(spark, path))
-    writeIncrement(batch, idCol, textCol, meta, path, id)
+    writeIncrement(batch, idCol, textCol, nBuckets, positional, path, id)
     id
   }
 
@@ -111,13 +124,19 @@ object InvertedIndex {
       }.maxOption.map(_ + 1).getOrElse(0L)
   }
 
-  private def loadMeta(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").head().getInt(0)
+  private def loadMeta(spark: SparkSession, path: String): (Int, Boolean) = {
+    val row = spark.read.parquet(s"$path/meta")
+      .select(col("n_buckets"), col("positional")).head()
+    (row.getInt(0), row.getBoolean(1))
+  }
 
-  final case class Index(postings: DataFrame, nBuckets: Int)
+  final case class Index(postings: DataFrame, nBuckets: Int,
+      positional: Boolean)
 
-  def load(spark: SparkSession, path: String): Index =
-    Index(spark.read.parquet(s"$path/postings"), loadMeta(spark, path))
+  def load(spark: SparkSession, path: String): Index = {
+    val (nBuckets, positional) = loadMeta(spark, path)
+    Index(spark.read.parquet(s"$path/postings"), nBuckets, positional)
+  }
 
   /** Multi-term lookup, partition-pruned: rank docs by
     * (matched distinct terms desc, summed tf desc, doc_id) and keep
@@ -133,6 +152,8 @@ object InvertedIndex {
     * intersections, no re-tokenization of any document. Output:
     * (doc_id, n_occurrences) top-k. */
   def phraseSearch(index: Index, phrase: Seq[String], k: Int): DataFrame = {
+    require(index.positional,
+      "phraseSearch needs a positional index — build(positions = true)")
     require(phrase.size >= 2, "phraseSearch: need >= 2 terms")
     val terms = phrase.map(_.toLowerCase)
     val buckets = terms.map(bucketOfLocal(_, index.nBuckets)).distinct

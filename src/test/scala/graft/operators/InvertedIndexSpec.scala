@@ -86,6 +86,32 @@ class InvertedIndexSpec extends SparkSpec {
     assert(xyz === Set((1L, 1)))
   }
 
+  test("non-positional build: lean schema, search identical, phrase refused") {
+    val dirP = java.nio.file.Files.createTempDirectory("inv6p").toString
+    val dirN = java.nio.file.Files.createTempDirectory("inv6n").toString
+    val c = corpus(1L -> "x y z x y", 2L -> "x z y", 3L -> "y x")
+    InvertedIndex.build(c, "id", "text", nBuckets = 4, dirP)
+    InvertedIndex.build(c, "id", "text", nBuckets = 4, dirN,
+      positions = false)
+    val p = InvertedIndex.load(spark, dirP)
+    val n = InvertedIndex.load(spark, dirN)
+    assert(p.positional && !n.positional)
+    assert(!n.postings.columns.contains("positions"))
+    // ranked lookup is mode-independent
+    def hits(i: InvertedIndex.Index) =
+      InvertedIndex.search(i, Seq("x", "y"), k = 10)
+        .as[(Long, Long, Long)].collect().toSeq
+    assert(hits(p) === hits(n))
+    // appends inherit the recorded mode
+    InvertedIndex.append(spark, dirN, corpus(9L -> "x q"), "id", "text")
+    assert(!InvertedIndex.load(spark, dirN).postings.columns
+      .contains("positions"))
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.phraseSearch(n, Seq("x", "y"), k = 10)
+    }
+    assert(e.getMessage.contains("positional"))
+  }
+
   test("search scan prunes non-probed bucket partitions") {
     val dir = java.nio.file.Files.createTempDirectory("inv4").toString
     val big = (1L to 200L).map(i => (i, s"term$i common")).toDF("id", "text")
