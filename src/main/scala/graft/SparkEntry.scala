@@ -18,7 +18,7 @@ object SparkEntry {
       SimilarityQueries.all ++ EventQueries.all ++
       MultimodalQueries.all ++ ScaleQueries.all ++ SketchQueries.all ++
       SemanticsQueries.all ++ DataMixQueries.all ++ CurationQueries.all ++
-      UpsertQueries.all ++ ValidationQueries.all
+      UpsertQueries.all ++ ValidationQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -43,6 +43,16 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/medoids")
   }
 
+  /** [[build]] without a label column: coarse clusters come from
+    * [[Similarity.kmeansAssign]] (deterministic Lloyd over the corpus
+    * itself), completing the unsupervised IVF lifecycle —
+    * train → assign → partition-by-cluster → medoid routing. Appends
+    * route new vectors through the persisted medoids as before. */
+  def buildUnsupervised(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, path: String): Unit =
+    build(Similarity.kmeansAssign(corpus, idCol, vecCol, k, iters),
+      idCol, vecCol, "cluster", path)
+
   private def writeIncrement(batch: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, path: String,
       batchId: Long): Unit =

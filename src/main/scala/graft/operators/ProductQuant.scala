@@ -126,7 +126,7 @@ object ProductQuant {
     * would embed its accumulator twice per step and blow the
     * expression tree up to 2^k nodes (measured: analysis alone spun
     * for minutes at k=16). */
-  private def scoreArray(sv: Column, cws: Seq[Array[Double]]): Column =
+  private[operators] def scoreArray(sv: Column, cws: Seq[Array[Double]]): Column =
     array(cws.map(cw =>
       lit(norm2(cw)) - lit(2.0) * Similarity.dot(sv, litArray(cw))): _*)
 

@@ -347,4 +347,27 @@ object Similarity {
       .select(col("id_b").as(idCol)).distinct()
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Unsupervised coarse quantization: assign every vector to one of k
+    * Lloyd-trained centroids — the missing front half of the IVF
+    * lifecycle when no label column exists. Training is
+    * [[ProductQuant.trainCodebooksLloyd]] with a SINGLE full-dimension
+    * subspace (m = 1), so it inherits the fixed-point determinism
+    * (partition-order-free integer sums, engine-replayable centroids)
+    * and the encode step's first-minimum tie-break. The assignment is
+    * a pure scan-side projection against k literal centroids — zero
+    * shuffles on the corpus. Output: corpus columns + `cluster`. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val books = ProductQuant.trainCodebooksLloyd(
+      corpus, idCol, vecCol, m = 1, k = k, iters = iters)
+    corpus
+      .withColumn("__sc", ProductQuant.scoreArray(
+        col(vecCol).cast("array<double>"), books.head))
+      .withColumn("cluster",
+        (array_position(col("__sc"), array_min(col("__sc"))) - 1)
+          .cast("int"))
+      .drop("__sc")
+  }
 }

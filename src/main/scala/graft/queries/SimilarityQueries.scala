@@ -287,8 +287,9 @@ object SimilarityQueries {
     * once in double, the same order-free fixed-point recurrence the
     * Spark trainer uses, so cb{i} is bit-identical in both engines.
     * Codewords with no members keep their cb{i-1} value. */
-  private def lloydIterSql(i: Int): String = {
+  private def lloydIterSql(i: Int, dims: Int = 16): String = {
     val p = i - 1
+    val dimList = (1 to dims).mkString("[", ",", "]")
     s"""ld$i AS (SELECT vec_id, sv.s AS s, sv.sv AS sv, cb$p.code AS code,
       |    list_dot_product(cw,cw) - 2*list_dot_product(sv.sv,cw) AS score
       |  FROM sv JOIN cb$p ON cb$p.s = sv.s),
@@ -297,8 +298,7 @@ object SimilarityQueries {
       |      ORDER BY score, code) AS r FROM ld$i) WHERE r = 1),
       |lsum$i AS (SELECT s, code, dim, count(*) AS n,
       |    sum(CAST(floor(sv[dim]*1000000 + 0.5) AS BIGINT)) AS sq
-      |  FROM lenc$i,
-      |    unnest([1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16]) t(dim)
+      |  FROM lenc$i, unnest($dimList) t(dim)
       |  GROUP BY 1, 2, 3),
       |lcent$i AS (SELECT s, code, list(sq / (n*1000000.0) ORDER BY dim) AS cw
       |  FROM lsum$i GROUP BY 1, 2),
@@ -313,7 +313,7 @@ object SimilarityQueries {
   private def pqSqlFor(maxQuery: Int, iters: Int): String = {
     val lloyd =
       if (iters == 0) ""
-      else (1 to iters).map(lloydIterSql).mkString("", ",\n", ",\n")
+      else (1 to iters).map(lloydIterSql(_)).mkString("", ",\n", ",\n")
     val cbN = s"cb$iters"
     s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |seeds AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
@@ -419,7 +419,40 @@ object SimilarityQueries {
     s"${hist(0, "first_k")}\nUNION ALL\n${hist(4, "lloyd4")}"
   }
 
+  /** Unsupervised coarse clustering ([[Similarity.kmeansAssign]], k=16,
+    * 2 Lloyd steps over the FULL 64-dim vectors): per-cluster count +
+    * exact id sum. The oracle replays seeding, both fixed-point Lloyd
+    * steps (dims=64 unrolled CTEs), and the final first-minimum
+    * assignment — so the clusters behind [[graft.operators.IvfIndex
+    * .buildUnsupervised]] are engine-pinned, not merely stable. */
+  def kmeansClusters(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 16, iters = 2)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("id_sum"))
+
+  val kmeansClustersSql: String = {
+    val iters = (1 to 2).map(lloydIterSql(_, dims = 64))
+      .mkString("", ",\n", ",\n")
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      |          FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)),
+      |cb0 AS (SELECT 0 AS s, code, v AS cw FROM seeds),
+      |sv AS (SELECT vec_id, 0 AS s, v AS sv FROM c),
+      |$iters
+      |d AS (SELECT vec_id, code,
+      |        list_dot_product(cw,cw) - 2*list_dot_product(sv,cw) AS score
+      |      FROM sv JOIN cb2 ON cb2.s = sv.s),
+      |enc AS (SELECT vec_id, code FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY vec_id
+      |            ORDER BY score, code) AS r FROM d) WHERE r = 1)
+      |SELECT code::INTEGER AS cluster, count(*) AS n_vectors,
+      |  sum(vec_id)::BIGINT AS id_sum
+      |FROM enc GROUP BY 1""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q127_kmeans_clusters", kmeansClusters, Some(kmeansClustersSql)),
     Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
     Q("q87_quantized_ann", knnQuantized, Some(knnQuantizedSql)),
     Q("q88_quantization_recall", quantizationRecall, Some(quantizationRecallSql)),

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming operators under the DuckDB oracle gate via deterministic
+  * replay (the q114 pattern, applied to a live Structured Streaming
+  * query): a file-backed batch timeline drives the real `readStream`
+  * path, every micro-batch's full state is snapshotted to disk, and
+  * the oracle recomputes each step's state relationally from the same
+  * partitioning of the input. This closes the "streaming is spec-only"
+  * gap: batch/stream parity lives in EventStreamsSpec, but the
+  * hash-level oracle check here is engine-independent.
+  */
+object StreamingQueries {
+
+  /** q125: [[EventStreams.valueHistograms]] — the mergeable log2
+    * quantile sketch — maintained by a REAL streaming query over a
+    * 3-step file timeline. Step i's events (event_id mod 3 = i) land
+    * as one JSON file; `processAllAvailable` drains exactly that file
+    * into the running complete-mode aggregation; `foreachBatch` writes
+    * the post-batch state under the step's snapshot directory. The
+    * result unions all three snapshots labeled by step, so the oracle
+    * must replay the TIMELINE (histogram over every prefix of the
+    * arrival order), not just the final state. State is ≤65 bins ×
+    * event types — KBs — and only ever accumulates, which is what
+    * makes the running aggregation itself the sketch. */
+  def streamingHistogram(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val dir = tempWorkDir("graft_q125_")
+    val srcDir = s"$dir/in"
+    def arrive(step: Int): Unit =
+      events.filter(pmod(col("event_id"), lit(3)) === step)
+        .coalesce(1).write.mode("append").json(srcDir)
+    // step 0 is on disk before the stream starts; 1 and 2 arrive one
+    // at a time with a full drain between — a deterministic timeline
+    arrive(0)
+    val step = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = EventStreams.valueHistograms(
+        EventStreams.readJsonStream(s, srcDir))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (state: Dataset[Row], _: Long) =>
+        if (!state.isEmpty) {
+          val g = step.getAndIncrement()
+          state.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/snap/step=$g")
+        }
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      (1 to 2).foreach { i => arrive(i); query.processAllAvailable() }
+    } finally query.stop()
+    require(step.get() == 3, s"expected 3 snapshots, got ${step.get()}")
+    (0 until 3).map(g => s.read.parquet(s"$dir/snap/step=$g")
+        .withColumn("step", lit(g)))
+      .reduce(_ unionByName _)
+      .select(col("step"), col("event_type"), col("bin"), col("cnt"))
+  }
+
+  val streamingHistogramSql: String =
+    """WITH e AS (
+      |  SELECT event_id % 3 AS part, event_type,
+      |    CAST(round(value*100,0) AS BIGINT) AS c
+      |  FROM events),
+      |b AS (
+      |  SELECT part, event_type,
+      |    (CASE WHEN c > 0 THEN length(bin(c)) ELSE 0 END)::INTEGER AS bin
+      |  FROM e)
+      |SELECT step, event_type, bin, count(*) AS cnt
+      |FROM unnest([0,1,2]) t(step) JOIN b ON b.part <= step
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q126: [[EventStreams.sessionWindows]] — NATIVE session windows
+    * (30-min gap) — under the same replay gate, with a timeline that
+    * exercises session GROWTH: events arrive in two time-ordered
+    * halves (split at the midpoint of the event-time range, an
+    * integer-exact boundary both engines derive identically), so
+    * step-0 sessions that continue into the second half must extend /
+    * merge in the step-1 state. Snapshots are complete-mode state
+    * after each drain. The oracle replays both prefixes with
+    * gaps-and-islands sessionization; the gap rule is `>= 30 min ⇒
+    * new session` — session_window merges strictly-overlapping
+    * [ts, ts+gap) windows, so an exactly-30-min gap SPLITS (q26's
+    * lag-SQL uses `>`, the other convention; this pin is what makes
+    * the boundary semantics a contract instead of a surprise). */
+  def streamingSessions(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val half = events
+      .agg((min(unix_micros(col("ts"))) +
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 2)
+          .cast("long")).as("h"))
+      .head().getLong(0)
+    val dir = tempWorkDir("graft_q126_")
+    val srcDir = s"$dir/in"
+    // default JSON write truncates timestamps to milliseconds; session
+    // starts are µs-compared against the parquet oracle, so serialize
+    // all 6 fraction digits (the default stream-side parser accepts
+    // variable-length fractions)
+    def arrive(cond: org.apache.spark.sql.Column): Unit =
+      events.filter(cond)
+        .coalesce(1).write.mode("append")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(srcDir)
+    arrive(unix_micros(col("ts")) <= half)
+    val step = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = EventStreams.sessionWindows(
+        EventStreams.readJsonStream(s, srcDir))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (state: Dataset[Row], _: Long) =>
+        if (!state.isEmpty) {
+          val g = step.getAndIncrement()
+          state.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/snap/step=$g")
+        }
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      arrive(unix_micros(col("ts")) > half)
+      query.processAllAvailable()
+    } finally query.stop()
+    require(step.get() == 2, s"expected 2 snapshots, got ${step.get()}")
+    (0 until 2).map(g => s.read.parquet(s"$dir/snap/step=$g")
+        .withColumn("step", lit(g)))
+      .reduce(_ unionByName _)
+      .select(col("step"), col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        col("n_events"), col("value_cents"))
+  }
+
+  val streamingSessionsSql: String =
+    s"""WITH bounds AS (
+      |  SELECT min(epoch_us(ts)) +
+      |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS half
+      |  FROM events),
+      |steps AS (SELECT * FROM unnest([0,1]) t(step)),
+      |pre AS (
+      |  SELECT step, user_id, epoch_us(ts) AS us, event_id, value
+      |  FROM steps, events, bounds
+      |  WHERE step = 1 OR epoch_us(ts) <= half),
+      |flagged AS (
+      |  SELECT step, user_id, us, event_id, value,
+      |    CASE WHEN us - lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM pre
+      |  WINDOW w AS (PARTITION BY step, user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT step, user_id, us, value,
+      |    (sum(new_session) OVER (PARTITION BY step, user_id
+      |      ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+      |  FROM flagged)
+      |SELECT step, user_id, min(us) AS start_us,
+      |  count(*) AS n_events,
+      |  (sum(${sqlCents("value")}))::BIGINT AS value_cents
+      |FROM sess GROUP BY 1, 2, session_idx""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q125_streaming_histogram", streamingHistogram,
+      Some(streamingHistogramSql)),
+    Q("q126_streaming_sessions", streamingSessions,
+      Some(streamingSessionsSql)))
+}

@@ -165,4 +165,30 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r._2 -> r._4).toMap
     assert(self2(1L) == -127L * 127L)
   }
+
+  test("kmeansAssign: near-dups share a cluster, separated groups split") {
+    val assigned = Similarity.kmeansAssign(vecs, "vec_id", "embedding",
+        k = 3, iters = 2)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(assigned.values.forall(c => c >= 0 && c < 3))
+    assert(assigned(1L) == assigned(2L)) // 0.9/0.1 neighbor of seed 1
+    assert(assigned(1L) != assigned(3L)) // orthogonal axes split
+    // deterministic under repartitioning (inherits the Lloyd pin)
+    val again = Similarity.kmeansAssign(vecs.repartition(4), "vec_id",
+        "embedding", k = 3, iters = 2)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(again == assigned)
+  }
+
+  test("buildUnsupervised: IVF lifecycle works without a label column") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_unsup").toString
+    IvfIndex.buildUnsupervised(vecs.drop("label"), "vec_id", "embedding",
+      k = 3, iters = 2, dir)
+    val idx = IvfIndex.load(spark, dir, "vec_id", "embedding", "cluster")
+    val top = IvfIndex.topK(idx, vecs.filter($"vec_id" === 1L),
+      k = 2, nprobe = 1)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    // vec 2 is in vec 1's own cluster and nearest
+    assert(top.head._2 == 2L)
+  }
 }

@@ -5,7 +5,7 @@ on the same sf-dir tables; compare schema / row count / sorted values.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -17,7 +17,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -27,8 +27,11 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
+    if only:
+        names = [n for n in names if n in only]
     n_pass = n_fail = 0
     for name in names:
+        t0 = time.time()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -58,7 +61,7 @@ def main(sf_dir, out_dir):
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                           check_exact=True)
-            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+            print(f"PASS {name} ({len(g)} rows, {time.time()-t0:.1f}s oracle)"); n_pass += 1
         except AssertionError as ex:
             print(f"FAIL {name}: value mismatch\n{str(ex)[:500]}")
             n_fail += 1
@@ -66,4 +69,6 @@ def main(sf_dir, out_dir):
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    # optional 3rd arg: comma-separated query-name subset
+    main(sys.argv[1], sys.argv[2],
+         set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None)
