@@ -67,17 +67,33 @@ object InvertedIndex {
         grouped.agg(count(lit(1)).as("tf"),
           sort_array(collect_list(col("pos"))).as("positions"))
       else grouped.agg(count(lit(1)).as("tf"))
-    agged.withColumn("bucket",
-      pmod(Dedup.stringHash(col("term"), portable = true),
-        lit(nBuckets.toLong)).cast("int"))
+    agged
+      // denormalized doc length (Σtf over the doc's terms): the search-
+      // engine norm-in-posting layout, so BM25 scoring off the index
+      // ([[bm25Search]]) needs no doclens join at query time — one
+      // window at build time buys a join-free pruned scan per query
+      .withColumn("len_d", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("bucket",
+        pmod(Dedup.stringHash(col("term"), portable = true),
+          lit(nBuckets.toLong)).cast("int"))
   }
 
   private def writeIncrement(batch: DataFrame, idCol: String,
       textCol: String, nBuckets: Int, positional: Boolean, path: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
     postingsOf(batch, idCol, textCol, nBuckets, positional)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/ingest_batch=$batchId")
+    // per-batch corpus stats (docs with ≥1 token, total tokens) read
+    // back from the 2 written columns — KBs, summed across batches at
+    // query time; same overwrite idempotency as the postings
+    spark.read.parquet(s"$path/postings/ingest_batch=$batchId")
+      .groupBy(col("doc_id")).agg(max(col("len_d")).as("len_d"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len_d")).as("tot_len"))
+      .write.mode("overwrite").parquet(s"$path/stats/ingest_batch=$batchId")
+  }
 
   /** Build the index from scratch (deletes any previous tree first —
     * stale increments of an older index must not survive).
@@ -131,11 +147,12 @@ object InvertedIndex {
   }
 
   final case class Index(postings: DataFrame, nBuckets: Int,
-      positional: Boolean)
+      positional: Boolean, stats: DataFrame)
 
   def load(spark: SparkSession, path: String): Index = {
     val (nBuckets, positional) = loadMeta(spark, path)
-    Index(spark.read.parquet(s"$path/postings"), nBuckets, positional)
+    Index(spark.read.parquet(s"$path/postings"), nBuckets, positional,
+      spark.read.parquet(s"$path/stats"))
   }
 
   /** Multi-term lookup, partition-pruned: rank docs by
@@ -173,6 +190,41 @@ object InvertedIndex {
       .filter(col("n_occurrences") > 0)
       .select(col("doc_id"), col("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Fixed-point BM25 ([[Retrieval]]'s exact integer formula) scored
+    * entirely off the index: tf and the denormalized len_d come from
+    * the bucket-pruned postings scan, per-term df is a tiny aggregate
+    * over the same pruned rows, and (N, totLen) is the sum of the
+    * per-batch stats files — so a q-term query reads ~q/n_buckets of
+    * the postings and NOTHING else, versus [[Retrieval.bm25TopK]]'s
+    * full corpus re-tokenization. Identical output contract to
+    * bm25TopK: (doc_id, n_terms, score), same ranking, same scores
+    * (spec-pinned and oracle-gated by the same SQL). */
+  def bm25Search(index: Index, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25Search: empty term list")
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    val buckets = distinctTerms.map(bucketOfLocal(_, index.nBuckets)).distinct
+    val posted = index.postings
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(distinctTerms: _*))
+    val stats = index.stats
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_len")).as("tot_len"))
+    val dfT = posted.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    posted
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf6",
+        expr("((2*(n_docs - df) + 1) * 1000000) div (2*df + 1)"))
+      .withColumn("kd6",
+        expr("(12 * (250000 + (750000 * len_d * n_docs) div tot_len)) div 10"))
+      .withColumn("contrib",
+        expr("(((tf * 2200000 * 1000000) div (tf * 1000000 + kd6)) * idf6) div 1000000"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
 

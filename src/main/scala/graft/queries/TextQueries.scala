@@ -192,6 +192,20 @@ object TextQueries {
     graft.operators.Retrieval.bm25TopKSql(
       "documents", "doc_id", "text", bm25Terms, k = 20)
 
+  /** q90's exact BM25 ranking THROUGH the persisted inverted index
+    * (lean non-positional build): tf/len_d come from the bucket-pruned
+    * postings, (N, totLen) from the per-batch stats files — no corpus
+    * re-tokenization at query time. Same oracle as q90: the two paths
+    * must produce identical scores, which pins the denormalized
+    * len_d/stats layout against the from-scratch computation. */
+  def bm25Indexed(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.InvertedIndex
+    val path = tempWorkDir("graft_q128_")
+    InvertedIndex.build(Tables.documents(s, d), "doc_id", "text",
+      nBuckets = 16, path, positions = false)
+    InvertedIndex.bm25Search(InvertedIndex.load(s, path), bm25Terms, k = 20)
+  }
+
   /** Exact heavy hitters (tokens covering ≥1% of the corpus token
     * stream) through the Misra-Gries candidate pass + exact-confirm
     * second pass ([[graft.operators.Frequency]]) — identical output to
@@ -403,6 +417,7 @@ object TextQueries {
     Q("q51_token_explode", tokenExplode, Some(tokenExplodeSql)),
     Q("q64_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     Q("q90_bm25_search", bm25Search, Some(bm25SearchSql)),
+    Q("q128_bm25_indexed", bm25Indexed, Some(bm25SearchSql)),
     Q("q91_heavy_tokens", heavyTokens, Some(heavyTokensSql)),
     Q("q95_bpe_merge_pairs", bpeMergeCandidates, Some(bpeMergeCandidatesSql)))
 }

@@ -112,6 +112,34 @@ class InvertedIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("positional"))
   }
 
+  test("bm25Search off the index ≡ Retrieval.bm25TopK from scratch") {
+    val dir = java.nio.file.Files.createTempDirectory("inv7").toString
+    val docs = (1L to 60L).map(i =>
+      (i, s"alpha ${"beta " * (i % 5).toInt}gamma w$i doc"))
+      .toDF("doc_id", "text")
+    InvertedIndex.build(docs, "doc_id", "text", nBuckets = 8, dir,
+      positions = false)
+    val viaIndex = InvertedIndex.bm25Search(
+        InvertedIndex.load(spark, dir), Seq("beta", "w7"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val scratch = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("beta", "w7"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaIndex === scratch)
+    // incremental: append must fold the new docs into df/stats too
+    InvertedIndex.append(spark, dir,
+      corpus(1000L -> "beta beta beta"), "id", "text")
+    val after = InvertedIndex.bm25Search(
+        InvertedIndex.load(spark, dir), Seq("beta", "w7"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val scratchAfter = Retrieval.bm25TopK(
+        docs.unionByName(corpus(1000L -> "beta beta beta")
+          .toDF("doc_id", "text")),
+        "doc_id", "text", Seq("beta", "w7"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(after === scratchAfter)
+  }
+
   test("search scan prunes non-probed bucket partitions") {
     val dir = java.nio.file.Files.createTempDirectory("inv4").toString
     val big = (1L to 200L).map(i => (i, s"term$i common")).toDF("id", "text")
