@@ -107,17 +107,25 @@ object DataMix {
   /** Sequential token-budget packing (the standard LLM-prep layout:
     * concatenate documents in a deterministic order, cut a new pack
     * whenever the running total crosses the budget — a document is
-    * assigned to the pack where it STARTS). One window pass per shard;
-    * at scale, shard first (e.g. by hash) so each pack sequence is an
-    * independent partition. */
+    * assigned to the pack where it STARTS). With a shard column: one
+    * window pass per shard, each an independent parallel sequence.
+    * Without one, the GLOBAL pack sequence runs through
+    * [[PrefixSum.globalCumsum]]'s two-phase scan — the unsharded path
+    * used to plan as a single-task global window, which is exactly the
+    * shape that dies first at 100 TB. Same pack ids either way
+    * (exact long cumsums are partitioning-independent). */
   def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long, shardCol: Option[String] = None): DataFrame = {
-    val part = shardCol.map(c => Window.partitionBy(col(c)))
-      .getOrElse(Window.partitionBy())
-    val w = part.orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cumsum", sum(col(tokenCol)).over(w))
-      .withColumn("pack_id",
+    val cum = shardCol match {
+      case Some(c) =>
+        val w = Window.partitionBy(col(c)).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("__cumsum", sum(col(tokenCol)).over(w))
+      case None =>
+        PrefixSum.globalCumsum(df, Seq(col(idCol)), col(tokenCol),
+          "__cumsum")
+    }
+    cum.withColumn("pack_id",
         floor((col("__cumsum") - col(tokenCol)) / budget).cast("long"))
       .drop("__cumsum")
   }

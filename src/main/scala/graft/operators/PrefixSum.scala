@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact prefix sums — the scan primitive behind global
+  * cumulative weights, systematic/PPS sampling, and budget packing.
+  *
+  * A global running total is the textbook single-task trap: a window
+  * `ORDER BY` with no `PARTITION BY` plans as ONE task holding the
+  * whole frame. This is the two-phase scan instead: range-partition on
+  * the order key, per-partition partial sums (parallel), collect the
+  * ≤ nParts partials (a bounded routing collect, not a data collect),
+  * broadcast each partition's prefix offset back, and finish with a
+  * per-partition window. Wall-clock scales with partition size, the
+  * driver sees one long per partition, and the VALUES are partitioning-
+  * independent — exact long sums over a total order — which is what
+  * lets the DuckDB oracle (a plain windowed sum) pin the distributed
+  * result bit-for-bit.
+  *
+  * The range-partitioned frame is PINNED (persist) across the two
+  * phases: `repartitionByRange` derives its boundaries by sampling, so
+  * an unpinned recompute between phases could re-draw boundaries and
+  * desynchronize the offsets — the eager entry points materialize the
+  * result and release the pin ([[Lifecycle.materializeThenRelease]],
+  * the bm25TopK contract).
+  */
+object PrefixSum {
+
+  /** `df` + `cumCol` = Σ valCol over all rows at-or-before this one in
+    * `orderCols` order (inclusive). `orderCols` must totally order the
+    * frame (ties would make the prefix ambiguous); valCol must be
+    * integral — exact longs are the portability contract. `nParts`
+    * bounds scan parallelism and driver state (one long each). */
+  def globalCumsum(df: DataFrame, orderCols: Seq[Column], valCol: Column,
+      cumCol: String, nParts: Int = 64): DataFrame = {
+    val (out, pinned) = globalCumsumLazy(df, orderCols, valCol, cumCol, nParts)
+    Lifecycle.materializeThenRelease(out, pinned: _*)
+  }
+
+  private[graft] def globalCumsumLazy(df: DataFrame,
+      orderCols: Seq[Column], valCol: Column, cumCol: String,
+      nParts: Int): (DataFrame, Seq[DataFrame]) = {
+    require(nParts >= 1, s"nParts $nParts")
+    val parted = df
+      .repartitionByRange(nParts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // phase 1: per-range totals (also populates the pin, fixing the
+    // sampled range boundaries); the collect is ≤ nParts longs
+    val partials = parted.groupBy(col("__pid"))
+      .agg(sum(valCol.cast("long")).as("__psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = partials.keys.toSeq.sorted
+    val offsets = pids.zip(
+      pids.scanLeft(0L)((acc, p) => acc + partials(p)).init).toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("__pid") === p, lit(off)).otherwise(acc)
+    }
+    // phase 2: per-partition running sum + the broadcast offset. The
+    // window partitions by __pid, so no task ever sees more than one
+    // range's rows.
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = parted
+      .withColumn(cumCol, offCol + sum(valCol.cast("long")).over(w))
+      .drop("__pid")
+    (out, Seq(parted))
+  }
+
+  /** Systematic probability-proportional-to-size sampling off the
+    * cumulative weight: a row is selected iff its weight interval
+    * `(cum − w, cum]` crosses a multiple of `step` — every `step`
+    * weight units pick exactly one row, so a row's pick rate is ~w/step
+    * with NO randomness at all (determinism comes from the order key,
+    * not a seed; pair with [[DataMix.shuffleShards]] upstream if the
+    * order correlates with content). Integer-exact in both engines. */
+  def systematicSample(df: DataFrame, orderCols: Seq[Column],
+      weightCol: Column, step: Long, nParts: Int = 64): DataFrame = {
+    require(step >= 1, s"step $step")
+    val (cum, pinned) = globalCumsumLazy(df, orderCols, weightCol,
+      "__cw", nParts)
+    // integral `div`, not `/` (double division loses exactness past 2^53)
+    val out = cum
+      .withColumn("__prev", col("__cw") - weightCol.cast("long"))
+      .filter(expr(s"(__cw div ${step}L) > (__prev div ${step}L)"))
+      .drop("__prev")
+      .withColumnRenamed("__cw", "cum_weight")
+    Lifecycle.materializeThenRelease(out, pinned: _*)
+  }
+}

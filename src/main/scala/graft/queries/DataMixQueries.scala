@@ -194,7 +194,33 @@ object DataMixQueries {
        |  count(*) AS n_docs, (sum(doc_id))::BIGINT AS id_sum
        |FROM documents GROUP BY 1, 2""".stripMargin
 
+  /** Systematic PPS sampling via the DISTRIBUTED prefix sum
+    * ([[graft.operators.PrefixSum]]): ~50 docs picked proportionally to
+    * n_chars by crossing multiples of step = Σw div 50 in the global
+    * cumulative weight — no seed, no single-task global window (the
+    * two-phase scan is the scale shape; the oracle's plain windowed
+    * sum pins its values bit-for-bit). */
+  def systematicSampleQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val step = docs.agg(sum(col("n_chars"))).head().getLong(0) / 50L
+    graft.operators.PrefixSum.systematicSample(
+        docs, Seq(col("doc_id")), col("n_chars"), step, nParts = 16)
+      .select(col("doc_id"), col("n_chars"), col("cum_weight"))
+  }
+
+  val systematicSampleSql: String =
+    """WITH w AS (SELECT doc_id, n_chars FROM documents),
+      |tot AS (SELECT (sum(n_chars) // 50)::BIGINT AS step FROM w),
+      |c AS (SELECT doc_id, n_chars,
+      |        (sum(n_chars) OVER (ORDER BY doc_id
+      |           ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_weight
+      |      FROM w)
+      |SELECT doc_id, n_chars, cum_weight
+      |FROM c, tot
+      |WHERE cum_weight // step > (cum_weight - n_chars) // step""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q129_systematic_sample", systematicSampleQ, Some(systematicSampleSql)),
     Q("q45_split_stats", splitStats, Some(splitStatsSql)),
     Q("q46_mixture_stats", mixtureStats, Some(mixtureStatsSql)),
     Q("q47_token_packing", tokenPacking, Some(tokenPackingSql)),
