@@ -306,7 +306,40 @@ object SketchQueries {
        |SELECT est_join_size, exact_join_size FROM est, exact""".stripMargin
   }
 
+  /** Triangle census of the q70 k-NN graph's undirected closure
+    * ([[GraphRank.triangleStats]], degree-ordered compact-forward):
+    * edges, wedges, exact triangle count, and the global clustering
+    * coefficient as an integer ppm — the graph-density health check a
+    * similarity graph gets before anything (components, PageRank,
+    * label propagation) consumes it. The oracle rebuilds the identical
+    * edge relation and counts a<b<c triples directly; the operator's
+    * orientation trick must land on exactly the same number. */
+  def knnTriangles(s: SparkSession, d: String): DataFrame =
+    GraphRank.triangleStats(
+      knnGraph(s, d).select(col("id"), col("neighbor_id")),
+      "id", "neighbor_id")
+
+  val knnTrianglesSql: String =
+    s"""WITH g AS (${knnGraphSql.replace("\n", "\n  ")}),
+       |und AS (SELECT DISTINCT least(id, neighbor_id) AS a,
+       |          greatest(id, neighbor_id) AS b
+       |        FROM g WHERE id <> neighbor_id),
+       |deg AS (SELECT v, count(*) AS deg FROM (
+       |          SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY 1),
+       |tri AS (SELECT count(*)::BIGINT AS n_triangles
+       |        FROM und e1
+       |        JOIN und e2 ON e2.a = e1.b
+       |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |w AS (SELECT (sum(deg*(deg-1)//2))::BIGINT AS n_wedges FROM deg),
+       |ne AS (SELECT count(*)::BIGINT AS n_edges FROM und)
+       |SELECT n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges > 0 THEN (3000000*n_triangles)//n_wedges
+       |       ELSE 0 END AS cc_ppm
+       |FROM ne, w, tri""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q130_knn_triangles", knnTriangles, Some(knnTrianglesSql)),
     Q("q37_kmv_distinct", kmvDistinctUsers, Some(kmvDistinctUsersSql)),
     Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)),
     Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),

@@ -59,4 +59,33 @@ class GraphRankSpec extends SparkSpec {
     assert(base === shuffled)
     assert(base === refRank(edges, 3))
   }
+
+  test("triangleStats: square+diagonal counts exactly; direction/dup/self-loop safe") {
+    // 1-2-3-4-1 plus diagonal 1-3: triangles {1,2,3} and {1,3,4};
+    // degrees 3,2,3,2 → wedges 3+1+3+1 = 8; cc = 3·2/8 = 0.75
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      // reversed duplicates and a self loop must not change anything
+      (2L, 1L), (3L, 1L), (4L, 4L))
+    val r = GraphRank.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((5L, 8L, 2L, 750000L)))
+  }
+
+  test("triangleStats: brute-force parity on a random graph with a hub") {
+    val rnd = new scala.util.Random(11)
+    val edges = (Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      ++ (1L to 20L).map(i => (0L, i)))  // node 0 is a hub
+      .filter { case (s, t) => s != t }.distinct
+    val und = edges.map { case (s, t) => (math.min(s, t), math.max(s, t)) }
+      .distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } yield 1).size.toLong
+    val r = GraphRank.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._3 == brute)
+    assert(r._1 == und.size.toLong)
+  }
 }
