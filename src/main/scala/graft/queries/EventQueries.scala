@@ -517,7 +517,80 @@ object EventQueries {
       num = 2, den = 10, chunkSize = 32)
       .withColumnRenamed("ewma", "ewma_cents")
 
+  /** Sequence mining: top-20 event-type trigrams over per-user streams
+    * (ordered by the (ts, event_id) total order) — the n-gram feature
+    * table behavioral/sequence models train on. Two lags + one keyed
+    * count over ≤|types|³ groups; trigrams never span users. */
+  def eventTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  val eventTrigramsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type AS t3,
+      |    lag(event_type, 2) OVER w AS t1,
+      |    lag(event_type, 1) OVER w AS t2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT t1, t2, t3, count(*) AS n
+      |FROM s WHERE t1 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
+
+  /** Event-time RANGE-frame rolling features: per event, the count and
+    * exact value sum of the SAME USER's events in the trailing 7 days
+    * (inclusive) — the point-in-time feature join done as one window
+    * pass instead of a self-join. The frame is a rangeBetween over
+    * epoch microseconds (integer event time), so boundaries are exact
+    * in both engines; rows-frames can't express this (ties and gaps
+    * shift row offsets). Summarized per (user, event_type) by the max
+    * rolling count and total rolling cents to keep the gate compact
+    * while staying sensitive to every per-event frame. */
+  def rollingWindow7d(s: SparkSession, d: String): DataFrame = {
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-sevenDaysUs, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), cents(col("value")).as("c"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_cents", sum(col("c")).over(w))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("roll_n")).as("max_roll_n"),
+        sum(col("roll_cents")).as("sum_roll_cents"))
+  }
+
+  val rollingWindow7dSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us,
+       |    ${sqlCents("value")} AS c
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id, event_type,
+       |    count(*) OVER w AS roll_n,
+       |    sum(c) OVER w AS roll_cents
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+       |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+       |SELECT user_id, event_type,
+       |  max(roll_n)::BIGINT AS max_roll_n,
+       |  sum(roll_cents)::BIGINT AS sum_roll_cents
+       |FROM r GROUP BY 1, 2""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q131_event_trigrams", eventTrigrams, Some(eventTrigramsSql)),
+    Q("q132_rolling_7d", rollingWindow7d, Some(rollingWindow7dSql)),
     Q("q124_user_ewma_chunked", userEwmaChunked, Some(userEwmaSql)),
     Q("q25_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     Q("q108_mad_anomalies", madAnomalies, Some(madAnomaliesSql)),
