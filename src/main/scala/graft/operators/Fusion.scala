@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object Fusion {
 
-  /** @param minFused keep pairs with (jaccard + cosine)/2 ≥ this.
+  /** @param minFused keep pairs with (jaccard + cosine)/2 ≥ this
+    *   (applied in exact ppm integers — see `fused_ppm` below).
     * @param nBits image-LSH bit-width; pass <= 0 to size it from the
     *   corpus count via [[Similarity.adaptiveHyperplaneBits]] (one
     *   cheap count action). A FIXED width is the pipeline's one
@@ -40,7 +41,14 @@ object Fusion {
     *   adaptive width restores ~linear candidate growth). Pin it only
     *   when an external replay (the q79 oracle) needs a fixed bucket
     *   function.
-    * @return (id_a, id_b, jaccard, cosine, fused), materialized.
+    * @return (id_a, id_b, jaccard, cosine, fused_ppm), materialized.
+    *   `fused_ppm` = (jaccard_ppm + cosine_ppm) div 2 as an exact long:
+    *   rounding (j+c)/2 to 6 dp in DOUBLE hit a real cross-engine
+    *   half-tie at sf1.0 ((0.96+0.383997)/2 = 0.6719985 — Spark's
+    *   BigDecimal HALF_UP of the double's exact expansion vs DuckDB's
+    *   scaled-multiply round disagree by 1 ulp of the 6th decimal), so
+    *   the fused score is integer end-to-end; jaccard/cosine stay
+    *   double for human consumption.
     */
   def imageTextNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, binCol: String,
@@ -113,10 +121,19 @@ object Fusion {
       .withColumn("cosine",
         round(Similarity.dot(col("__fa"), col("__fb")) /
           (col("__na") * col("__nb")), 6))
-      .withColumn("fused", round((col("jaccard") + col("cosine")) / 2, 6))
-      .filter(col("fused") >= minFused)
+      // exact integer fusion: jaccard as a ppm rational, the 6-dp
+      // cosine recovered to its exact ppm integer (floor(x*1e6+0.5)
+      // undoes the representation error of the rounded double), mean
+      // by truncating div — no float rounding anywhere near the
+      // threshold comparison
+      .withColumn("__jac_ppm", expr(
+        "(1000000 * coalesce(common, 0)) div (n_a + n_b - coalesce(common, 0))"))
+      .withColumn("__cos_ppm",
+        floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("fused_ppm", expr("(__jac_ppm + __cos_ppm) div 2"))
+      .filter(col("fused_ppm") >= math.round(minFused * 1e6))
       .select(col("id_a"), col("id_b"), col("jaccard"), col("cosine"),
-        col("fused"))
+        col("fused_ppm"))
     Lifecycle.materializeThenRelease(out, sh)
   }
 }

@@ -150,6 +150,8 @@ object MultimodalQueries {
        |v AS (SELECT c.id_a, c.id_b,
        |        coalesce(cm.common, 0)::DOUBLE
        |          / (sa.n_sh + sb.n_sh - coalesce(cm.common, 0)) AS jaccard,
+       |        (1000000 * coalesce(cm.common, 0))
+       |          // (sa.n_sh + sb.n_sh - coalesce(cm.common, 0)) AS jac_ppm,
        |        round(($dotExpr) / (na.inorm * nb.inorm), 6) AS cosine
        |      FROM cand c
        |      LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
@@ -160,8 +162,11 @@ object MultimodalQueries {
        |      JOIN b na ON na.doc_id = c.id_a
        |      JOIN b nb ON nb.doc_id = c.id_b)
        |SELECT id_a, id_b, jaccard, cosine,
-       |  round((jaccard + cosine) / 2, 6) AS fused
-       |FROM v WHERE round((jaccard + cosine) / 2, 6) >= 0.6""".stripMargin
+       |  (jac_ppm + CAST(floor(cosine*1000000 + 0.5) AS BIGINT)) // 2
+       |    AS fused_ppm
+       |FROM v
+       |WHERE (jac_ppm + CAST(floor(cosine*1000000 + 0.5) AS BIGINT)) // 2
+       |  >= 600000""".stripMargin
   }
 
   /** Ingestion-order multimodal dedup: q80's incremental fold with

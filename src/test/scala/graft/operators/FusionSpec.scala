@@ -4,7 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Multimodal fusion dedup: identical image-text pairs must score
-  * fused = 1.0; every emitted pair's jaccard must equal the exact
+  * fused_ppm = 10^6; every emitted pair's jaccard must equal the exact
   * shingle Jaccard; candidates must cover BOTH modality blockings. */
 class FusionSpec extends SparkSpec {
 
@@ -24,13 +24,13 @@ class FusionSpec extends SparkSpec {
       dim = 16, shingleN = 3, numHashes = 16, bands = 4, nBits = 8,
       minFused = minFused, portable = true)
 
-  test("identical image-text pairs score fused 1.0") {
+  test("identical image-text pairs score fused 1.0 (= 1e6 ppm)") {
     val rows = pairsAt(0.6).collect()
     val dup = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
     assert(dup.isDefined, s"exact duplicate pair (1,2) missing: ${rows.mkString(",")}")
     assert(dup.get.getDouble(2) == 1.0) // jaccard
     assert(dup.get.getDouble(3) == 1.0) // cosine (identical bytes -> same embedding)
-    assert(dup.get.getDouble(4) == 1.0) // fused
+    assert(dup.get.getLong(4) == 1000000L) // fused_ppm
   }
 
   test("emitted jaccard equals the exact shingle Jaccard") {
