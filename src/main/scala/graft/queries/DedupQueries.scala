@@ -26,9 +26,9 @@ object DedupQueries {
     * whole-text shingle for short docs — mirrors [[Dedup.shingles]].
     * `from` lets composed pipelines (q65) shingle a filtered relation. */
   private[queries] def shingleCtes(n: Int, from: String = "documents"): String =
-    s"""docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    s"""docs AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |         FROM $from),
-       |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
        |       FROM docs, unnest(range(1, greatest(len(toks)-${n - 2}, 2))) t(i))""".stripMargin
 
   private val jaccardTail: String =
@@ -56,13 +56,13 @@ object DedupQueries {
   /** Capped-candidate common-shingle counts, shared by the pair query
     * and the cluster query's pair source. */
   private[queries] val cappedCommonCtes: String =
-    s"""freq AS (SELECT shingle, count(*) AS n_df FROM sh GROUP BY 1),
-       |rare AS (SELECT sh.doc_id, sh.shingle
+    s"""freq AS MATERIALIZED (SELECT shingle, count(*) AS n_df FROM sh GROUP BY 1),
+       |rare AS MATERIALIZED (SELECT sh.doc_id, sh.shingle
        |         FROM sh JOIN freq USING (shingle) WHERE n_df <= $NgramMaxDocFreq),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM rare a JOIN rare b
        |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-       |common AS (SELECT id_a, id_b, count(*) AS common
+       |common AS MATERIALIZED (SELECT id_a, id_b, count(*) AS common
        |           FROM cand
        |           JOIN sh a ON a.doc_id = id_a
        |           JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
@@ -90,12 +90,12 @@ object DedupQueries {
       s"SELECT doc_id, $b AS band_idx, md5(array_to_string([$comps], ',')) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH ${shingleCtes(3)},
-       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
+       |h AS MATERIALIZED (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
        |      FROM sh WHERE shingle IS NOT NULL),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |  $mins
        |  FROM h GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |         FROM bands x JOIN bands y
@@ -155,13 +155,13 @@ object DedupQueries {
     * over an existing `sh`+`common` pair source (requires WITH
     * RECURSIVE). Shared with the composed curation pipeline (q65). */
   private[queries] val clusterCtes: String =
-    s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-       |pairs AS (SELECT id_a, id_b
+    s"""sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS MATERIALIZED (SELECT id_a, id_b
        |          FROM common
        |          JOIN sizes sa ON sa.doc_id = id_a
        |          JOIN sizes sb ON sb.doc_id = id_b
        |          WHERE common::DOUBLE/(sa.n_sh + sb.n_sh - common) >= 0.5),
-       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),
        |reach AS (SELECT s, d FROM edges
        |          UNION
@@ -240,12 +240,12 @@ object DedupQueries {
         s"doc_id IN ($admitted) AND doc_id NOT IN (SELECT doc_id FROM ret)"
       else s"doc_id IN ($admitted)"
     s"""WITH ${shingleCtes(3)},
-       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
+       |h AS MATERIALIZED (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
        |      FROM sh WHERE shingle IS NOT NULL),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |  $mins
        |  FROM h GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
        |bt AS (SELECT doc_id, (doc_id % 4)::INT AS b FROM documents),
        |w AS (SELECT DISTINCT y.doc_id

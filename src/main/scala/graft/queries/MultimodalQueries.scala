@@ -122,16 +122,16 @@ object MultimodalQueries {
       s"SELECT doc_id, $b AS band_idx, md5(array_to_string([$comps], ',')) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH ${DedupQueries.shingleCtes(3)},
-       |f AS (SELECT doc_id,
+       |f AS MATERIALIZED (SELECT doc_id,
        |  $featCols
        |  FROM documents WHERE text IS NOT NULL),
-       |b AS (SELECT doc_id, $bucketExpr AS ibucket, $normExpr AS inorm FROM f),
-       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
+       |b AS MATERIALIZED (SELECT doc_id, $bucketExpr AS ibucket, $normExpr AS inorm FROM f),
+       |h AS MATERIALIZED (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
        |      FROM sh WHERE shingle IS NOT NULL),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |  $mins
        |  FROM h GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
        |tc AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
        |       FROM bands x JOIN bands y
@@ -223,16 +223,16 @@ object MultimodalQueries {
     val admitted = (0 until 4).map(k => s"SELECT doc_id FROM novel$k")
       .mkString(" UNION ALL ")
     s"""WITH ${DedupQueries.shingleCtes(3)},
-       |f AS (SELECT doc_id,
+       |f AS MATERIALIZED (SELECT doc_id,
        |  $featCols
        |  FROM documents WHERE text IS NOT NULL),
        |ib AS (SELECT doc_id, $bucketExpr AS ibucket FROM f),
-       |h AS (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
+       |h AS MATERIALIZED (SELECT doc_id, ('0x'||substr(md5(shingle),1,15))::BIGINT % $P AS h
        |      FROM sh WHERE shingle IS NOT NULL),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |  $mins
        |  FROM h GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
        |blocks AS (SELECT doc_id,
        |             't:'||band_idx::VARCHAR||':'||band_hash AS bk
