@@ -219,7 +219,42 @@ object DataMixQueries {
       |FROM c, tot
       |WHERE cum_weight // step > (cum_weight - n_chars) // step""".stripMargin
 
+  /** GLOBAL token packing (no shard column): one corpus-wide pack
+    * sequence through [[graft.operators.PrefixSum]]'s two-phase scan —
+    * q47's sharded packs are parallel sequences; this is the
+    * single-sequence layout (curriculum order, strict global
+    * determinism) that used to force a one-task window. Per-pack
+    * membership-sensitive aggregates; the oracle's plain global window
+    * pins the distributed cumsum bit-for-bit. */
+  def globalPacking(s: SparkSession, d: String): DataFrame =
+    DataMix.packByTokenBudget(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", 2000L)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  val globalPackingSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, '\\S+')) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)
+       |SELECT ((cum - n_tokens) // 2000)::BIGINT AS pack_id,
+       |  count(*) AS n_docs,
+       |  sum(n_tokens)::BIGINT AS pack_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q133_global_packing", globalPacking, Some(globalPackingSql)),
     Q("q129_systematic_sample", systematicSampleQ, Some(systematicSampleSql)),
     Q("q45_split_stats", splitStats, Some(splitStatsSql)),
     Q("q46_mixture_stats", mixtureStats, Some(mixtureStatsSql)),
