@@ -85,17 +85,38 @@ final class BucketedCdcTable(
     gen = next
   }
 
+  /** Clamp to an externally-committed generation ([[BucketedCdcAggTable]]
+    * recovery: the commit record is the truth for the pair). */
+  private[streaming] def resetTo(g: Int): Unit = gen = g
+
   def snapshot: DataFrame = snapshotAt(gen)
+
+  private def assemble(m: Seq[(Int, Int)]): DataFrame =
+    m.groupBy(_._2).toSeq.sortBy(_._1).map { case (dataGen, buckets) =>
+      spark.read.parquet(s"$dir/data/gen=$dataGen")
+        .filter(col(Bkt).isin(buckets.map(_._1): _*))
+    }.reduce(_ unionByName _).drop(Bkt)
 
   /** The table as of generation `g` — any committed generation, since
     * manifests and the data they reference are never rewritten. */
   def snapshotAt(g: Int): DataFrame = {
     require(g >= 0 && g <= gen, s"generation $g not in [0, $gen]")
-    val m = readManifest(g)
-    m.groupBy(_._2).toSeq.sortBy(_._1).map { case (dataGen, buckets) =>
-      spark.read.parquet(s"$dir/data/gen=$dataGen")
-        .filter(col(Bkt).isin(buckets.map(_._1): _*))
-    }.reduce(_ unionByName _).drop(Bkt)
+    assemble(readManifest(g))
+  }
+
+  /** Buckets the batch's keys hash to — the bounded driver-side
+    * routing collect (≤ nBuckets ints, never data). */
+  def touchedBuckets(changes: DataFrame): Set[Int] =
+    changes.select(bucketOf(col(keyCol)).as(Bkt))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+  /** Partition-pruned snapshot of ONLY the given buckets — the
+    * old-image lookup surface for incremental maintenance: a CDC
+    * batch's keys live entirely in its touched buckets, so a
+    * maintainer never reads the rest of the table. */
+  def snapshotOf(buckets: Set[Int]): DataFrame = {
+    val m = readManifest(gen).filter(t => buckets(t._1))
+    if (m.isEmpty) snapshot.limit(0) else assemble(m)
   }
 
   /** Fold one change batch in, rewriting only the buckets its keys
@@ -103,17 +124,11 @@ final class BucketedCdcTable(
     * table/nBuckets), never the table. */
   def applyBatch(changes: DataFrame): Unit = {
     val next = gen + 1
-    // ≤ nBuckets ints — the bounded routing collect, not a data collect
-    val touched = changes.select(bucketOf(col(keyCol)).as(Bkt))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val touched = touchedBuckets(changes)
     if (touched.isEmpty) { writeManifest(readManifest(gen), next); gen = next }
     else {
       val m = readManifest(gen)
-      val affected = m.filter(t => touched(t._1)).groupBy(_._2).toSeq
-        .sortBy(_._1).map { case (dataGen, buckets) =>
-          spark.read.parquet(s"$dir/data/gen=$dataGen")
-            .filter(col(Bkt).isin(buckets.map(_._1): _*))
-        }.reduce(_ unionByName _).drop(Bkt)
+      val affected = assemble(m.filter(t => touched(t._1)))
       Upsert.applyChanges(affected, changes, keyCol, opCol, seqCol)
         .withColumn(Bkt, bucketOf(col(keyCol)))
         .write.mode("overwrite").partitionBy(Bkt)
@@ -146,6 +161,78 @@ final class BucketedCdcTable(
     changes.writeStream
       .outputMode("append")
       .foreachBatch((batch: Dataset[Row], _: Long) => applyBatch(batch))
+      .start()
+}
+
+/** [[CdcAggTable]] on the bucketed scale table: per-batch cost tracks
+  * the BATCH on both sides — the table rewrite is bucket-local
+  * ([[BucketedCdcTable.applyBatch]]) and the aggregate refresh's
+  * old-image lookup reads ONLY the touched buckets
+  * ([[BucketedCdcTable.snapshotOf]] — a partition-pruned manifest
+  * view), where the flat [[CdcAggTable]] scans the whole snapshot for
+  * the keys-join. Same commit-record crash recovery: the latest
+  * (batchId, tableGen, aggGen) record is the truth for the pair, and
+  * a torn attempt's orphan generations are never flipped to. The
+  * maintain ≡ recompute invariant is pinned by BucketedCdcTableSpec
+  * and oracle-gated by q134. */
+final class BucketedCdcAggTable(
+    spark: SparkSession, dir: String, keyCol: String, groupCol: String,
+    countCol: String, sumCols: Seq[String], nBuckets: Int,
+    opCol: String = "op") {
+
+  val table = new BucketedCdcTable(
+    spark, s"$dir/table", keyCol, nBuckets, opCol)
+  @volatile private var aggGen: Int = -1
+  @volatile private var lastBatchId: Long = -1L
+
+  private def fs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  CdcCommits.latest(fs, s"$dir/commits").foreach {
+    case (b, tg, ag) => lastBatchId = b; table.resetTo(tg); aggGen = ag
+  }
+
+  private def commit(batchId: Long): Unit =
+    CdcCommits.write(fs, s"$dir/commits", idx = aggGen.toLong,
+      batchId = batchId, tableGen = table.generation, aggGen = aggGen)
+
+  private def writeAgg(df: DataFrame): Unit = {
+    val next = aggGen + 1
+    df.write.mode("overwrite").parquet(s"$dir/agg/gen=$next")
+    aggGen = next
+  }
+
+  def publish(base: DataFrame): Unit = {
+    table.publish(base)
+    writeAgg(base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as(countCol),
+        sumCols.map(c => sum(col(c)).as(c)): _*))
+    commit(lastBatchId)
+  }
+
+  def aggSnapshot: DataFrame = {
+    require(aggGen >= 0,
+      "BucketedCdcAggTable has no snapshot yet — publish first")
+    spark.read.parquet(s"$dir/agg/gen=$aggGen")
+  }
+
+  /** Fold one change batch in: aggregate first (old images from the
+    * PRE-change touched buckets only), table second, commit last. */
+  def applyBatch(changes: DataFrame, batchId: Long = -1L): Unit = {
+    writeAgg(graft.operators.Ivm.maintainSumCountAgg(
+      aggSnapshot, table.snapshotOf(table.touchedBuckets(changes)),
+      changes, keyCol, opCol, groupCol, countCol, sumCols))
+    table.applyBatch(changes)
+    if (batchId >= 0) lastBatchId = batchId
+    commit(lastBatchId)
+  }
+
+  def attach(changes: DataFrame): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        if (id > lastBatchId) applyBatch(batch, id)
+      }
       .start()
 }
 

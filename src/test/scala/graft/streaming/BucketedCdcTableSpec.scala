@@ -81,6 +81,44 @@ class BucketedCdcTableSpec extends SparkSpec {
     assert(t.snapshot.filter($"g" === "gX").count() == 6)
   }
 
+  test("snapshotOf reads only the requested buckets") {
+    val dir = tmp("cdcsof")
+    val t = new BucketedCdcTable(spark, dir, "k", nBuckets = 8)
+    t.publish(base)
+    val all = t.snapshot.as[(Long, String, Long)].collect().toSet
+    val someBuckets = t.touchedBuckets(
+      Seq(("update", 5L, "g0", 1L), ("update", 17L, "g2", 1L))
+        .toDF("op", "k", "g", "v"))
+    val pruned = t.snapshotOf(someBuckets)
+      .as[(Long, String, Long)].collect().toSet
+    assert(pruned.subsetOf(all))
+    // the touched keys' rows are present; rows of other buckets aren't
+    assert(pruned.exists(_._1 == 5L) && pruned.exists(_._1 == 17L))
+    assert(pruned.size < all.size)
+    assert(t.snapshotOf(Set.empty[Int]).count() == 0)
+  }
+
+  test("BucketedCdcAggTable: maintain ≡ recompute, pruned old images, recovery") {
+    val dir = tmp("cdcbagg")
+    val t = new BucketedCdcAggTable(spark, dir, "k", "g", "n", Seq("v"),
+      nBuckets = 8)
+    t.publish(base)
+    t.applyBatch(batches.head, batchId = 0L)
+    t.applyBatch(batches(1), batchId = 1L)
+    def recompute(tbl: BucketedCdcTable) = tbl.snapshot.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(t.aggSnapshot.as[(String, Long, Long)].collect().toSet ==
+      recompute(t.table))
+    // post-crash construction recovers the committed pair and the
+    // redelivery watermark; maintained state still equals recompute
+    val t2 = new BucketedCdcAggTable(spark, dir, "k", "g", "n", Seq("v"),
+      nBuckets = 8)
+    assert(t2.aggSnapshot.as[(String, Long, Long)].collect().toSet ==
+      recompute(t2.table))
+    assert(t2.table.generation == t.table.generation)
+  }
+
   test("flat CdcTable recovers its generation across construction") {
     val dir = tmp("cdcflatrec")
     val t = new CdcTable(spark, dir, "k")
