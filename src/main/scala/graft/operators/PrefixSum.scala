@@ -69,6 +69,36 @@ object PrefixSum {
     (out, Seq(parted))
   }
 
+  /** Global equi-depth boundaries — distributed order statistics: the
+    * `valCol` value of the row at rank ⌈i·n/B⌉ for i = 1..B under the
+    * `orderCols` total order. Rank is a weight-1 [[globalCumsum]], so
+    * no task ever holds more than one range partition — the shape that
+    * replaces both a single-task global sort AND a full-column
+    * collect. Target ranks are computed driver-side from one count
+    * (B longs of state); refuses loudly when n < B (two buckets would
+    * share a boundary row and silently collapse). Output:
+    * (bucket_idx, boundary) — boundary_i bounds the i-th of B
+    * equal-count buckets from above. */
+  def equiDepthBoundaries(df: DataFrame, orderCols: Seq[Column],
+      valCol: Column, b: Int, nParts: Int = 64): DataFrame = {
+    require(b >= 1, s"b $b")
+    val n = df.count()
+    require(n >= b, s"n=$n rows < b=$b buckets")
+    val targets = (1 to b).map(i => (i.toLong * n + b - 1) / b)
+    require(targets.distinct.size == b, s"duplicate target ranks for n=$n b=$b")
+    val rankToBucket = targets.zipWithIndex.map { case (rk, i) =>
+      rk -> (i + 1).toLong }.toMap
+    val (ranked, pinned) = globalCumsumLazy(df, orderCols, lit(1L),
+      "__rank", nParts)
+    val bucketCol = rankToBucket.foldLeft(lit(-1L)) { case (acc, (rk, i)) =>
+      when(col("__rank") === rk, lit(i)).otherwise(acc)
+    }
+    val out = ranked
+      .filter(col("__rank").isin(rankToBucket.keys.toSeq: _*))
+      .select(bucketCol.as("bucket_idx"), valCol.as("boundary"))
+    Lifecycle.materializeThenRelease(out, pinned: _*)
+  }
+
   /** Systematic probability-proportional-to-size sampling off the
     * cumulative weight: a row is selected iff its weight interval
     * `(cum − w, cum]` crosses a multiple of `step` — every `step`

@@ -580,7 +580,39 @@ object RelationalQueries {
        |  n*sum_pp - sum_p*sum_p AS var_p_num
        |FROM s""".stripMargin
 
+  /** Global equi-depth deciles of lineitem price — EXACT order
+    * statistics through the distributed rank scan
+    * ([[graft.operators.PrefixSum.equiDepthBoundaries]]): boundary i =
+    * the cents value at rank ⌈i·n/10⌉ under the (cents, orderkey,
+    * linenumber) total order. q62's window quantiles shuffle every
+    * value to its key's reducer; this is the GLOBAL form that would
+    * otherwise need a one-task sort — the two-phase scan caps any task
+    * at one range partition. The oracle is a plain global row_number. */
+  def equiDepthDeciles(s: SparkSession, d: String): DataFrame =
+    graft.operators.PrefixSum.equiDepthBoundaries(
+      Tables.lineitem(s, d).select(
+        cents(col("l_extendedprice")).as("c"),
+        col("l_orderkey"), col("l_linenumber")),
+      Seq(col("c"), col("l_orderkey"), col("l_linenumber")),
+      col("c"), b = 10, nParts = 16)
+      .withColumnRenamed("boundary", "boundary_cents")
+
+  val equiDepthDecilesSql: String =
+    s"""WITH v AS (
+       |  SELECT ${sqlCents("l_extendedprice")} AS c,
+       |    l_orderkey, l_linenumber
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT c, row_number() OVER (ORDER BY c, l_orderkey,
+       |    l_linenumber) AS rk
+       |  FROM v),
+       |n AS (SELECT count(*) AS n FROM v)
+       |SELECT i::BIGINT AS bucket_idx, c AS boundary_cents
+       |FROM unnest([1,2,3,4,5,6,7,8,9,10]) t(i), n
+       |JOIN r ON rk = (i * n.n + 9) // 10""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q136_equidepth_deciles", equiDepthDeciles, Some(equiDepthDecilesSql)),
     Q("q122_exact_covariance", exactCovariance, Some(exactCovarianceSql)),
     Q("q62_group_quantiles", groupQuantiles, Some(groupQuantilesSql)),
     Q("q39_sql_surface", sqlSurface, Some(sqlSurfaceSql)),

@@ -338,7 +338,47 @@ object SketchQueries {
        |       ELSE 0 END AS cc_ppm
        |FROM ne, w, tri""".stripMargin
 
+  /** DOULION sampled triangle estimate next to the exact census
+    * ([[GraphRank.sampledTriangleEstimate]], p = 1/2, deterministic
+    * edge-hash sampling): the budget knob for graph censuses too big
+    * to count exactly — cost drops ~p² while the estimator stays
+    * unbiased. One row: sampled edges/triangles, the ×(1/p)³ scaled
+    * estimate, and the exact count — q96's estimate-next-to-truth
+    * pattern, so the accuracy is verified on real numbers, not
+    * asserted. */
+  def knnTrianglesSampled(s: SparkSession, d: String): DataFrame = {
+    val edges = knnGraph(s, d).select(col("id"), col("neighbor_id"))
+    GraphRank.sampledTriangleEstimate(edges, "id", "neighbor_id",
+        invP = 2, seed = 99L)
+      .crossJoin(broadcast(
+        GraphRank.triangleStats(edges, "id", "neighbor_id")
+          .select(col("n_triangles").as("exact_triangles"))))
+  }
+
+  val knnTrianglesSampledSql: String =
+    s"""WITH g AS (${knnGraphSql.replace("\n", "\n  ")}),
+       |und AS (SELECT DISTINCT least(id, neighbor_id) AS a,
+       |          greatest(id, neighbor_id) AS b
+       |        FROM g WHERE id <> neighbor_id),
+       |kept AS MATERIALIZED (SELECT a, b FROM und
+       |        WHERE (('0x'||substr(md5(a::VARCHAR || '#' || b::VARCHAR
+       |          || '#99'),1,15))::BIGINT % 1000000) * 2 < 1000000),
+       |stri AS (SELECT count(*)::BIGINT AS tri_sampled
+       |        FROM kept e1
+       |        JOIN kept e2 ON e2.a = e1.b
+       |        JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |sne AS (SELECT count(*)::BIGINT AS n_sampled_edges FROM kept),
+       |etri AS (SELECT count(*)::BIGINT AS exact_triangles
+       |        FROM und e1
+       |        JOIN und e2 ON e2.a = e1.b
+       |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT n_sampled_edges, tri_sampled,
+       |  (tri_sampled * 8)::BIGINT AS est_triangles, exact_triangles
+       |FROM sne, stri, etri""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q135_sampled_triangles", knnTrianglesSampled,
+      Some(knnTrianglesSampledSql)),
     Q("q130_knn_triangles", knnTriangles, Some(knnTrianglesSql)),
     Q("q37_kmv_distinct", kmvDistinctUsers, Some(kmvDistinctUsersSql)),
     Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)),

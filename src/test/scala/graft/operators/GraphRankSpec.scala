@@ -71,6 +71,30 @@ class GraphRankSpec extends SparkSpec {
     assert(r == ((5L, 8L, 2L, 750000L)))
   }
 
+  test("sampledTriangleEstimate: deterministic subset, exact scaling") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (s, t) => s != t }.distinct
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphRank.sampledTriangleEstimate(df, "src", "dst", invP = 2,
+        seed = 7L).as[(Long, Long, Long)].head()
+    val a = run(edges.toDF("src", "dst"))
+    // partitioning/order-invariant (hash sampling, no RNG stream)
+    val b = run(scala.util.Random.shuffle(edges).toDF("src", "dst")
+      .repartition(7))
+    assert(a == b)
+    // estimate is exactly the sampled count × invP³
+    assert(a._3 == a._2 * 8)
+    // p=1/2 keeps roughly half the edges
+    val und = edges.map { case (s, t) => (math.min(s, t), math.max(s, t)) }
+      .distinct.size
+    assert(a._1 > und / 4 && a._1 < und * 3 / 4, s"kept ${a._1} of $und")
+    intercept[IllegalArgumentException] {
+      GraphRank.sampledTriangleEstimate(edges.toDF("src", "dst"),
+        "src", "dst", invP = 1, seed = 7L)
+    }
+  }
+
   test("triangleStats: brute-force parity on a random graph with a hub") {
     val rnd = new scala.util.Random(11)
     val edges = (Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))

@@ -58,6 +58,26 @@ class PrefixSumSpec extends SparkSpec {
     assert(picks >= 35 && picks <= 45, s"picks=$picks")
   }
 
+  test("equiDepthBoundaries ≡ sorted-reference order statistics") {
+    val rnd = new scala.util.Random(31)
+    // duplicate-heavy values: order statistics must respect the full
+    // (v, id) total order, not collapse ties
+    val rows = (1L to 1000L).map(i => (i, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "v")
+    val got = PrefixSum.equiDepthBoundaries(df,
+        Seq(col("v"), col("id")), col("v"), b = 10, nParts = 8)
+      .as[(Long, Long)].collect().toMap
+    val sortedV = rows.sortBy(r => (r._2, r._1)).map(_._2)
+    val n = rows.size
+    val expect = (1 to 10).map(i =>
+      i.toLong -> sortedV(((i.toLong * n + 9) / 10).toInt - 1)).toMap
+    assert(got == expect)
+    intercept[IllegalArgumentException] {
+      PrefixSum.equiDepthBoundaries(df.limit(5), Seq(col("v"), col("id")),
+        col("v"), b = 10)
+    }
+  }
+
   test("packByTokenBudget global path (PrefixSum) ≡ sharded semantics") {
     val df = (1L to 300L).map(i => (i, (i % 7) + 1)).toDF("id", "tokens")
     val global = DataMix.packByTokenBudget(df, "id", "tokens", 50L)
