@@ -474,6 +474,59 @@ object ProfileScratch {
         }
         println(s"  -> $rows result rows")
 
+      case "ivfpqscale" =>
+        // IVF-PQ at scale: N planted-cluster vectors (the "ann"
+        // generator — center[c] + 1/10 noise) → IvfPq.build (coarse
+        // train + residual encode, codes partitioned by cluster) →
+        // recall vs the exact top-10 for 20 queries, with flat PQ at
+        // the SAME m/k code budget side by side. The evidence the
+        // composite exists for: on clustered corpora the residual
+        // books spend their 16 bits on the noise, not the centers.
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val nclusters = args.lift(2).map(_.toInt).getOrElse(64)
+        val dim = 64
+        val corpus = spark.range(n).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (sin(pmod(col("id"), lit(nclusters)) * lit(31) + j) +
+              sin(col("id") * lit(131) + j * lit(17)) / lit(10))
+              .cast("float")).as("embedding"))
+        val path = java.nio.file.Files.createTempDirectory("ivfpq_scale")
+          .resolve("ivfpq").toString
+        t(s"IvfPq.build: $n vecs, kc=$nclusters (1 Lloyd), m=4 k=16 (1 Lloyd)") {
+          operators.IvfPq.build(corpus, "vec_id", "embedding",
+            kc = nclusters, coarseIters = 1, m = 4, k = 16, pqIters = 1,
+            path)
+        }
+        val idx = operators.IvfPq.load(spark, path, "vec_id")
+        val queries = corpus.filter(col("vec_id") < 20)
+        def overlap(approx: org.apache.spark.sql.DataFrame): Double = {
+          val e = operators.Similarity.bruteForceTopK(corpus, queries,
+              "vec_id", "embedding", k = 10)
+            .select(col("query_id"), col("neighbor_id"))
+          e.join(approx.select(col("query_id").as("qq"),
+                col("neighbor_id").as("qn")),
+              col("query_id") === col("qq") &&
+                col("neighbor_id") === col("qn"), "left")
+            .groupBy(col("query_id")).agg(count(col("qn")).as("nc"))
+            .agg(avg(col("nc"))).head.getDouble(0)
+        }
+        val probe = math.max(4, nclusters / 8)
+        val ivfTop = t(s"IvfPq.topK k=10 nprobe=$probe (20 queries)") {
+          operators.IvfPq.topK(idx, queries, "embedding", k = 10,
+            nprobe = probe)
+        }
+        val ivfRecall = t("recall IVF-PQ vs exact (incl. exact scan)") {
+          overlap(ivfTop)
+        }
+        val flatRecall = t("recall flat PQ (same m/k) vs exact") {
+          overlap(operators.ProductQuant.pqTopK(corpus, queries,
+            "vec_id", "embedding", m = 4, k = 16, topK = 10,
+            lloydIters = 1))
+        }
+        println(f"  -> mean top-10 overlap: ivfpq=$ivfRecall%.2f " +
+          f"flat=$flatRecall%.2f (n=$n, kc=$nclusters, nprobe=$probe)")
+
       case "invscale" =>
         // Inverted-index-at-scale smoke: N synthetic 30-token docs over
         // a 100k-term vocabulary → build the bucket-partitioned index,

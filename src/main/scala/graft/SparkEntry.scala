@@ -15,7 +15,7 @@ object SparkEntry {
   def registered: Seq[Q] =
     RelationalQueries.all ++ HierarchyQueries.all ++
       TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ EventQueries.all ++
+      SimilarityQueries.all ++ IvfPqQueries.all ++ EventQueries.all ++
       MultimodalQueries.all ++ ScaleQueries.all ++ SketchQueries.all ++
       SemanticsQueries.all ++ DataMixQueries.all ++ CurationQueries.all ++
       UpsertQueries.all ++ ValidationQueries.all ++ StreamingQueries.all

@@ -107,6 +107,12 @@ object InvertedIndex {
     val root = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root)) fs.delete(root, true)
+    // stats increments of the previous index must die with it too —
+    // load() sums the whole stats dir, so a stale stats/ingest_batch=N
+    // from before the rebuild would inflate n_docs/tot_len and skew
+    // every bm25Search score
+    val statsRoot = new org.apache.hadoop.fs.Path(s"$path/stats")
+    if (fs.exists(statsRoot)) fs.delete(statsRoot, true)
     writeIncrement(corpus, idCol, textCol, nBuckets, positions, path,
       batchId = 0L)
     import spark.implicits._

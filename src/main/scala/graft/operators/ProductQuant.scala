@@ -106,13 +106,13 @@ object ProductQuant {
     books
   }
 
-  private def litArray(a: Array[Double]): Column =
+  private[operators] def litArray(a: Array[Double]): Column =
     array(a.toSeq.map(lit): _*)
 
   /** Exact left-fold Σx² — the same association order as
     * [[Similarity.dot]]'s column fold and DuckDB's list_dot_product,
     * so the inlined constant replays bit-for-bit. */
-  private def norm2(a: Array[Double]): Double = {
+  private[operators] def norm2(a: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     while (i < a.length) { acc += a(i) * a(i); i += 1 }

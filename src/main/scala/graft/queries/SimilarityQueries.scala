@@ -310,7 +310,7 @@ object SimilarityQueries {
   /** The full PQ pipeline (codebooks → `iters` Lloyd steps → encode →
     * LUT → ADC top-5) as one DuckDB query; iters=0 is q101/q106's
     * first-k-seeded variant. */
-  private def pqSqlFor(maxQuery: Int, iters: Int): String = {
+  private[queries] def pqSqlFor(maxQuery: Int, iters: Int): String = {
     val lloyd =
       if (iters == 0) ""
       else (1 to iters).map(lloydIterSql(_)).mkString("", ",\n", ",\n")

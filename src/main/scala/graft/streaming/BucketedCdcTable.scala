@@ -119,6 +119,20 @@ final class BucketedCdcTable(
     if (m.isEmpty) snapshot.limit(0) else assemble(m)
   }
 
+  /** Write one data generation. When the rows are empty (a batch that
+    * deleted every remaining row of its touched buckets), a
+    * `partitionBy` write would land ZERO data files — only _SUCCESS —
+    * and the next snapshot would die on parquet schema inference; the
+    * fallback writes the empty frame unpartitioned, which still emits
+    * one schema-bearing (empty) parquet file, keeping every referenced
+    * generation readable. `__bkt` survives as a plain column there, so
+    * [[assemble]]'s bucket filter and drop behave identically. */
+  private def writeGen(rows: DataFrame, g: Int): Unit = {
+    val out = s"$dir/data/gen=$g"
+    if (rows.isEmpty) rows.write.mode("overwrite").parquet(out)
+    else rows.write.mode("overwrite").partitionBy(Bkt).parquet(out)
+  }
+
   /** Fold one change batch in, rewriting only the buckets its keys
     * hash to. Write volume per batch ∝ touched buckets (≈ batch size ×
     * table/nBuckets), never the table. */
@@ -129,10 +143,8 @@ final class BucketedCdcTable(
     else {
       val m = readManifest(gen)
       val affected = assemble(m.filter(t => touched(t._1)))
-      Upsert.applyChanges(affected, changes, keyCol, opCol, seqCol)
-        .withColumn(Bkt, bucketOf(col(keyCol)))
-        .write.mode("overwrite").partitionBy(Bkt)
-        .parquet(s"$dir/data/gen=$next")
+      writeGen(Upsert.applyChanges(affected, changes, keyCol, opCol, seqCol)
+        .withColumn(Bkt, bucketOf(col(keyCol))), next)
       writeManifest(
         m.map { case (b, dg) => (b, if (touched(b)) next else dg) }, next)
       gen = next
@@ -150,9 +162,7 @@ final class BucketedCdcTable(
     * not per batch. Old generations stay readable for time travel. */
   def compact(): Unit = {
     val next = gen + 1
-    snapshot.withColumn(Bkt, bucketOf(col(keyCol)))
-      .write.mode("overwrite").partitionBy(Bkt)
-      .parquet(s"$dir/data/gen=$next")
+    writeGen(snapshot.withColumn(Bkt, bucketOf(col(keyCol))), next)
     writeManifest((0 until nBuckets).map((_, next)), next)
     gen = next
   }
@@ -286,7 +296,12 @@ private[streaming] object CdcCommits {
       }.nextOption()
   }
 
-  /** Write commit record `idx` atomically: temp file + rename. */
+  /** Write commit record `idx` atomically: temp file + rename. HDFS
+    * returns false (not an exception) when the destination exists, so
+    * the result is CHECKED: a re-commit of the same index deletes the
+    * stale record first, and a rename that still fails throws rather
+    * than silently dropping the commit (which would make recovery
+    * resume one batch earlier than the caller believes). */
   def write(fs: org.apache.hadoop.fs.FileSystem, root: String,
       idx: Long, batchId: Long, tableGen: Int, aggGen: Int): Unit = {
     val dir = new org.apache.hadoop.fs.Path(root)
@@ -295,6 +310,12 @@ private[streaming] object CdcCommits {
     val out = fs.create(tmp, true)
     try out.write(s"$batchId,$tableGen,$aggGen".getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, idx.toString))
+    val dst = new org.apache.hadoop.fs.Path(root, idx.toString)
+    if (!fs.rename(tmp, dst)) {
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"CdcCommits: rename $tmp -> $dst failed; commit record dropped")
+    }
   }
 }
