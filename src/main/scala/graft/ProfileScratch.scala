@@ -474,6 +474,23 @@ object ProfileScratch {
         }
         println(s"  -> $rows result rows")
 
+      case "bpetrain" =>
+        // BPE induction throughput: merges/sec over the sf-dir
+        // documents corpus — one corpus scan builds word counts, then
+        // each merge is a vocab-sized pair count + 1-row collect +
+        // substitution, so the loop cost is vocabulary-, not
+        // corpus-bound.
+        val nMerges = args.lift(1).map(_.toInt).getOrElse(32)
+        val docs = Tables.documents(spark, d)
+        docs.count()
+        val t0 = System.nanoTime()
+        val ms = operators.Bpe.trainMerges(docs, "text", nMerges)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"STAGE bpe train ${ms.size} merges: $secs%.2f s " +
+          f"(${ms.size / secs}%.2f merges/sec)")
+        println("  merges: " +
+          ms.map(m => s"${m.lhs}+${m.rhs}:${m.pair_cnt}").mkString(", "))
+
       case "ivfpqscale" =>
         // IVF-PQ at scale: N planted-cluster vectors (the "ann"
         // generator — center[c] + 1/10 noise) → IvfPq.build (coarse

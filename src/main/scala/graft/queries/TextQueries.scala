@@ -405,7 +405,86 @@ object TextQueries {
       |SELECT doc_id, (n_occurrences)::INT AS n_occurrences
       |FROM m ORDER BY n_occurrences DESC, doc_id LIMIT 15""".stripMargin
 
+  /** Full BPE vocabulary induction ([[graft.operators.Bpe]]): learn
+    * `BpeMerges` merges over the documents corpus and emit the merge
+    * table itself — (step, lhs, rhs, pair_cnt). The oracle replays
+    * EVERY training iteration as an unrolled CTE pair (pair counts →
+    * deterministic argmax → vocab substitution), so the greedy
+    * left-to-right merge semantics and the (count DESC, lhs, rhs)
+    * tie-break are cross-engine-pinned, not trusted. */
+  private val BpeMerges = 8
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.operators.Bpe.trainMerges(
+      Tables.documents(s, d), "text", BpeMerges)
+    import s.implicits._
+    merges.toDF()
+  }
+
+  /** One unrolled BPE training step: pair counts over v{i-1}, the
+    * argmax merge (ties: lhs, rhs ascending), and the vocab rewritten
+    * by the engines' shared leftmost-nonoverlapping `replace`. */
+  private def bpeStepSql(i: Int): String = {
+    val p = i - 1
+    s"""bp$i AS (SELECT t[j] AS lhs, t[j+1] AS rhs, sum(cnt)::BIGINT AS pair_cnt
+       |  FROM (SELECT list_filter(str_split(w, chr(31)), x -> x <> '') AS t,
+       |          cnt FROM v$p),
+       |       unnest(range(1, len(t))) u(j)
+       |  GROUP BY 1, 2),
+       |best$i AS (SELECT lhs, rhs, pair_cnt FROM bp$i
+       |  ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
+       |v$i AS (SELECT word,
+       |    replace(w, chr(31)||lhs||chr(31)||rhs||chr(31),
+       |               chr(31)||lhs||rhs||chr(31)) AS w, cnt
+       |  FROM v$p, best$i)""".stripMargin
+  }
+
+  private def bpeChainSql(n: Int): String = {
+    val steps = (1 to n).map(bpeStepSql).mkString(",\n")
+    s"""WITH vocab AS (SELECT w AS word, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' AND strpos(w, chr(31)) = 0 GROUP BY 1),
+       |v0 AS (SELECT word,
+       |    chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS w,
+       |    cnt FROM vocab),
+       |$steps""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val union = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS step, lhs, rhs, pair_cnt FROM best$i")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeChainSql(BpeMerges)}
+       |$union""".stripMargin
+  }
+
+  /** Tokenize the corpus under the learned vocabulary
+    * ([[graft.operators.Bpe.applyMerges]] — replace chain per DISTINCT
+    * word, dictionary join back) → top-20 subword tokens by corpus
+    * frequency. The oracle derives the same counts from the final
+    * trained vocab table (token count = Σ word_cnt × occurrences in
+    * the word's segmentation — the dictionary identity). */
+  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.Bpe.trainMerges(docs, "text", BpeMerges)
+    graft.operators.Bpe.applyMerges(docs, "doc_id", "text", merges)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+  }
+
+  val bpeTokensSql: String =
+    s"""${bpeChainSql(BpeMerges)}
+       |SELECT tok AS token, sum(cnt)::BIGINT AS cnt
+       |FROM (SELECT list_filter(str_split(w, chr(31)), x -> x <> '') AS t,
+       |        cnt FROM v$BpeMerges),
+       |     unnest(t) u(tok)
+       |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q139_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    Q("q140_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("q15_text_stats", textStats, Some(textStatsSql)),
     Q("q110_inverted_search", invertedSearch, Some(invertedSearchSql)),
     Q("q120_phrase_search", phraseSearchDocs, Some(phraseSearchDocsSql)),
