@@ -86,6 +86,31 @@ object Retrieval {
     (out, Seq(toks))
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (lexical BM25 list + semantic ANN list feeding one candidate set
+    * for dedup/decontamination lookups). Each input must carry `idCol`
+    * and an integer `rank` (1-based); a doc's fused score is
+    *
+    *   rrf = Σ_lists 10⁶ div (rrfK + rank)
+    *
+    * in EXACT integer arithmetic (the fixed-point discipline of
+    * [[bm25TopK]] — no doubles, so ranking and scores hash-replay in
+    * any engine), ties broken by ascending id for a total order.
+    * Inputs are top-k lists (bounded rows), so the union/groupBy is
+    * driver-light and the final order is a bounded TakeOrdered.
+    * Output: (idCol, n_lists, rrf_score). */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no input lists")
+    lists.map(_.select(col(idCol), col("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("contrib", expr(s"1000000 div ($rrfK + rank)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("contrib")).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** DuckDB replay of [[bm25TopK]] (same fixed-point formula, `//` =
     * truncating integral division on BIGINT; `::BIGINT` pins DuckDB's
     * HUGEINT sums back to the long type Spark produces). */

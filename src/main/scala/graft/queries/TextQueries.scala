@@ -206,6 +206,74 @@ object TextQueries {
     InvertedIndex.bm25Search(InvertedIndex.load(s, path), bm25Terms, k = 20)
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the INDEXED BM25
+    * top-20 (q128's machinery — bucket-pruned postings, no corpus
+    * re-tokenization) with the persisted-IVF ANN top-20 neighbors of
+    * vector 0 (q83's machinery — partition-pruned probes). Fusion is
+    * [[graft.operators.Retrieval.rrfFuse]]'s exact integer
+    * Σ 10⁶ div (60 + rank), so the oracle replays both rankings AND
+    * the fused scores bit-for-bit — the standard candidate-generation
+    * shape for dedup/decontamination lookups that need both lexical
+    * and semantic recall. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{InvertedIndex, IvfIndex, Retrieval}
+    import org.apache.spark.sql.expressions.Window
+    val lexPath = tempWorkDir("graft_q141_lex_")
+    InvertedIndex.build(Tables.documents(s, d), "doc_id", "text",
+      nBuckets = 16, lexPath, positions = false)
+    val lex = InvertedIndex
+      .bm25Search(InvertedIndex.load(s, lexPath), bm25Terms, k = 20)
+      // bounded 20-row list: the unpartitioned rank window is fine
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(s, d)
+    val semPath = tempWorkDir("graft_q141_sem_")
+    IvfIndex.build(emb, "vec_id", "embedding", "label", semPath)
+    val sem = IvfIndex.topK(
+        IvfIndex.load(s, semPath, "vec_id", "embedding", "label"),
+        emb.filter(col("vec_id") === 0), k = 20, nprobe = 2)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(lex, sem), "doc_id", k = 10)
+  }
+
+  val hybridRrfSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
+    s"""WITH bm AS (${bm25SearchSql.replace("\n", "\n  ")}),
+       |bmr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+       |ann AS (
+       |  WITH med AS (
+       |    SELECT label, embedding::DOUBLE[] AS mv
+       |    FROM embeddings e
+       |    JOIN (SELECT label AS ml, min(vec_id) AS mid
+       |          FROM embeddings GROUP BY 1) m
+       |      ON e.vec_id = m.mid AND e.label = m.ml),
+       |  q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |        FROM embeddings WHERE vec_id = 0),
+       |  routed AS (SELECT query_id, qv, label FROM (
+       |      SELECT q.query_id, q.qv, med.label,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY ${cos("q.qv", "med.mv")} DESC, med.label) AS r
+       |      FROM q CROSS JOIN med) t WHERE r <= 2),
+       |  c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+       |  scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |      ${cos("qv", "cv")} AS similarity
+       |    FROM routed JOIN c ON routed.label = c.label
+       |    WHERE query_id <> c.vec_id),
+       |  r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY similarity DESC, neighbor_id) AS rank FROM scored)
+       |  SELECT neighbor_id AS doc_id, rank FROM r WHERE rank <= 20),
+       |u AS (SELECT doc_id, rank FROM bmr
+       |      UNION ALL SELECT doc_id, rank FROM ann),
+       |f AS (SELECT doc_id, count(*) AS n_lists,
+       |        sum(1000000 // (60 + rank))::BIGINT AS rrf_score
+       |      FROM u GROUP BY 1)
+       |SELECT doc_id, n_lists, rrf_score FROM f
+       |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** Exact heavy hitters (tokens covering ≥1% of the corpus token
     * stream) through the Misra-Gries candidate pass + exact-confirm
     * second pass ([[graft.operators.Frequency]]) — identical output to
@@ -497,6 +565,7 @@ object TextQueries {
     Q("q64_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     Q("q90_bm25_search", bm25Search, Some(bm25SearchSql)),
     Q("q128_bm25_indexed", bm25Indexed, Some(bm25SearchSql)),
+    Q("q141_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("q91_heavy_tokens", heavyTokens, Some(heavyTokensSql)),
     Q("q95_bpe_merge_pairs", bpeMergeCandidates, Some(bpeMergeCandidatesSql)))
 }
