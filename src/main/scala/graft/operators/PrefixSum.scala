@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -54,18 +56,29 @@ object PrefixSum {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = partials.keys.toSeq.sorted
     val offsets = pids.zip(
-      pids.scanLeft(0L)((acc, p) => acc + partials(p)).init).toMap
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-      when(col("__pid") === p, lit(off)).otherwise(acc)
-    }
+      pids.scanLeft(0L)((acc, p) => acc + partials(p)).init)
+    // The offsets ride back as a broadcast-joined (pid → offset) frame,
+    // NOT a chained `when` literal: a fold of nParts `when` branches is
+    // an expression tree that grows with nParts (a codegen/analysis
+    // hazard at nParts=10k), while a broadcast hash join of nParts rows
+    // stays flat at any width.
+    val session = df.sparkSession
+    val offFrame = session.createDataFrame(offsets.map {
+      case (p, off) => org.apache.spark.sql.Row(p, off) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__off_pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     // phase 2: per-partition running sum + the broadcast offset. The
     // window partitions by __pid, so no task ever sees more than one
     // range's rows.
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = parted
-      .withColumn(cumCol, offCol + sum(valCol.cast("long")).over(w))
-      .drop("__pid")
+      .join(broadcast(offFrame), col("__pid") === col("__off_pid"))
+      .withColumn(cumCol, col("__off") + sum(valCol.cast("long")).over(w))
+      .drop("__pid", "__off_pid", "__off")
     (out, Seq(parted))
   }
 

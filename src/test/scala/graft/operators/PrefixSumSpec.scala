@@ -21,7 +21,11 @@ class PrefixSumSpec extends SparkSpec {
       .withColumn("cw", sum($"w").over(Window.orderBy($"id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .as[(Long, Long, Long)].collect().toSet
-    for (nParts <- Seq(1, 7, 64)) {
+    // 1024 > the row count of many range partitions AND far past where
+    // a chained-`when` offset literal would bloat the expression tree —
+    // pins that the broadcast-joined offsets stay value-identical at
+    // widths the old shape couldn't reach
+    for (nParts <- Seq(1, 7, 64, 1024)) {
       val got = PrefixSum.globalCumsum(df, Seq(col("id")), col("w"),
           "cw", nParts)
         .as[(Long, Long, Long)].collect().toSet
