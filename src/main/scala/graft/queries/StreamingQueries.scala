@@ -167,9 +167,79 @@ object StreamingQueries {
       |  (sum(${sqlCents("value")}))::BIGINT AS value_cents
       |FROM sess GROUP BY 1, 2, session_idx""".stripMargin
 
+  /** q142: [[EventStreams.spendingMilestones]] — the multi-output
+    * flatMapGroupsWithState state machine — under the replay gate.
+    * Unlike q125/q126 (complete-mode STATE snapshots), Append output
+    * means each drain's `foreachBatch` sees exactly the milestones
+    * EMITTED by that micro-batch, so the snapshot-per-step is the
+    * emission stream itself and the oracle must reproduce not the
+    * final state but the per-step deltas: with strictly positive
+    * event values the per-user running total is monotone, so the
+    * milestones a step emits are exactly the 10 000-cent multiples in
+    * `(total before the step, total after the step]` — a lag window +
+    * a lateral `generate_series`, with no dependence on intra-batch
+    * order. Timeline = q125's 3-way event_id split, one file + one
+    * full drain per step. */
+  def streamingMilestones(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val dir = tempWorkDir("graft_q142_")
+    val srcDir = s"$dir/in"
+    def arrive(step: Int): Unit =
+      events.filter(pmod(col("event_id"), lit(3)) === step)
+        .coalesce(1).write.mode("append").json(srcDir)
+    arrive(0)
+    val step = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = EventStreams.spendingMilestones(
+        EventStreams.readJsonStream(s, srcDir).as[EventStreams.Event])
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (emitted: Dataset[EventStreams.Milestone], _: Long) =>
+        if (!emitted.isEmpty) {
+          val g = step.getAndIncrement()
+          emitted.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/snap/step=$g")
+        }
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      (1 to 2).foreach { i => arrive(i); query.processAllAvailable() }
+    } finally query.stop()
+    require(step.get() == 3, s"expected 3 emission batches, got ${step.get()}")
+    (0 until 3).map(g => s.read.parquet(s"$dir/snap/step=$g")
+        .withColumn("step", lit(g)))
+      .reduce(_ unionByName _)
+      .select(col("step"), col("user_id"), col("milestone_cents"))
+  }
+
+  val streamingMilestonesSql: String =
+    s"""WITH e AS (
+      |  SELECT event_id % 3 AS part, user_id,
+      |    ${sqlCents("value")} AS c
+      |  FROM events),
+      |steps AS (SELECT * FROM unnest([0,1,2]) t(step)),
+      |pt AS (
+      |  SELECT step, user_id,
+      |    sum(CASE WHEN part <= step THEN c ELSE 0 END)::BIGINT AS tot
+      |  FROM steps, e GROUP BY 1, 2),
+      |w AS (
+      |  SELECT step, user_id, tot,
+      |    coalesce(lag(tot) OVER (PARTITION BY user_id ORDER BY step),
+      |      0) AS prev
+      |  FROM pt)
+      |SELECT step, user_id, (m * 10000)::BIGINT AS milestone_cents
+      |FROM w, unnest(generate_series(prev // 10000 + 1,
+      |  tot // 10000)) t(m)""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q125_streaming_histogram", streamingHistogram,
       Some(streamingHistogramSql)),
     Q("q126_streaming_sessions", streamingSessions,
-      Some(streamingSessionsSql)))
+      Some(streamingSessionsSql)),
+    Q("q142_streaming_milestones", streamingMilestones,
+      Some(streamingMilestonesSql)))
 }
