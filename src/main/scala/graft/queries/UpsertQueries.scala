@@ -250,10 +250,64 @@ object UpsertQueries {
     t.aggSnapshot
   }
 
+  /** Stats-pruned scan over the bucketed CDC table
+    * ([[graft.streaming.BucketedCdcTable.scanWhere]]): orders publish
+    * range-clustered on price (so each data file's per-file min/max
+    * manifest stats cover a narrow price slice), one change batch
+    * folds in (its rewritten buckets get fresh — wide — stats), and a
+    * price-range read then skips every file whose `[min, max]` misses
+    * the range, on top of the manifest's bucket/generation pruning.
+    * The oracle is the post-batch state filtered to the same range —
+    * equivalence of the skipping scan with the plain filtered
+    * snapshot; the measured skip fraction is pinned in
+    * BucketedCdcTableSpec. */
+  def statsPrunedScan(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"))
+    val bkt = DataMix.hashBucket(col("o_orderkey"), Seed)
+    val changes = base.filter(bkt < 100000)
+      .select(lit("delete").as("op"), col("o_orderkey"),
+        col("o_orderstatus"), col("price_cents"))
+      .unionByName(base.filter(bkt >= 100000 && bkt < 200000)
+        .select(lit("update").as("op"), col("o_orderkey"),
+          lit("U").as("o_orderstatus"), col("price_cents")))
+    val dir = tempWorkDir("graft_q143_")
+    val t = new graft.streaming.BucketedCdcTable(
+      s, dir, "o_orderkey", nBuckets = 8,
+      statsCols = Seq("price_cents"))
+    t.publish(base.repartitionByRange(8, col("price_cents")))
+    t.applyBatch(changes)
+    t.scanWhere("price_cents", 5000000L, 10000000L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_cents")).as("price_cents"))
+  }
+
+  val statsPrunedScanSql: String =
+    s"""WITH b AS (
+       |  SELECT o_orderkey, o_orderstatus, ${sqlCents("o_totalprice")}
+       |      AS price_cents,
+       |    ('0x'||substr(md5(o_orderkey::VARCHAR || '#$Seed'),1,15))::BIGINT
+       |      % 1000000 AS bkt
+       |  FROM orders),
+       |g1 AS (
+       |  SELECT o_orderkey, o_orderstatus, price_cents FROM b
+       |  WHERE bkt >= 200000
+       |  UNION ALL
+       |  SELECT o_orderkey, 'U', price_cents FROM b
+       |  WHERE bkt >= 100000 AND bkt < 200000)
+       |SELECT o_orderstatus, count(*) AS n_orders,
+       |  (sum(price_cents))::BIGINT AS price_cents
+       |FROM g1
+       |WHERE price_cents BETWEEN 5000000 AND 10000000
+       |GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q63_merge_upsert", mergeOrders, Some(mergeOrdersSql)),
     Q("q114_cdc_time_travel", cdcTimeTravel, Some(cdcTimeTravelSql)),
     Q("q107_snapshot_diff", snapshotDiffOrders, Some(snapshotDiffOrdersSql)),
     Q("q111_incremental_agg", incrementalAgg, Some(mergeOrdersSql)),
-    Q("q134_bucketed_cdc_agg", bucketedCdcAgg, Some(mergeOrdersSql)))
+    Q("q134_bucketed_cdc_agg", bucketedCdcAgg, Some(mergeOrdersSql)),
+    Q("q143_stats_pruned_scan", statsPrunedScan, Some(statsPrunedScanSql)))
 }

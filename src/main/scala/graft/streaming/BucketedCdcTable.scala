@@ -42,7 +42,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 final class BucketedCdcTable(
     spark: SparkSession, dir: String, keyCol: String, nBuckets: Int,
     opCol: String = "op", seqCol: Option[String] = None,
-    autoCompactAt: Int = 16) {
+    autoCompactAt: Int = 16, statsCols: Seq[String] = Nil) {
   require(nBuckets >= 1, s"nBuckets $nBuckets")
   require(autoCompactAt >= 2, s"autoCompactAt $autoCompactAt")
 
@@ -75,12 +75,14 @@ final class BucketedCdcTable(
 
   /** Publish a full base snapshot as generation 0 (or the next
     * generation when called again): every bucket's data lands under
-    * this generation. */
+    * this generation. Range-cluster `df` on the stats columns upstream
+    * (`repartitionByRange` / [[graft.operators.Layout]] z-order) to
+    * make the per-file min/max ranges narrow — hash bucketing routes
+    * KEYS to directories, but the write tasks' row clustering is what
+    * [[scanWhere]]'s file skipping feeds on. */
   def publish(df: DataFrame): Unit = {
     val next = gen + 1
-    df.withColumn(Bkt, bucketOf(col(keyCol)))
-      .write.mode("overwrite").partitionBy(Bkt)
-      .parquet(s"$dir/data/gen=$next")
+    writeGen(df.withColumn(Bkt, bucketOf(col(keyCol))), next)
     writeManifest((0 until nBuckets).map((_, next)), next)
     gen = next
   }
@@ -131,6 +133,80 @@ final class BucketedCdcTable(
     val out = s"$dir/data/gen=$g"
     if (rows.isEmpty) rows.write.mode("overwrite").parquet(out)
     else rows.write.mode("overwrite").partitionBy(Bkt).parquet(out)
+    if (statsCols.nonEmpty) writeStats(g)
+  }
+
+  /** Per-FILE manifest stats for generation `g`: one row per data file
+    * written at `g` carrying `(file, __bkt, min_c, max_c …)` for every
+    * stats column — the data-skipping layer of the manifest. Cost ∝
+    * the generation just written (one re-read of the new files), never
+    * the table. Stats columns are cast to LONG: integral min/max is
+    * the portability contract (the cents discipline), and it keeps the
+    * stats file one flat typed schema for any column set. Stats land
+    * BEFORE the manifest flips ([[writeGen]] precedes
+    * [[writeManifest]] everywhere), so a committed manifest always has
+    * its stats and a torn attempt's stats are orphans recovery never
+    * reads — the same crash contract as the data files. */
+  private def writeStats(g: Int): Unit = {
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    spark.read.parquet(s"$dir/data/gen=$g")
+      // relative to $dir/data: manifests stay valid if the table moves
+      .withColumn("file",
+        substring_index(input_file_name(), "/data/", -1))
+      .groupBy(col("file"), col(Bkt).cast("int").as(Bkt))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats/gen=$g")
+  }
+
+  /** The files a range predicate `lo <= statsCol <= hi` must read
+    * under the current manifest, next to the snapshot's total file
+    * count — the data-skipping decision, exposed for measurement. A
+    * file survives iff its `[min, max]` intersects `[lo, hi]`; a null
+    * min/max (stats column all-null in that file) keeps the file —
+    * skipping is an optimization, never a correctness gate. Stats must
+    * have been configured from the table's first write (every
+    * referenced generation carries a stats file). */
+  def pruneFiles(statsCol: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    require(statsCols.contains(statsCol),
+      s"$statsCol not in statsCols $statsCols")
+    val m = readManifest(gen)
+    val current = m.toSet
+    val rows = m.map(_._2).distinct.sorted.map(g =>
+        spark.read.parquet(s"$dir/stats/gen=$g"))
+      .reduce(_ unionByName _)
+      .select(col("file"), col(Bkt),
+        col(s"min_$statsCol"), col(s"max_$statsCol"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      // a file belongs to the snapshot iff the manifest maps its
+      // bucket to the generation that wrote it (encoded in its path)
+      .filter { case (f, b, _, _) =>
+        f.split("/").head.stripPrefix("gen=").toIntOption
+          .exists(fg => current((b, fg))) }
+    val kept = rows.collect {
+      case (f, _, mn, mx)
+          if mn.isEmpty || mx.isEmpty ||
+            (mn.get <= hi && mx.get >= lo) => f
+    }
+    (kept.toSeq, rows.length)
+  }
+
+  /** Snapshot rows satisfying `lo <= statsCol <= hi`, reading ONLY the
+    * files whose min/max range intersects — predicate-level skipping
+    * on top of the manifest's bucket-level pruning. Equivalent to
+    * `snapshot.filter(col(statsCol).between(lo, hi))` by construction
+    * (the exact predicate is still applied; stats only drop files that
+    * cannot contain a match). */
+  def scanWhere(statsCol: String, lo: Long, hi: Long): DataFrame = {
+    val (files, _) = pruneFiles(statsCol, lo, hi)
+    val pred = col(statsCol).cast("long").between(lo, hi)
+    if (files.isEmpty) snapshot.limit(0).filter(pred)
+    else spark.read.parquet(files.map(f => s"$dir/data/$f"): _*)
+      .filter(pred)
   }
 
   /** Fold one change batch in, rewriting only the buckets its keys

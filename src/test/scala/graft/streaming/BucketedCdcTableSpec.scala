@@ -119,6 +119,61 @@ class BucketedCdcTableSpec extends SparkSpec {
     assert(t2.table.generation == t.table.generation)
   }
 
+  test("scanWhere ≡ snapshot.filter, and stats skip files on clustered data") {
+    val dir = tmp("cdcstats")
+    val t = new BucketedCdcTable(spark, dir, "k", nBuckets = 4,
+      statsCols = Seq("v"))
+    // range-cluster on v upstream of publish: 8 task ranges × 4 hash
+    // buckets → ~32 files, each covering ~1/8th of the v domain
+    val wide = (1L to 2000L).map(k => (k, s"g${k % 5}", k)).toDF("k", "g", "v")
+    t.publish(wide.repartitionByRange(8, $"v"))
+    def expect(lo: Long, hi: Long) =
+      t.snapshot.filter($"v".between(lo, hi))
+        .as[(Long, String, Long)].collect().toSet
+    assert(t.scanWhere("v", 100L, 300L)
+      .as[(Long, String, Long)].collect().toSet == expect(100L, 300L))
+    val (kept, total) = t.pruneFiles("v", 100L, 300L)
+    assert(total >= 16, s"expected many files, got $total")
+    // [100, 300] spans ≤ 2 of the 8 task ranges → ≤ 2/8 of the files
+    // (+1 range for boundary straddle)
+    assert(kept.size <= total * 3 / 8,
+      s"kept ${kept.size} of $total — stats skipped nothing")
+    // a change batch rewrites its touched buckets WITHOUT clustering;
+    // those files get wide ranges (correct, just unskippable) while
+    // untouched buckets keep their narrow gen-0 stats
+    t.applyBatch(Seq(("update", 150L, "gX", 9999L), ("delete", 200L, "", 0L),
+      ("insert", 5000L, "gN", 250L)).toDF("op", "k", "g", "v"))
+    assert(t.scanWhere("v", 100L, 300L)
+      .as[(Long, String, Long)].collect().toSet == expect(100L, 300L))
+    assert(t.scanWhere("v", 9000L, 10000L)
+      .as[(Long, String, Long)].collect().toSet == expect(9000L, 10000L))
+    // the out-of-base-domain probe reads only gen-1's rewritten files
+    val (kept2, total2) = t.pruneFiles("v", 9000L, 10000L)
+    assert(kept2.nonEmpty && kept2.forall(_.startsWith("gen=1/")),
+      s"$kept2 of $total2")
+  }
+
+  test("a torn stats+data write is invisible to scanWhere recovery") {
+    val dir = tmp("cdcstatstorn")
+    val t = new BucketedCdcTable(spark, dir, "k", nBuckets = 4,
+      statsCols = Seq("v"))
+    t.publish(base)
+    t.applyBatch(batches.head)
+    val expect = t.scanWhere("v", 0L, 500L)
+      .as[(Long, String, Long)].collect().toSet
+    // simulate a crash mid-commit of gen 2: data + stats landed, the
+    // manifest (the commit point) did not
+    Seq("data", "stats").foreach { sub =>
+      val p = new java.io.File(s"$dir/$sub/gen=2"); p.mkdirs()
+      java.nio.file.Files.write(p.toPath.resolve("_SUCCESS"), Array[Byte]())
+    }
+    val t2 = new BucketedCdcTable(spark, dir, "k", nBuckets = 4,
+      statsCols = Seq("v"))
+    assert(t2.generation == 1)
+    assert(t2.scanWhere("v", 0L, 500L)
+      .as[(Long, String, Long)].collect().toSet == expect)
+  }
+
   test("flat CdcTable recovers its generation across construction") {
     val dir = tmp("cdcflatrec")
     val t = new CdcTable(spark, dir, "k")
