@@ -83,10 +83,7 @@ object IvfPq {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("__sc", ProductQuant.scoreArray(col("__v"), centroids))
-      .withColumn("cluster",
-        (array_position(col("__sc"), array_min(col("__sc"))) - 1)
-          .cast("int"))
+      .withColumn("cluster", ProductQuant.nearestCode(col("__v"), centroids))
       .withColumn("__cent",
         element_at(centroidsLit(centroids), col("cluster") + 1))
       .select(col(idCol), col("cluster"),
@@ -104,11 +101,8 @@ object IvfPq {
       .select(col(idCol) :: col("cluster") :: (0 until m).map(s =>
         slice(col("__rv"), s * sub + 1, sub).as(s"__s$s")).toList: _*)
       .select(col(idCol) :: col("cluster") :: (0 until m).map(s =>
-        ProductQuant.scoreArray(col(s"__s$s"), model.books(s))
-          .as(s"__sc$s")).toList: _*)
-      .select(col(idCol) :: col("cluster") :: (0 until m).map(s =>
-        (array_position(col(s"__sc$s"), array_min(col(s"__sc$s"))) - 1)
-          .cast("int").as(s"__c$s")).toList: _*)
+        ProductQuant.nearestCode(col(s"__s$s"), model.books(s))
+          .as(s"__c$s")).toList: _*)
   }
 
   private def writeIncrement(batch: DataFrame, idCol: String,

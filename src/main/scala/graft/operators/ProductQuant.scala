@@ -70,12 +70,8 @@ object ProductQuant {
       .select((0 until m).map(s =>
         slice(col("__v"), s * sub + 1, sub).as(s"__s$s")): _*)
     (1 to iters).foreach { _ =>
-      val scored = base.select((0 until m).flatMap(s => Seq(
-        col(s"__s$s"),
-        scoreArray(col(s"__s$s"), books(s)).as(s"__sc$s"))): _*)
-      val assigned = scored.select((0 until m).map(s => struct(
-        (array_position(col(s"__sc$s"), array_min(col(s"__sc$s"))) - 1)
-          .cast("int").as("code"),
+      val assigned = base.select((0 until m).map(s => struct(
+        nearestCode(col(s"__s$s"), books(s)).as("code"),
         col(s"__s$s").as("sv")).as(s"__a$s")): _*)
       val sums = assigned
         .select(explode(array((0 until m).map(s =>
@@ -125,10 +121,22 @@ object ProductQuant {
     * expressions, each referenced exactly once — a when-chain argmin
     * would embed its accumulator twice per step and blow the
     * expression tree up to 2^k nodes (measured: analysis alone spun
-    * for minutes at k=16). */
+    * for minutes at k=16). For the SCAN-side argmin use [[nearestCode]]
+    * instead: this literal form still emits O(k·subdim) expression
+    * nodes, which blows janino's 64 KB method limit at m=8/k=256 (the
+    * whole encode stage then runs interpreted) — it survives only
+    * where the full score VECTOR is needed on a handful of rows
+    * (multi-probe query routing). */
   private[operators] def scoreArray(sv: Column, cws: Seq[Array[Double]]): Column =
     array(cws.map(cw =>
       lit(norm2(cw)) - lit(2.0) * Similarity.dot(sv, litArray(cw))): _*)
+
+  /** First-minimum codeword index for one subvector column — the
+    * codegen'd [[graft.functions.PqNearestCode]] loop (codebook as a
+    * reference object: constant code size at any k), bit-identical to
+    * `array_position(scoreArray(..), array_min(scoreArray(..))) - 1`. */
+  private[operators] def nearestCode(sv: Column, cws: Seq[Array[Double]]): Column =
+    graft.functions.VectorFunctions.nearestCode(sv, cws)
 
   /** (id, __c0 … __c{m-1}) PQ codes for every corpus row — a pure
     * per-row projection (scan-side, no shuffle). code = index of the
@@ -148,10 +156,7 @@ object ProductQuant {
       .select(col(idCol) +: (0 until m).map(s =>
         slice(col("__v"), s * sub + 1, sub).as(s"__s$s")): _*)
       .select(col(idCol) +: (0 until m).map(s =>
-        scoreArray(col(s"__s$s"), books(s)).as(s"__sc$s")): _*)
-      .select(col(idCol) +: (0 until m).map(s =>
-        (array_position(col(s"__sc$s"), array_min(col(s"__sc$s"))) - 1)
-          .cast("int").as(s"__c$s")): _*)
+        nearestCode(col(s"__s$s"), books(s)).as(s"__c$s")): _*)
   }
 
   /** ADC top-k: per query, one LUT array per subspace (k dots against

@@ -363,11 +363,7 @@ object Similarity {
     val books = ProductQuant.trainCodebooksLloyd(
       corpus, idCol, vecCol, m = 1, k = k, iters = iters)
     corpus
-      .withColumn("__sc", ProductQuant.scoreArray(
+      .withColumn("cluster", ProductQuant.nearestCode(
         col(vecCol).cast("array<double>"), books.head))
-      .withColumn("cluster",
-        (array_position(col("__sc"), array_min(col("__sc"))) - 1)
-          .cast("int"))
-      .drop("__sc")
   }
 }
