@@ -111,6 +111,58 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance diversified rerank over a BOUNDED
+    * candidate pool (the post-retrieval stage: BM25/ANN top-k →
+    * [[rrfFuse]] → MMR is the standard relevance-with-diversity
+    * chain). Greedy: step 1 picks max relevance; step t picks
+    *
+    *   argmax  λ·rel(i) − (10⁶−λ)·max_{s∈S} sim(i, s)
+    *
+    * in EXACT integer ppm arithmetic (rel and pairwise cosines enter
+    * as ppm longs; λ is ppm, so scores are exact λ·rel − (10⁶−λ)·sim
+    * longs and the oracle replays every step bit-for-bit), ties on
+    * ascending id. The pairwise cosines are computed DISTRIBUTED
+    * (pool ⋈ pool scan-side — the pool is a top-k list, so the matrix
+    * is k² bounded rows); only the greedy selection — inherently
+    * sequential, k steps over ≤|pool| candidates — runs driver-side,
+    * the [[graft.operators.ProductQuant]] codebook pattern of bounded
+    * metadata, never data. Output: (rank, idCol, mmr_score). */
+  def mmrDiversify(pool: DataFrame, idCol: String, relCol: String,
+      vecCol: String, lambdaPpm: Long, k: Int): DataFrame = {
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L, s"lambda $lambdaPpm")
+    graft.functions.VectorFunctions.register(pool.sparkSession)
+    val simPpm = round(round(Similarity.cosine(col("__va"), col("__vb")),
+      6) * lit(1000000L), 0).cast("long")
+    val sims = pool.select(col(idCol).as("__ia"), col(vecCol).as("__va"))
+      .join(pool.select(col(idCol).as("__ib"), col(vecCol).as("__vb")),
+        col("__ia") < col("__ib"))
+      .select(col("__ia"), col("__ib"), simPpm.as("__sim"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val rels = pool
+      .select(col(idCol).cast("long"), col(relCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def sim(x: Long, y: Long): Long =
+      if (x < y) sims((x, y)) else sims((y, x))
+    var selected = Vector.empty[(Long, Long)]
+    var remaining = rels.toSeq
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.map { case (id, rel) =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(s => sim(id, s._1)).max
+        (id, lambdaPpm * rel - (1000000L - lambdaPpm) * maxSim)
+      }.minBy { case (id, score) => (-score, id) }
+      selected :+= best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    val spark = pool.sparkSession
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, score), i) => (i + 1, id, score) }
+      .toDF("rank", idCol, "mmr_score")
+  }
+
   /** DuckDB replay of [[bm25TopK]] (same fixed-point formula, `//` =
     * truncating integral division on BIGINT; `::BIGINT` pins DuckDB's
     * HUGEINT sums back to the long type Spark produces). */

@@ -451,7 +451,77 @@ object SimilarityQueries {
       |FROM enc GROUP BY 1""".stripMargin
   }
 
+  /** q144: MMR-diversified rerank
+    * ([[graft.operators.Retrieval.mmrDiversify]]) of vector 0's
+    * brute-force top-30 pool (q22's machinery): relevance enters as
+    * ppm of the 6-dp cosine, λ = 0.7, 8 greedy steps in exact integer
+    * arithmetic. The oracle replays the pool, the k² pairwise ppm
+    * cosines, and all 8 argmax steps as unrolled CTEs — every
+    * mmr_score must match to the integer. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pool = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 30)
+      .select(col("neighbor_id").as("vec_id"),
+        round(col("similarity") * lit(1000000L), 0).cast("long")
+          .as("rel_ppm"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    graft.operators.Retrieval
+      .mmrDiversify(pool, "vec_id", "rel_ppm", "embedding",
+        lambdaPpm = 700000L, k = 8)
+      .select(col("rank").cast("long").as("rank"), col("vec_id"),
+        col("mmr_score"))
+  }
+
+  val mmrRerankSql: String = {
+    val lam = 700000L
+    // max-sim-to-selected as a JOIN + GROUP BY, not a correlated
+    // scalar subquery: measured 25.3s → 0.1s at sf0.01 (DuckDB
+    // decorrelation was the entire cost), identical rows
+    val steps = (2 to 8).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT p.vec_id,
+         |    $lam*p.rel - ${1000000L - lam}*mx.m AS score
+         |  FROM pool p JOIN (SELECT sd.x, max(sd.sim) AS m
+         |      FROM simdir sd JOIN sel${t - 1} s ON sd.y = s.vec_id
+         |      GROUP BY sd.x) mx
+         |    ON mx.x = p.vec_id
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  ORDER BY score DESC, p.vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (SELECT vec_id FROM sel${t - 1}
+         |  UNION ALL SELECT vec_id FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 8).map(t =>
+      s"SELECT ${t}::BIGINT AS rank, vec_id, score AS mmr_score FROM s$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id = 0),
+       |c AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS cv
+       |     FROM embeddings WHERE vec_id <> 0),
+       |scored AS (SELECT vec_id, ${sqlCos("qv", "cv")} AS sim6
+       |  FROM c, q),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, CAST(round(sim6*1000000, 0) AS BIGINT) AS rel
+       |  FROM (SELECT *, row_number() OVER (ORDER BY sim6 DESC, vec_id)
+       |          AS r FROM scored) WHERE r <= 30),
+       |pe AS MATERIALIZED (
+       |  SELECT p.vec_id, c.cv FROM pool p JOIN c ON p.vec_id = c.vec_id),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    CAST(round(${sqlCos("a.cv", "b.cv")}*1000000, 0) AS BIGINT)
+       |      AS sim
+       |  FROM pe a JOIN pe b ON a.vec_id < b.vec_id),
+       |simdir AS MATERIALIZED (
+       |  SELECT ia AS x, ib AS y, sim FROM sims
+       |  UNION ALL SELECT ib, ia, sim FROM sims),
+       |s1 AS MATERIALIZED (SELECT vec_id, $lam*rel AS score FROM pool
+       |  ORDER BY score DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       |$steps
+       |$out""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q144_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q127_kmeans_clusters", kmeansClusters, Some(kmeansClustersSql)),
     Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
     Q("q87_quantized_ann", knnQuantized, Some(knnQuantizedSql)),
