@@ -492,31 +492,58 @@ object ProfileScratch {
           ms.map(m => s"${m.lhs}+${m.rhs}:${m.pair_cnt}").mkString(", "))
 
       case "ivfpqscale" =>
-        // IVF-PQ at scale: N planted-cluster vectors (the "ann"
-        // generator — center[c] + 1/10 noise) → IvfPq.build (coarse
-        // train + residual encode, codes partitioned by cluster) →
-        // recall vs the exact top-10 for 20 queries, with flat PQ at
-        // the SAME m/k code budget side by side. The evidence the
-        // composite exists for: on clustered corpora the residual
-        // books spend their 16 bits on the noise, not the centers.
+        // IVF-PQ at scale: N vectors with PLANTED LOCAL STRUCTURE →
+        // IvfPq.build (coarse train + residual encode, codes
+        // partitioned by cluster) → recall vs the exact top-10 for 20
+        // queries, with flat PQ at the SAME m/k code budget side by
+        // side. The corpus is 3-scale: coarse cluster center (the IVF
+        // routing signal) + a per-GROUP offset at 1/8 amplitude
+        // (groups of 20 members — each point's true neighborhood) +
+        // 1/64 per-member jitter. A purely-iid corpus is the WRONG
+        // measurement at 1M: nearest-neighbor distances concentrate
+        // (top-10 of 15k iid in-cluster points are no closer than
+        // rank-1000), so every quantizer scores 0.00 — measured here
+        // for both variants at m=4/k=16 AND m=8/k=256. Real embedding
+        // spaces have low intrinsic dimension locally; the planted
+        // groups model that, and make recall measure the OPERATOR
+        // (residual books resolve group offsets that flat books spend
+        // on cluster centers), not distance concentration.
         val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
         val nclusters = args.lift(2).map(_.toInt).getOrElse(64)
+        // 8 bytes/vector (m=8, k=256) by default — the production PQ
+        // budget
+        val pqM = args.lift(3).map(_.toInt).getOrElse(8)
+        val pqK = args.lift(4).map(_.toInt).getOrElse(256)
         val dim = 64
+        val groupSize = 20
+        val grp = expr(s"id div $groupSize")
         val corpus = spark.range(n).select(
           col("id").as("vec_id"),
           transform(sequence(lit(0), lit(dim - 1)),
-            j => (sin(pmod(col("id"), lit(nclusters)) * lit(31) + j) +
-              sin(col("id") * lit(131) + j * lit(17)) / lit(10))
+            j => (sin(pmod(grp, lit(nclusters)) * lit(31) + j) +
+              sin(grp * lit(131) + j * lit(17)) / lit(8) +
+              sin(col("id") * lit(257) + j * lit(29)) / lit(64))
               .cast("float")).as("embedding"))
         val path = java.nio.file.Files.createTempDirectory("ivfpq_scale")
           .resolve("ivfpq").toString
-        t(s"IvfPq.build: $n vecs, kc=$nclusters (1 Lloyd), m=4 k=16 (1 Lloyd)") {
+        // strided seeding (≈ n/k): first-k seeds cover only the first
+        // ~k/groupSize neighborhoods on id-correlated data and the
+        // codebook starts degenerate — measured 0.00 overlap for both
+        // variants at both 16-bit and 64-bit codes before the stride
+        val (cStride, pStride) =
+          (math.max(1L, n / nclusters), math.max(1L, n / pqK))
+        t(s"IvfPq.build: $n vecs, kc=$nclusters (1 Lloyd), m=$pqM k=$pqK " +
+            s"(1 Lloyd), strides=$cStride/$pStride") {
           operators.IvfPq.build(corpus, "vec_id", "embedding",
-            kc = nclusters, coarseIters = 1, m = 4, k = 16, pqIters = 1,
-            path)
+            kc = nclusters, coarseIters = 1, m = pqM, k = pqK, pqIters = 1,
+            path, coarseSeedStride = cStride, pqSeedStride = pStride)
         }
         val idx = operators.IvfPq.load(spark, path, "vec_id")
-        val queries = corpus.filter(col("vec_id") < 20)
+        // one member from each of 20 DISTINCT groups (ids 0, 20, …,
+        // 380): a query's true top-10 are its 19 group-mates
+        val queries = corpus.filter(
+          pmod(col("vec_id"), lit(groupSize)) === 0 &&
+            col("vec_id") < 20 * groupSize)
         def overlap(approx: org.apache.spark.sql.DataFrame): Double = {
           val e = operators.Similarity.bruteForceTopK(corpus, queries,
               "vec_id", "embedding", k = 10)
@@ -536,13 +563,14 @@ object ProfileScratch {
         val ivfRecall = t("recall IVF-PQ vs exact (incl. exact scan)") {
           overlap(ivfTop)
         }
-        val flatRecall = t("recall flat PQ (same m/k) vs exact") {
+        val flatRecall = t("recall flat PQ (same m/k + stride) vs exact") {
           overlap(operators.ProductQuant.pqTopK(corpus, queries,
-            "vec_id", "embedding", m = 4, k = 16, topK = 10,
-            lloydIters = 1))
+            "vec_id", "embedding", m = pqM, k = pqK, topK = 10,
+            lloydIters = 1, seedStride = pStride))
         }
         println(f"  -> mean top-10 overlap: ivfpq=$ivfRecall%.2f " +
-          f"flat=$flatRecall%.2f (n=$n, kc=$nclusters, nprobe=$probe)")
+          f"flat=$flatRecall%.2f (n=$n, kc=$nclusters, m=$pqM, k=$pqK, " +
+          f"nprobe=$probe)")
 
       case "invscale" =>
         // Inverted-index-at-scale smoke: N synthetic 30-token docs over

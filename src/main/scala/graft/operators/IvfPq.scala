@@ -64,13 +64,15 @@ object IvfPq {
     * the fixed-point Lloyd trainer, so the whole model replays
     * bit-for-bit in the oracle's unrolled CTEs. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      kc: Int, coarseIters: Int, m: Int, k: Int, pqIters: Int): Model = {
+      kc: Int, coarseIters: Int, m: Int, k: Int, pqIters: Int,
+      coarseSeedStride: Long = 1L, pqSeedStride: Long = 1L): Model = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val centroids = ProductQuant.trainCodebooksLloyd(
-      corpus, idCol, vecCol, m = 1, k = kc, iters = coarseIters).head
+      corpus, idCol, vecCol, m = 1, k = kc, iters = coarseIters,
+      seedStride = coarseSeedStride).head
     val books = ProductQuant.trainCodebooksLloyd(
       residuals(corpus, idCol, vecCol, centroids), idCol, "__rv",
-      m, k, pqIters)
+      m, k, pqIters, seedStride = pqSeedStride)
     Model(centroids, books)
   }
 
@@ -116,12 +118,14 @@ object IvfPq {
     * encoded under a DIFFERENT model — must not survive). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       kc: Int, coarseIters: Int, m: Int, k: Int, pqIters: Int,
-      path: String): Unit = {
+      path: String, coarseSeedStride: Long = 1L,
+      pqSeedStride: Long = 1L): Unit = {
     val spark = corpus.sparkSession
     val codesRoot = new org.apache.hadoop.fs.Path(s"$path/codes")
     val fs = codesRoot.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(codesRoot)) fs.delete(codesRoot, true)
-    val model = train(corpus, idCol, vecCol, kc, coarseIters, m, k, pqIters)
+    val model = train(corpus, idCol, vecCol, kc, coarseIters, m, k,
+      pqIters, coarseSeedStride, pqSeedStride)
     writeModel(spark, model, path)
     writeIncrement(corpus, idCol, vecCol, model, path, batchId = 0L)
   }

@@ -28,15 +28,32 @@ import org.apache.spark.sql.functions._
 object ProductQuant {
 
   /** Codebooks: `m` subspaces × `k` codewords, codeword c of subspace s
-    * = dims [s·sub, (s+1)·sub) of the (c+1)-th lowest-id corpus vector.
-    * Driver-side collect of k rows — bounded and intended. */
+    * = dims [s·sub, (s+1)·sub) of the (c+1)-th lowest-id corpus vector
+    * whose id is divisible by `seedStride`. Driver-side collect of k
+    * rows — bounded and intended.
+    *
+    * `seedStride` exists because first-k seeding (stride 1, the
+    * replay-stable default every oracle-gated query pins) DEGENERATES
+    * when ids correlate with content: on the 1M ivfpqscale corpus
+    * (20-member groups in consecutive ids) the first 256 seeds cover
+    * only ~13 distinct neighborhoods, duplicate seeds tie-break to the
+    * lower code, the rest of the book starts empty and Lloyd's
+    * keep-empty-cells rule can never revive it — measured 0.00 top-10
+    * overlap at ANY code budget. Stride ≈ n/k spreads the seeds across
+    * the id range while staying deterministic and SQL-replayable
+    * (`WHERE id % stride = 0 ORDER BY id LIMIT k` — q145 pins it). */
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int): Seq[Seq[Array[Double]]] = {
-    val seeds = corpus
+      m: Int, k: Int, seedStride: Long = 1L): Seq[Seq[Array[Double]]] = {
+    require(seedStride >= 1L, s"seedStride $seedStride")
+    val pool =
+      if (seedStride == 1L) corpus
+      else corpus.filter(pmod(col(idCol), lit(seedStride)) === 0)
+    val seeds = pool
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .orderBy(col(idCol)).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
-    require(seeds.length == k, s"corpus has < $k rows to seed codebooks")
+    require(seeds.length == k,
+      s"corpus has < $k rows to seed codebooks at stride $seedStride")
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
@@ -60,8 +77,9 @@ object ProductQuant {
     * is m·k·subdim rows — KBs collected, the [[trainCodebooks]]
     * pattern; cache the corpus upstream if iterating at scale. */
   def trainCodebooksLloyd(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, iters: Int): Seq[Seq[Array[Double]]] = {
-    var books = trainCodebooks(corpus, idCol, vecCol, m, k)
+      m: Int, k: Int, iters: Int,
+      seedStride: Long = 1L): Seq[Seq[Array[Double]]] = {
+    var books = trainCodebooks(corpus, idCol, vecCol, m, k, seedStride)
     if (iters <= 0) return books
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val sub = books.head.head.length
@@ -167,9 +185,11 @@ object ProductQuant {
     * hash-replay exactly. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, k: Int, topK: Int,
-      queryIdCol: String = "query_id", lloydIters: Int = 0): DataFrame = {
+      queryIdCol: String = "query_id", lloydIters: Int = 0,
+      seedStride: Long = 1L): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val books = trainCodebooksLloyd(corpus, idCol, vecCol, m, k, lloydIters)
+    val books = trainCodebooksLloyd(corpus, idCol, vecCol, m, k,
+      lloydIters, seedStride)
     val sub = books.head.head.length
     val coded = encode(corpus, idCol, vecCol, books)
     val q = broadcast(queries

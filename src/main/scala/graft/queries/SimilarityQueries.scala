@@ -280,6 +280,23 @@ object SimilarityQueries {
 
   private def pqAnnSqlFor(maxQuery: Int): String = pqSqlFor(maxQuery, 0)
 
+  /** q145: PQ-ANN under STRIDED seeding
+    * ([[graft.operators.ProductQuant.trainCodebooks]]'s seedStride) —
+    * codebook seeds are the k lowest ids divisible by 31, spread
+    * across the corpus instead of the first-k block. This is the
+    * production seeding rule the 1M ivfpqscale measurement forced
+    * (first-k covered ~13 of 50k planted neighborhoods and measured
+    * 0.00 recall at every code budget); the oracle replays the stride
+    * predicate, the encoding, and the ADC ranking. */
+  def pqAnnSeeded(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.operators.ProductQuant.pqTopK(emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      m = 4, k = 16, topK = 5, seedStride = 31L)
+  }
+
+  val pqAnnSeededSql: String = pqSqlFor(10, 0, seedStride = 31L)
+
   /** One unrolled Lloyd step: assign every subvector to its nearest
     * cb{i-1} codeword (same argmin + tie-break as the encoder), then
     * recenter each codeword on its members' per-dim mean — computed as
@@ -310,14 +327,17 @@ object SimilarityQueries {
   /** The full PQ pipeline (codebooks → `iters` Lloyd steps → encode →
     * LUT → ADC top-5) as one DuckDB query; iters=0 is q101/q106's
     * first-k-seeded variant. */
-  private[queries] def pqSqlFor(maxQuery: Int, iters: Int): String = {
+  private[queries] def pqSqlFor(maxQuery: Int, iters: Int,
+      seedStride: Long = 1L): String = {
     val lloyd =
       if (iters == 0) ""
       else (1 to iters).map(lloydIterSql(_)).mkString("", ",\n", ",\n")
     val cbN = s"cb$iters"
+    val seedPred =
+      if (seedStride == 1L) "" else s"WHERE vec_id % $seedStride = 0 "
     s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |seeds AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
-      |          FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)),
+      |          FROM (SELECT * FROM c ${seedPred}ORDER BY vec_id LIMIT 16)),
       |cb0 AS (SELECT s, code, v[s*16+1 : s*16+16] AS cw
       |       FROM seeds, unnest([0,1,2,3]) t(s)),
       |sv AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS sv
@@ -522,6 +542,7 @@ object SimilarityQueries {
 
   def all: Seq[Q] = Seq(
     Q("q144_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
+    Q("q145_pq_ann_seeded", pqAnnSeeded, Some(pqAnnSeededSql)),
     Q("q127_kmeans_clusters", kmeansClusters, Some(kmeansClustersSql)),
     Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
     Q("q87_quantized_ann", knnQuantized, Some(knnQuantizedSql)),
