@@ -514,15 +514,26 @@ object ProfileScratch {
         // budget
         val pqM = args.lift(3).map(_.toInt).getOrElse(8)
         val pqK = args.lift(4).map(_.toInt).getOrElse(256)
+        // components are HASH-uniform, not sin(linear): sin(g·131+…)
+        // aliases — 272·131 mod 2π ≈ 0.015, so "distinct" groups 0 and
+        // 272 collided at cos 1.0000 (and clusters 0/15 likewise),
+        // which put alias-twins in every true top-10 at separations
+        // below any quantizer's resolution. xxhash64 avalanche has no
+        // rational-angle structure, so neighborhoods are genuinely
+        // distinct at every scale.
         val dim = 64
         val groupSize = 20
         val grp = expr(s"id div $groupSize")
+        def u(salt: Int, key: org.apache.spark.sql.Column,
+            j: org.apache.spark.sql.Column) =
+          (pmod(xxhash64(lit(salt), key, j), lit(2001)) - lit(1000))
+            .cast("double") / lit(1000.0)
         val corpus = spark.range(n).select(
           col("id").as("vec_id"),
           transform(sequence(lit(0), lit(dim - 1)),
-            j => (sin(pmod(grp, lit(nclusters)) * lit(31) + j) +
-              sin(grp * lit(131) + j * lit(17)) / lit(8) +
-              sin(col("id") * lit(257) + j * lit(29)) / lit(64))
+            j => (u(1, pmod(grp, lit(nclusters)), j) +
+              u(2, grp, j) / lit(8) +
+              u(3, col("id"), j) / lit(64))
               .cast("float")).as("embedding"))
         val path = java.nio.file.Files.createTempDirectory("ivfpq_scale")
           .resolve("ivfpq").toString
@@ -563,14 +574,18 @@ object ProfileScratch {
         val ivfRecall = t("recall IVF-PQ vs exact (incl. exact scan)") {
           overlap(ivfTop)
         }
+        val refRecall = t(s"recall IVF-PQ + exact refine x10 vs exact") {
+          overlap(operators.IvfPq.topKRefined(idx, corpus, queries,
+            "embedding", k = 10, nprobe = probe, refine = 10))
+        }
         val flatRecall = t("recall flat PQ (same m/k + stride) vs exact") {
           overlap(operators.ProductQuant.pqTopK(corpus, queries,
             "vec_id", "embedding", m = pqM, k = pqK, topK = 10,
             lloydIters = 1, seedStride = pStride))
         }
         println(f"  -> mean top-10 overlap: ivfpq=$ivfRecall%.2f " +
-          f"flat=$flatRecall%.2f (n=$n, kc=$nclusters, m=$pqM, k=$pqK, " +
-          f"nprobe=$probe)")
+          f"refined=$refRecall%.2f flat=$flatRecall%.2f " +
+          f"(n=$n, kc=$nclusters, m=$pqM, k=$pqK, nprobe=$probe)")
 
       case "invscale" =>
         // Inverted-index-at-scale smoke: N synthetic 30-token docs over

@@ -56,9 +56,10 @@ object IvfPqQueries {
       |    ON ct.s = b.s AND ct.code = b.code)""".stripMargin
   }
 
-  /** The full IVF-PQ pipeline as one DuckDB query: top-5 ADC for
+  /** The full IVF-PQ pipeline as one DuckDB query: top-`topK` ADC for
     * queries `vec_id < maxQuery` at the given nprobe. */
-  private[queries] def ivfPqSqlFor(maxQuery: Int, nprobe: Int): String = {
+  private[queries] def ivfPqSqlFor(maxQuery: Int, nprobe: Int,
+      topK: Int = 5): String = {
     val coarse = (1 to CoarseIters).map(lloydStep("g", _, Dims))
       .mkString("", ",\n", ",\n")
     val pq = (1 to PqIters).map(lloydStep("p", _, Sub))
@@ -124,7 +125,7 @@ object IvfPqQueries {
       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |         ORDER BY approx_score DESC, neighbor_id) AS rank FROM scored)
       |SELECT query_id, neighbor_id, rank, approx_score FROM rk
-      |WHERE rank <= 5""".stripMargin
+      |WHERE rank <= $topK""".stripMargin
   }
 
   /** Build the persisted index once per call in a scratch dir —
@@ -202,7 +203,38 @@ object IvfPqQueries {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** q146: [[IvfPq.topKRefined]] — the ADC top-25 shortlist per query
+    * re-ranked by EXACT cosine (one candidate-pruned corpus scan),
+    * top-5 of the true scores shipped. The oracle replays the entire
+    * composite (q137's chain at topK=25) and then the re-rank:
+    * candidates joined back to raw vectors, 6-dp cosine, window. */
+  def ivfPqRefined(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    IvfPq.topKRefined(builtIndex(s, d, "graft_q146_"), emb,
+      emb.filter(col("vec_id") < 10), "embedding", k = 5, nprobe = 4,
+      refine = 5)
+  }
+
+  val ivfPqRefinedSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
+    s"""WITH sl AS MATERIALIZED (
+       |  ${ivfPqSqlFor(10, 4, topK = 25).replace("\n", "\n  ")}),
+       |cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+       |       FROM embeddings WHERE vec_id < 10),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id,
+       |    ${cos("qv.v", "cv.v")} AS similarity
+       |  FROM sl JOIN cv ON cv.vec_id = sl.neighbor_id
+       |          JOIN qv ON qv.qid = sl.query_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY similarity DESC, neighbor_id) AS rank FROM ex)
+       |SELECT query_id, neighbor_id, rank, similarity FROM rr
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q137_ivfpq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
-    Q("q138_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallSql)))
+    Q("q138_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallSql)),
+    Q("q146_ivfpq_refined", ivfPqRefined, Some(ivfPqRefinedSql)))
 }
