@@ -491,6 +491,69 @@ object ProfileScratch {
         println("  merges: " +
           ms.map(m => s"${m.lhs}+${m.rhs}:${m.pair_cnt}").mkString(", "))
 
+      case "ivfpqdebug" =>
+        // One-query microscope on the ivfpqscale pipeline: where does
+        // recall leak — routing, encoding, or ADC ranking?
+        val n = args.lift(1).map(_.toLong).getOrElse(20000L)
+        val nclusters = args.lift(2).map(_.toInt).getOrElse(16)
+        val (pqM, pqK) = (8, 256)
+        val dim = 64
+        val groupSize = 20
+        val grp = expr(s"id div $groupSize")
+        def u(salt: Int, key: org.apache.spark.sql.Column,
+            j: org.apache.spark.sql.Column) =
+          (pmod(xxhash64(lit(salt), key, j), lit(2001)) - lit(1000))
+            .cast("double") / lit(1000.0)
+        val corpus = spark.range(n).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (u(1, pmod(grp, lit(nclusters)), j) +
+              u(2, grp, j) / lit(8) +
+              u(3, col("id"), j) / lit(64))
+              .cast("float")).as("embedding")).cache()
+        val (cs, ps) = (math.max(1L, n / nclusters), math.max(1L, n / pqK))
+        val model = operators.IvfPq.train(corpus, "vec_id", "embedding",
+          kc = nclusters, coarseIters = 1, m = pqM, k = pqK, pqIters = 1,
+          coarseSeedStride = cs, pqSeedStride = ps)
+        val assigned = operators.IvfPq.residuals(
+          corpus, "vec_id", "embedding", model.centroids)
+          .select(col("vec_id"), col("cluster"))
+        println("cluster of 0 and mates 1..19, + counts:")
+        assigned.filter(col("vec_id") < 20).orderBy("vec_id").show(20)
+        val enc = operators.IvfPq.encodeAssigned(
+          corpus, "vec_id", "embedding", model)
+        println("codes of 0 and mates 1..19:")
+        enc.filter(col("vec_id") < 20).orderBy("vec_id").show(20, false)
+        val q = corpus.filter(col("vec_id") === 0)
+        println("exact top-10:")
+        operators.Similarity.bruteForceTopK(corpus, q, "vec_id",
+          "embedding", k = 10).orderBy("rank").show(10)
+        val path = java.nio.file.Files.createTempDirectory("ivfpq_dbg")
+          .resolve("i").toString
+        operators.IvfPq.build(corpus, "vec_id", "embedding",
+          kc = nclusters, coarseIters = 1, m = pqM, k = pqK, pqIters = 1,
+          path, coarseSeedStride = cs, pqSeedStride = ps)
+        val idx = operators.IvfPq.load(spark, path, "vec_id")
+        println("ADC top-20 (nprobe=half):")
+        operators.IvfPq.topK(idx, q, "embedding", k = 20,
+          nprobe = math.max(4, nclusters / 8)).orderBy("rank").show(20)
+        // replicate the ivfpqscale overlap measurement per query
+        val queries20 = corpus.filter(
+          pmod(col("vec_id"), lit(groupSize)) === 0 &&
+            col("vec_id") < 20 * groupSize)
+        val e20 = operators.Similarity.bruteForceTopK(corpus, queries20,
+            "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val a20 = operators.IvfPq.topK(idx, queries20, "embedding",
+          k = 10, nprobe = math.max(4, nclusters / 8))
+        println("per-query overlap of ADC top-10 with exact top-10:")
+        e20.join(a20.select(col("query_id").as("qq"),
+              col("neighbor_id").as("qn")),
+            col("query_id") === col("qq") &&
+              col("neighbor_id") === col("qn"), "left")
+          .groupBy(col("query_id")).agg(count(col("qn")).as("nc"))
+          .orderBy("query_id").show(20)
+
       case "ivfpqscale" =>
         // IVF-PQ at scale: N vectors with PLANTED LOCAL STRUCTURE →
         // IvfPq.build (coarse train + residual encode, codes
@@ -514,6 +577,8 @@ object ProfileScratch {
         // budget
         val pqM = args.lift(3).map(_.toInt).getOrElse(8)
         val pqK = args.lift(4).map(_.toInt).getOrElse(256)
+        val pqIters = args.lift(5).map(_.toInt).getOrElse(1)
+        val refine = args.lift(6).map(_.toInt).getOrElse(10)
         // components are HASH-uniform, not sin(linear): sin(g·131+…)
         // aliases — 272·131 mod 2π ≈ 0.015, so "distinct" groups 0 and
         // 272 collided at cos 1.0000 (and clusters 0/15 likewise),
@@ -544,9 +609,10 @@ object ProfileScratch {
         val (cStride, pStride) =
           (math.max(1L, n / nclusters), math.max(1L, n / pqK))
         t(s"IvfPq.build: $n vecs, kc=$nclusters (1 Lloyd), m=$pqM k=$pqK " +
-            s"(1 Lloyd), strides=$cStride/$pStride") {
+            s"($pqIters Lloyd), strides=$cStride/$pStride") {
           operators.IvfPq.build(corpus, "vec_id", "embedding",
-            kc = nclusters, coarseIters = 1, m = pqM, k = pqK, pqIters = 1,
+            kc = nclusters, coarseIters = 1, m = pqM, k = pqK,
+            pqIters = pqIters,
             path, coarseSeedStride = cStride, pqSeedStride = pStride)
         }
         val idx = operators.IvfPq.load(spark, path, "vec_id")
@@ -574,18 +640,19 @@ object ProfileScratch {
         val ivfRecall = t("recall IVF-PQ vs exact (incl. exact scan)") {
           overlap(ivfTop)
         }
-        val refRecall = t(s"recall IVF-PQ + exact refine x10 vs exact") {
+        val refRecall = t(s"recall IVF-PQ + exact refine x$refine vs exact") {
           overlap(operators.IvfPq.topKRefined(idx, corpus, queries,
-            "embedding", k = 10, nprobe = probe, refine = 10))
+            "embedding", k = 10, nprobe = probe, refine = refine))
         }
         val flatRecall = t("recall flat PQ (same m/k + stride) vs exact") {
           overlap(operators.ProductQuant.pqTopK(corpus, queries,
             "vec_id", "embedding", m = pqM, k = pqK, topK = 10,
-            lloydIters = 1, seedStride = pStride))
+            lloydIters = pqIters, seedStride = pStride))
         }
         println(f"  -> mean top-10 overlap: ivfpq=$ivfRecall%.2f " +
           f"refined=$refRecall%.2f flat=$flatRecall%.2f " +
-          f"(n=$n, kc=$nclusters, m=$pqM, k=$pqK, nprobe=$probe)")
+          f"(n=$n, kc=$nclusters, m=$pqM, k=$pqK, iters=$pqIters, " +
+          f"refine=$refine, nprobe=$probe)")
 
       case "invscale" =>
         // Inverted-index-at-scale smoke: N synthetic 30-token docs over

@@ -254,16 +254,19 @@ object IvfPq {
   }
 
   /** ADC shortlist → EXACT re-rank — the "+R" of IVFADC+R, and where
-    * serving recall actually comes from: ADC error is bounded by the
-    * quantization cell, so the true top-k survives in the ADC
-    * top-(k·refine) long before it wins the ADC top-k outright
-    * (ivfpqscale: 1.00 → 9.85 of 10 at refine=10 on the 1M planted
-    * corpus). The shortlist (k·refine rows per query — bounded)
-    * broadcasts into ONE candidate-pruned scan of the raw corpus;
-    * exact 6-dp cosines re-rank it. Output shape =
-    * [[Similarity.bruteForceTopK]] (query_id, neighbor_id, rank,
-    * similarity), so refined results drop into every recall harness
-    * unchanged. */
+    * serving recall actually comes from: ADC ties/errors are bounded
+    * by the quantization CELL, so the true top-k is recoverable once
+    * the shortlist covers the query's cellmates — size `k·refine` to
+    * ≳ n/(k_code-cells actually occupied), i.e. the expected cell
+    * population, not a constant (ivfpqscale measured the failure:
+    * with ~4000 cellmates at 1M, refine=10 recovered nothing and
+    * refine=400 recovers the neighborhood — still a 0.4%-of-corpus
+    * exact rescore, ~250× cheaper than brute force). The shortlist
+    * (k·refine rows per query — bounded) broadcasts into ONE
+    * candidate-pruned scan of the raw corpus; exact 6-dp cosines
+    * re-rank it. Output shape = [[Similarity.bruteForceTopK]]
+    * (query_id, neighbor_id, rank, similarity), so refined results
+    * drop into every recall harness unchanged. */
   def topKRefined(index: Index, corpus: DataFrame, queries: DataFrame,
       vecCol: String, k: Int, nprobe: Int, refine: Int,
       queryIdCol: String = "query_id"): DataFrame = {
