@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{DataMix, TextAnalysis => TA}
+import graft.operators.{DataMix, Selection, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -253,7 +253,90 @@ object DataMixQueries {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1""".stripMargin
 
+  /** DSIR importance selection ([[graft.operators.Selection]]): score
+    * every document by how 'en'-like its hashed-bigram distribution is
+    * (target = the English slice, raw = the whole pool) and take the
+    * top 100. The oracle replays the ENTIRE estimator — bigram
+    * explode, portable bucket hash, both smoothed ppb distributions,
+    * the capped ppm ratio, and the per-doc weighted average — in
+    * integer SQL. */
+  private val selBuckets = 1024
+  private val resampleStep = 25000000L
+
+  def importanceSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Selection.importanceScores(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", selBuckets, portable = true)
+      .orderBy(col("score_ppm").desc, col("doc_id")).limit(100)
+  }
+
+  /** Shared oracle body: per-doc importance scores. */
+  private val importanceScoresCtes: String =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    ('0x'||substr(md5(toks[i] || ' ' || toks[i+1]),1,15))::BIGINT
+       |      % $selBuckets AS bucket
+       |  FROM (SELECT doc_id, lang,
+       |          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents) d,
+       |    unnest(range(1, len(toks))) t(i)
+       |  WHERE len(toks) >= 2),
+       |docb AS MATERIALIZED (
+       |  SELECT doc_id, bucket, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+       |rawc AS (SELECT bucket, sum(cnt)::BIGINT AS r_cnt
+       |         FROM docb GROUP BY 1),
+       |tgtc AS (SELECT bucket, count(*)::BIGINT AS t_cnt
+       |         FROM pairs WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cnt) FROM docb)::BIGINT AS r_tot,
+       |               (SELECT count(*) FROM pairs WHERE lang = 'en')::BIGINT
+       |                 AS t_tot),
+       |w AS (
+       |  SELECT s.range AS bucket,
+       |    least((((coalesce(t_cnt, 0) + 1) * 1000000000
+       |             // (t_tot + $selBuckets)) * 1000000)
+       |      // greatest((coalesce(r_cnt, 0) + 1) * 1000000000
+       |             // (r_tot + $selBuckets), 1),
+       |      1000000000000) AS w_ppm
+       |  FROM range(0, $selBuckets) s
+       |  LEFT JOIN tgtc ON s.range = tgtc.bucket
+       |  LEFT JOIN rawc ON s.range = rawc.bucket
+       |  CROSS JOIN tot),
+       |scores AS (
+       |  SELECT doc_id, sum(cnt)::BIGINT AS n_ngrams,
+       |    (sum(cnt * w_ppm) // sum(cnt))::BIGINT AS score_ppm
+       |  FROM docb JOIN w USING (bucket) GROUP BY 1)""".stripMargin
+
+  val importanceSelectSql: String =
+    s"""$importanceScoresCtes
+       |SELECT doc_id, n_ngrams, score_ppm FROM scores
+       |ORDER BY score_ppm DESC, doc_id LIMIT 100""".stripMargin
+
+  /** DSIR importance RESAMPLING: systematic PPS over the scores —
+    * pick rate ∝ target-likeness, expected n = Σscore/step,
+    * deterministic and seedless. Full selected membership (plus the
+    * exact cumulative weight) is the gated output. */
+  def importanceResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Selection.importanceResample(
+      Selection.importanceScores(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", selBuckets, portable = true),
+      "doc_id", resampleStep)
+  }
+
+  val importanceResampleSql: String =
+    s"""$importanceScoresCtes,
+       |c AS (SELECT doc_id, n_ngrams, score_ppm,
+       |    (sum(score_ppm) OVER (ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_weight
+       |  FROM scores)
+       |SELECT doc_id, n_ngrams, score_ppm, cum_weight FROM c
+       |WHERE cum_weight // $resampleStep >
+       |      (cum_weight - score_ppm) // $resampleStep""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q147_importance_select", importanceSelect, Some(importanceSelectSql)),
+    Q("q148_importance_resample", importanceResample,
+      Some(importanceResampleSql)),
     Q("q133_global_packing", globalPacking, Some(globalPackingSql)),
     Q("q129_systematic_sample", systematicSampleQ, Some(systematicSampleSql)),
     Q("q45_split_stats", splitStats, Some(splitStatsSql)),
