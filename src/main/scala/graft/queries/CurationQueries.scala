@@ -294,7 +294,104 @@ object CurationQueries {
        |FROM rk GROUP BY 1, 2""".stripMargin
   }
 
+  /** [[graft.operators.QualityModel]] — linear quality probe trained
+    * by exact-integer full-batch GD (12 iterations, η = 1000/lrDen).
+    * Demo target on this corpus: the long-document slice
+    * (n_chars ≥ 250), learnable from the text-shape features alone.
+    * q149 gates the full weight TRAJECTORY (the oracle re-trains the
+    * model as 12 unrolled CTE iterations); q150 gates per-label score
+    * aggregates under the final weights. */
+  private val probeIters = 12
+  private val probeLrDen = 1000L
+
+  private def probeDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("label", (col("n_chars") >= 250L).cast("long"))
+
+  def qualityProbeTrain(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.QualityModel
+    val hist = QualityModel.train(probeDocs(s, d), "text", "label",
+      probeIters, probeLrDen)
+    import s.implicits._
+    hist.zipWithIndex.map { case (w, i) =>
+      ((i + 1).toLong, w(0), w(1), w(2), w(3), w(4))
+    }.toDF("iter", "w0", "w1", "w2", "w3", "w4")
+  }
+
+  /** Shared oracle fragment: feature CTE + unrolled GD iterations
+    * it1..it{probeIters}. */
+  private def probeCtes: String = {
+    val nTok = """len(regexp_extract_all(text, '\S+'))"""
+    val nStop =
+      """len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it)\b'))"""
+    val nPunct = """len(regexp_extract_all(text, '[.,;:!?]'))"""
+    val nChar = """length(regexp_replace(text, '\s', '', 'g'))"""
+    val dot = (0 until 5).map(j => s"w.w$j*f$j").mkString(" + ")
+    val iters = (1 to probeIters).map { i =>
+      val sums = (0 until 5).map(j =>
+        s"sum(f$j * (($dot) // 1000 - y)) AS s$j").mkString(",\n  ")
+      val upds = (0 until 5).map(j =>
+        s"(w.w$j - (g.s$j // nn.n) // $probeLrDen)::BIGINT AS w$j")
+        .mkString(", ")
+      s"""g$i AS MATERIALIZED (SELECT
+         |  $sums
+         |  FROM feats, it${i - 1} w),
+         |it$i AS MATERIALIZED (SELECT $upds FROM g$i g, it${i - 1} w, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH feats AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS label,
+       |    1000 AS f0,
+       |    least(1000, ($nStop * 10000) // greatest($nTok, 1)) AS f1,
+       |    least(1000, ($nPunct * 4000) // greatest($nTok, 1)) AS f2,
+       |    least(1000, $nTok * 10) AS f3,
+       |    least(1000, ($nChar * 100) // greatest($nTok, 1)) AS f4,
+       |    CASE WHEN n_chars >= 250 THEN 1000000 ELSE 0 END AS y
+       |  FROM documents),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM feats),
+       |it0 AS (SELECT ${(0 until 5).map(j => s"0::BIGINT AS w$j").mkString(", ")}),
+       |$iters""".stripMargin
+  }
+
+  val qualityProbeTrainSql: String = {
+    val rows = (1 to probeIters).map(i =>
+      s"SELECT $i::BIGINT AS iter, w0, w1, w2, w3, w4 FROM it$i")
+      .mkString("\n UNION ALL ")
+    s"$probeCtes\n$rows"
+  }
+
+  def qualityProbeScores(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.QualityModel
+    val docs = probeDocs(s, d)
+    val w = QualityModel.train(docs, "text", "label",
+      probeIters, probeLrDen).last
+    QualityModel.score(docs, "text", w)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality_ppm")).as("score_sum"),
+        min(col("quality_ppm")).as("min_q"),
+        max(col("quality_ppm")).as("max_q"),
+        sum(when(col("quality_ppm") >= 500000L, 1L).otherwise(0L))
+          .as("n_pred_pos"))
+  }
+
+  val qualityProbeScoresSql: String = {
+    val dot = (0 until 5).map(j => s"w.w$j*f$j").mkString(" + ")
+    s"""$probeCtes,
+       |sc AS (SELECT label, ($dot) // 1000 AS q
+       |       FROM feats, it$probeIters w)
+       |SELECT label::BIGINT AS label, count(*) AS n_docs,
+       |  sum(q)::BIGINT AS score_sum, min(q)::BIGINT AS min_q,
+       |  max(q)::BIGINT AS max_q,
+       |  sum(CASE WHEN q >= 500000 THEN 1 ELSE 0 END)::BIGINT AS n_pred_pos
+       |FROM sc GROUP BY 1""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q149_quality_probe_train", qualityProbeTrain,
+      Some(qualityProbeTrainSql)),
+    Q("q150_quality_probe_scores", qualityProbeScores,
+      Some(qualityProbeScoresSql)),
     Q("q54_repetition_quality", repetitionQuality, Some(repetitionQualitySql)),
     Q("q55_boilerplate_ngrams", boilerplate, Some(boilerplateSql)),
     Q("q56_split_contamination", contamination, Some(contaminationSql)),
