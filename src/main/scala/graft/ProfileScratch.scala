@@ -491,6 +491,109 @@ object ProfileScratch {
         println("  merges: " +
           ms.map(m => s"${m.lhs}+${m.rhs}:${m.pair_cnt}").mkString(", "))
 
+      case "timertie" =>
+        // Boundary pin for q151's oracle: does a timer whose expiry
+        // EQUALS the watermark fire? Arm user 1's timer at exactly
+        // 10:01:00.000 (event 10:00:00 + 60s gap); a user-2 event at
+        // 10:01:10.000 with a 10s delay puts the watermark at exactly
+        // 10:01:00.000. If user 1 emits before the far-future flush,
+        // the comparison is `expiry <= watermark`; if only after, `<`.
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.streaming.EventStreams
+        import spark.implicits._
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        implicit val sqlCtx = spark.sqlContext
+        val in = MemoryStream[EventStreams.Event]
+        def ev(id: Long, t: String, user: Long) = EventStreams.Event(
+          id, java.sql.Timestamp.valueOf(t), user, "click", 1.0, "{}")
+        val q = EventStreams.timerSessions(
+            in.toDS().withWatermark("ts", "10 seconds"), gapMs = 60000L)
+          .writeStream.format("memory").queryName("timer_tie")
+          .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          in.addData(ev(1, "2026-01-01 10:00:00", 1))
+          q.processAllAvailable()
+          in.addData(ev(2, "2026-01-01 10:01:10", 2))
+          q.processAllAvailable()
+          val atTie = spark.table("timer_tie")
+            .as[EventStreams.SessionSummary].collect().toList
+          println(s"at exact tie (wm == expiry): $atTie")
+          in.addData(ev(3, "2026-01-01 12:00:00", 3))
+          q.processAllAvailable()
+          val after = spark.table("timer_tie")
+            .as[EventStreams.SessionSummary].collect().toList
+          println(s"after flush: $after")
+          println(if (atTie.exists(_.user_id == 1L))
+            "VERDICT: expiry <= watermark fires (ties FIRE)"
+          else "VERDICT: expiry < watermark fires (ties HOLD)")
+        } finally q.stop()
+
+      case "timerscratch" =>
+        // Microscope on transformWithState event-time timer mechanics:
+        // which micro-batch (data vs no-data) fires timers, and how
+        // emissions attribute to file-timeline drains — the empirical
+        // basis for q151's oracle.
+        import org.apache.spark.sql.{Dataset, Row}
+        import graft.streaming.EventStreams
+        val events = Tables.events(spark, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+        val half = events
+          .agg((min(unix_micros(col("ts"))) +
+            ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 2)
+              .cast("long")).as("h")).head().getLong(0)
+        val gmax = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        println(s"half=$half gmax=$gmax")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_timerscratch_").toString
+        val srcDir = s"$dir/in"
+        def arrive(df: org.apache.spark.sql.DataFrame): Unit =
+          df.coalesce(1).write.mode("append")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            .json(srcDir)
+        arrive(events.filter(unix_micros(col("ts")) <= half))
+        val drain = new java.util.concurrent.atomic.AtomicInteger(0)
+        import spark.implicits._
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val query = EventStreams.timerSessions(
+            EventStreams.readJsonStream(spark, srcDir)
+              .withWatermark("ts", "1 hour").as[EventStreams.Event],
+            gapMs = 30L * 60 * 1000)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .foreachBatch { (emitted: Dataset[EventStreams.SessionSummary],
+              batchId: Long) =>
+            val rows = emitted.collect()
+            println(s"DRAIN ${drain.get()} batch $batchId: " +
+              s"${rows.length} emitted" +
+              (if (rows.nonEmpty)
+                 rows.sortBy(_.user_id).take(8).mkString(" [", ", ", "…]")
+               else ""))
+          }
+          .start()
+        try {
+          query.processAllAvailable()
+          drain.incrementAndGet()
+          arrive(events.filter(unix_micros(col("ts")) > half))
+          query.processAllAvailable()
+          drain.incrementAndGet()
+          arrive(spark.range(1).select(lit(999999L).as("event_id"),
+            timestamp_micros(lit(gmax + 7L * 86400000000L)).as("ts"),
+            lit(999999L).as("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props")))
+          query.processAllAvailable()
+          drain.incrementAndGet()
+          arrive(spark.range(1).select(lit(999998L).as("event_id"),
+            timestamp_micros(lit(gmax + 14L * 86400000000L)).as("ts"),
+            lit(999998L).as("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props")))
+          query.processAllAvailable()
+        } finally query.stop()
+        println("done; per-user session count sanity follows")
+
       case "ivfpqdebug" =>
         // One-query microscope on the ivfpqscale pipeline: where does
         // recall leak — routing, encoding, or ADC ranking?

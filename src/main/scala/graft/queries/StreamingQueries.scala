@@ -235,11 +235,148 @@ object StreamingQueries {
       |FROM w, unnest(generate_series(prev // 10000 + 1,
       |  tot // 10000)) t(m)""".stripMargin
 
+  /** q151: [[EventStreams.timerSessions]] — transformWithState with
+    * EVENT-TIME TIMERS — under the replay gate. Unlike q126 (native
+    * session windows, which emit whole sessions from the window
+    * operator's own state), here session CLOSE is an explicit timer
+    * the processor re-arms at `last event + gap` on every input row,
+    * so which drain a session emits in is decided by the watermark
+    * race, batch by batch. The mechanics this oracle replays were
+    * pinned empirically (ProfileScratch `timerscratch`/`timertie`):
+    * (1) each drain runs a data batch (emits nothing — the in-force
+    * watermark predates the batch) then a no-data batch that fires
+    * every timer with `expiry <= watermark` (ties FIRE); (2) all of a
+    * key's rows in one drain fold into ONE open accumulator — a
+    * re-arm, never an intra-batch split — so session identity is a
+    * function of the timeline, which the file replay makes
+    * deterministic; (3) the watermark is `max event ms seen − 1h`,
+    * taking effect one batch late. Timeline = q126's half split, plus
+    * a far-future sentinel (user −1, +7 days) whose only job is to
+    * push the watermark past every armed timer — drain 2 therefore
+    * emits exactly the sessions still open after drain 1, making the
+    * result a total partition of all real sessions. The oracle
+    * unrolls the three drains: close at drain 0 iff
+    * `l0 + gap <= wm0`; otherwise part-1 rows MERGE into the open
+    * accumulator (greatest last-ts, summed counts) and close at
+    * drain 1 iff `<= wm1`, else at the flush. State is one
+    * (n, cents, last_ts) triple + one timer per ACTIVE key —
+    * watermark-bounded, the 100-TB shape for billions of keys. */
+  def streamingTimerSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val Row(half: Long, gmaxUs: Long) = events
+      .agg((min(unix_micros(col("ts"))) +
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 2)
+          .cast("long")).as("h"),
+        max(unix_micros(col("ts"))).as("g"))
+      .head()
+    val dir = tempWorkDir("graft_q151_")
+    val srcDir = s"$dir/in"
+    def arrive(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(srcDir)
+    arrive(events.filter(unix_micros(col("ts")) <= half))
+    val step = new java.util.concurrent.atomic.AtomicInteger(0)
+    // transformWithState requires the RocksDB provider; scope it to
+    // this query and restore whatever the session had before
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val query = EventStreams.timerSessions(
+          EventStreams.readJsonStream(s, srcDir)
+            .withWatermark("ts", "1 hour").as[EventStreams.Event],
+          gapMs = 30L * 60 * 1000)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch {
+          (emitted: Dataset[EventStreams.SessionSummary], _: Long) =>
+            if (!emitted.isEmpty) {
+              val g = step.getAndIncrement()
+              emitted.coalesce(1).write.mode("overwrite")
+                .parquet(s"$dir/snap/step=$g")
+            }
+        }
+        .start()
+      try {
+        query.processAllAvailable()
+        arrive(events.filter(unix_micros(col("ts")) > half))
+        query.processAllAvailable()
+        arrive(s.range(1).select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(gmaxUs + 7L * 86400000000L)).as("ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props")))
+        query.processAllAvailable()
+      } finally query.stop()
+    } finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    require(step.get() == 3, s"expected 3 emission batches, got ${step.get()}")
+    (0 until 3).map(g => s.read.parquet(s"$dir/snap/step=$g")
+        .withColumn("step", lit(g)))
+      .reduce(_ unionByName _)
+      .filter(col("user_id") >= 0)
+      .select(col("step"), col("user_id"), col("n_events"),
+        col("total_cents"), col("closed_at_ms"))
+  }
+
+  val streamingTimerSessionsSql: String =
+    s"""WITH bounds AS (
+      |  SELECT min(epoch_us(ts)) +
+      |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS half
+      |  FROM events),
+      |e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    ${sqlCents("value")} AS cents,
+      |    CASE WHEN epoch_us(ts) <= half THEN 0 ELSE 1 END AS part
+      |  FROM events, bounds),
+      |wm AS (
+      |  SELECT max(CASE WHEN part = 0 THEN ms END) - 3600000 AS wm0,
+      |    max(ms) - 3600000 AS wm1
+      |  FROM e),
+      |agg AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN part = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN part = 0 THEN cents ELSE 0 END)::BIGINT AS c0,
+      |    max(CASE WHEN part = 0 THEN ms END) AS l0,
+      |    sum(CASE WHEN part = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN part = 1 THEN cents ELSE 0 END)::BIGINT AS c1,
+      |    max(CASE WHEN part = 1 THEN ms END) AS l1
+      |  FROM e GROUP BY 1),
+      |flags AS (
+      |  SELECT agg.*, (l0 IS NOT NULL AND l0 + 1800000 <= wm0) AS closed0
+      |  FROM agg, wm),
+      |a1 AS (
+      |  SELECT user_id,
+      |    CASE WHEN closed0 THEN n1 ELSE n0 + n1 END AS n,
+      |    CASE WHEN closed0 THEN c1 ELSE c0 + c1 END AS c,
+      |    CASE WHEN closed0 THEN l1
+      |         ELSE greatest(coalesce(l0, l1), coalesce(l1, l0)) END AS l
+      |  FROM flags),
+      |s0 AS (
+      |  SELECT 0 AS step, user_id, n0 AS n_events, c0 AS total_cents,
+      |    l0 + 1800000 AS closed_at_ms
+      |  FROM flags WHERE closed0),
+      |s12 AS (
+      |  SELECT CASE WHEN l + 1800000 <= wm1 THEN 1 ELSE 2 END AS step,
+      |    user_id, n AS n_events, c AS total_cents,
+      |    l + 1800000 AS closed_at_ms
+      |  FROM a1, wm WHERE n > 0)
+      |SELECT * FROM s0 UNION ALL SELECT * FROM s12""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q125_streaming_histogram", streamingHistogram,
       Some(streamingHistogramSql)),
     Q("q126_streaming_sessions", streamingSessions,
       Some(streamingSessionsSql)),
     Q("q142_streaming_milestones", streamingMilestones,
-      Some(streamingMilestonesSql)))
+      Some(streamingMilestonesSql)),
+    Q("q151_streaming_timer_sessions", streamingTimerSessions,
+      Some(streamingTimerSessionsSql)))
 }

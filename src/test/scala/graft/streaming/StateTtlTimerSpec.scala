@@ -81,6 +81,32 @@ class StateTtlTimerSpec extends SparkSpec {
     }
   }
 
+  test("a timer whose expiry EQUALS the watermark fires (ties fire)") {
+    // q151's oracle closes sessions with `last_ts + gap <= watermark`;
+    // this pins the `<=` (vs `<`) against the engine. User 1 arms a
+    // timer at exactly 10:01:00.000; user 2's event at 10:01:10 with a
+    // 10s delay puts the watermark at exactly 10:01:00.000.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[EventStreams.Event]
+      val sessions = EventStreams.timerSessions(
+        in.toDS().withWatermark("ts", "10 seconds"), gapMs = 60000L)
+      val q = sessions.writeStream.format("memory").queryName("timer_tie")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        in.addData(ev(1, "2026-01-01 10:00:00", 1, 1.0))
+        q.processAllAvailable()
+        in.addData(ev(2, "2026-01-01 10:01:10", 2, 1.0))
+        q.processAllAvailable()
+        val atTie = spark.table("timer_tie")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(atTie == Set((1L, 1L, 100L,
+          ts("2026-01-01 10:01:00").getTime)),
+          "expiry == watermark must FIRE, and nothing else may close")
+      } finally q.stop()
+    }
+  }
+
   test("TTL state: idle key restarts from zero, in-TTL key keeps its total") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
