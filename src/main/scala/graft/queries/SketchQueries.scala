@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, GraphRank, Similarity}
+import graft.operators.{Dedup, GraphRank, Hll, Similarity}
 import graft.functions.KmvSketch
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -376,7 +376,84 @@ object SketchQueries {
        |  (tri_sampled * 8)::BIGINT AS est_triangles, exact_triangles
        |FROM sne, stri, etri""".stripMargin
 
+  /** q152: [[Hll.registers]] — the HyperLogLog register file itself,
+    * per event type over event_id. Oracle recomputes every register
+    * (bucket = top 10 hash bits, rho = first-1-bit position in the
+    * next 31) in ANSI SQL, so the whole hash→bucket→rho→max pipeline
+    * is pinned at the REGISTER level — the mergeable state a 100-TB
+    * rollup ships between shards — not just at the estimate. */
+  def hllRegisters(s: SparkSession, d: String): DataFrame =
+    Hll.registers(Tables.events(s, d), col("event_id"), Seq("event_type"))
+
+  val hllRegistersSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    ('0x'||substr(md5(event_id::VARCHAR),1,15))::BIGINT AS h
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, h >> 50 AS bucket,
+      |    (h >> 19) & 2147483647 AS rem
+      |  FROM h)
+      |SELECT event_type, bucket,
+      |  max(CASE WHEN rem = 0 THEN 32
+      |           ELSE 32 - length(bin(rem)) END)::BIGINT AS register
+      |FROM b GROUP BY 1, 2""".stripMargin
+
+  /** q153: [[Hll.merge]] + [[Hll.estimate]] — shard register files
+    * (event_id parity split) merged via elementwise max, then the
+    * exact-integer raw estimator, joined against the true distinct
+    * count with a signed integer-ppm error column. The Spark side
+    * going THROUGH the two-shard merge while the oracle computes the
+    * global registers directly is the mergeability gate: max-of-max
+    * must equal the one-pass register file bit for bit. */
+  def hllEstimate(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val shards = Seq(0, 1).map(p =>
+      Hll.registers(events.filter(pmod(col("event_id"), lit(2)) === p),
+        col("event_id"), Seq("event_type")))
+    val est = Hll.estimate(Hll.merge(shards: _*), Seq("event_type"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("event_id")).as("exact_distinct"))
+    est.join(exact, "event_type")
+      .withColumn("err_ppm",
+        expr("((est_raw - exact_distinct) * 1000000) div exact_distinct"))
+  }
+
+  val hllEstimateSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    ('0x'||substr(md5(event_id::VARCHAR),1,15))::BIGINT AS h
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, h >> 50 AS bucket,
+      |    (h >> 19) & 2147483647 AS rem
+      |  FROM h),
+      |r AS (
+      |  SELECT event_type, bucket,
+      |    max(CASE WHEN rem = 0 THEN 32
+      |             ELSE 32 - length(bin(rem)) END)::BIGINT AS reg
+      |  FROM b GROUP BY 1, 2),
+      |e AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_set,
+      |    (sum(1::BIGINT << (32 - reg)::INTEGER)
+      |      + (1024 - count(*)) * 4294967296)::BIGINT AS den_scaled
+      |  FROM r GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, count(DISTINCT event_id)::BIGINT AS exact_distinct
+      |  FROM events GROUP BY 1),
+      |est AS (
+      |  SELECT event_type, n_set, den_scaled,
+      |    ((720541 * (4503599627370496 // den_scaled)) // 1000000)::BIGINT
+      |      AS est_raw
+      |  FROM e)
+      |SELECT est.event_type, n_set, den_scaled, est_raw, exact_distinct,
+      |  (((est_raw - exact_distinct) * 1000000) // exact_distinct)::BIGINT
+      |    AS err_ppm
+      |FROM est JOIN x ON est.event_type = x.event_type""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q152_hll_registers", hllRegisters, Some(hllRegistersSql)),
+    Q("q153_hll_estimate", hllEstimate, Some(hllEstimateSql)),
     Q("q135_sampled_triangles", knnTrianglesSampled,
       Some(knnTrianglesSampledSql)),
     Q("q130_knn_triangles", knnTriangles, Some(knnTrianglesSql)),
