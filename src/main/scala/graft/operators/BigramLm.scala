@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model "perplexity" scoring in EXACT fixed-point —
+  * the CCNet/GPT-3 quality-filter recipe (train a small LM on a
+  * reference slice, keep low-perplexity documents), shrunk to an
+  * engine-replayable model the DuckDB oracle can recompute bit for
+  * bit.
+  *
+  * Model: Laplace-smoothed bigram LM. p(w2|w1) = (c12+1)/(c1+V) with
+  * c1 = bigram-PREFIX count (so Σ_w2 p = 1) and V = training vocab
+  * size. A document's score is its average per-bigram negative
+  * log-likelihood — avg nll = Σ (log2(c1+V) − log2(c12+1)) / n — in
+  * MILLI-BITS, so low = fluent, high = surprising, exactly the
+  * quantity CCNet thresholds on (perplexity = 2^(nll/1000)).
+  *
+  * The whole point is the log: a float `log2` would put each engine's
+  * last ulp inside the contract (the q79 lesson). Instead `ilog2Milli`
+  * is a FIXED-POINT log2 both engines evaluate identically from
+  * integer ops only: 1000·⌊log2 n⌋ from the shared `length(bin(n))`
+  * bit-length idiom, plus a mantissa correction looked up by the top
+  * 9 bits from a 256-entry table of PINNED integer literals (generated
+  * once here, embedded in both dialects — never recomputed via either
+  * engine's math library). Max log error: log2(1+2⁻⁸) ≈ 5.6 milli-bits
+  * ≈ 0.4% in perplexity — noise for a filter whose decision margins
+  * are 2-10×.
+  *
+  * Scale shape: training is two `groupBy(count)` passes over the
+  * reference slice's bigrams; scoring is two shuffle joins (bigram →
+  * counts) + one per-doc aggregate. No driver-side data: V enters as
+  * a broadcast single-row aggregate. Stopword-headed bigram keys are
+  * the natural skew — AQE skew-join splits them; the joins carry only
+  * (w1, w2, counts), never document text.
+  */
+object BigramLm {
+
+  /** Log scale: scores are in milli-bits (1000 · log2). */
+  val LogScale = 1000L
+
+  /** Mantissa correction table: tbl(i−256) = round(1000·(log2 i − 8))
+    * for i ∈ [256, 511]. Values are data, not math — both dialects
+    * embed these exact literals. */
+  val MantissaTable: IndexedSeq[Long] = (256 until 512).map(i =>
+    math.round(LogScale * (math.log(i) / math.log(2.0) - 8.0)))
+
+  private val tblSpark = MantissaTable.mkString("array(", ",", ")")
+
+  /** DuckDB list literal for the oracle (1-indexed downstream). */
+  def tblDuck: String = MantissaTable.mkString("[", ",", "]") + "::BIGINT[]"
+
+  /** Spark-dialect fixed-point log2 of a positive integral SQL
+    * expression: 1000·(bitlen−1) + tbl[top 9 bits]. `e` must be ≥ 1
+    * and free of side effects (it is repeated). */
+  def ilog2MilliSpark(e: String): String =
+    s"""($LogScale * (length(bin($e)) - 1) + element_at($tblSpark,
+       |  cast(CASE WHEN length(bin($e)) >= 9
+       |    THEN shiftright($e, cast(length(bin($e)) - 9 AS INT))
+       |    ELSE shiftleft($e, cast(9 - length(bin($e)) AS INT)) END
+       |    AS INT) - 255))""".stripMargin
+
+  /** DuckDB-dialect twin — requires a CTE exposing `tbl` (from
+    * [[tblDuck]]) in scope. */
+  def ilog2MilliDuck(e: String): String =
+    s"""($LogScale * (length(bin($e)) - 1) + tbl[(CASE
+       |  WHEN length(bin($e)) >= 9 THEN $e >> (length(bin($e)) - 9)
+       |  ELSE $e << (9 - length(bin($e))) END) - 255])""".stripMargin
+
+  /** (id, w1, w2) — consecutive lowercase whitespace-token pairs. */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.whitespaceTokens(lower(trim(col(textCol))))
+    docs.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("w1"),
+          element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+  }
+
+  /** Train on `trainDocs`, score every document of `docs`:
+    * (id, n_bigrams, nll_sum_milli, avg_nll_milli). Documents with
+    * fewer than two tokens have no bigrams and are absent — a
+    * length-based gate, not this model's job. */
+  def scoreDocs(docs: DataFrame, trainDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val tb = bigrams(trainDocs, idCol, textCol)
+    val bi = tb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = tb.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = tb.agg(countDistinct(col("w1")).as("vv"))
+    bigrams(docs, idCol, textCol)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        (coalesce(col("c1"), lit(0L)) + col("vv")).as("den"),
+        (coalesce(col("c12"), lit(0L)) + lit(1L)).as("num"))
+      .withColumn("nll",
+        expr(ilog2MilliSpark("den")) - expr(ilog2MilliSpark("num")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum_milli"))
+      .withColumn("avg_nll_milli", expr("nll_sum_milli div n_bigrams"))
+  }
+}

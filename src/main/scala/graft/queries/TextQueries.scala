@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.operators.{BigramLm, Dedup, Lifecycle, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -550,7 +550,76 @@ object TextQueries {
        |     unnest(t) u(tok)
        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""".stripMargin
 
+  /** q154: [[BigramLm.scoreDocs]] — Laplace-smoothed bigram-LM
+    * negative log-likelihood per document, fixed-point milli-bits.
+    * Trained on the deterministic doc_id%5=0 reference slice, scored
+    * over the whole corpus. The oracle re-trains the counts AND
+    * re-evaluates the fixed-point log2 from the same pinned 256-entry
+    * mantissa table, so the scores hash-match to the last milli-bit —
+    * a perplexity filter with no float anywhere in the contract. */
+  def bigramLmScores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    BigramLm.scoreDocs(docs, docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text")
+  }
+
+  val bigramLmScoresSql: String = {
+    import graft.operators.BigramLm.{ilog2MilliDuck, tblDuck}
+    s"""WITH t AS (SELECT ${tblDuck} AS tbl),
+      |docs AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+')
+      |    AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM docs, unnest(range(1, len(toks))) u(i)
+      |  WHERE len(toks) >= 2),
+      |tbg AS (SELECT w1, w2 FROM bg WHERE doc_id % 5 = 0),
+      |bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM tbg GROUP BY 1, 2),
+      |uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM tbg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w1)::BIGINT AS vv FROM tbg),
+      |sc AS (
+      |  SELECT bg.doc_id,
+      |    coalesce(c1, 0) + vv AS den, coalesce(c12, 0) + 1 AS num
+      |  FROM bg
+      |  LEFT JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+      |  LEFT JOIN uni ON bg.w1 = uni.w1
+      |  CROSS JOIN v),
+      |n AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |    sum(${ilog2MilliDuck("den")}
+      |      - ${ilog2MilliDuck("num")})::BIGINT AS nll_sum_milli
+      |  FROM sc, t GROUP BY 1)
+      |SELECT doc_id, n_bigrams, nll_sum_milli,
+      |  (nll_sum_milli // n_bigrams)::BIGINT AS avg_nll_milli
+      |FROM n""".stripMargin
+  }
+
+  /** q155: the CCNet-style KEEP decision — documents at or below the
+    * corpus median LM score (fluent half stays). Median over integral
+    * milli-bit scores rides the established exact-percentile parity
+    * (Spark `percentile` ≡ DuckDB `quantile_cont` on integers at
+    * p=0.5); the threshold stays internal, the kept set is the
+    * contract. At 100 TB the median comes from approx_percentile or
+    * the equi-depth scan (q136) — the decision shape is identical. */
+  def perplexityFilter(s: SparkSession, d: String): DataFrame = {
+    val scores = Lifecycle.materializeToScratch(bigramLmScores(s, d))
+    val med = scores.agg(
+      percentile(col("avg_nll_milli"), lit(0.5)).as("med"))
+    scores.crossJoin(broadcast(med))
+      .filter(col("avg_nll_milli") <= col("med"))
+      .select(col("doc_id"), col("avg_nll_milli"))
+  }
+
+  val perplexityFilterSql: String =
+    s"""WITH n AS MATERIALIZED ($bigramLmScoresSql),
+      |m AS (SELECT quantile_cont(avg_nll_milli, 0.5) AS med FROM n)
+      |SELECT doc_id, avg_nll_milli FROM n, m
+      |WHERE avg_nll_milli <= med""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q154_bigram_lm_scores", bigramLmScores, Some(bigramLmScoresSql)),
+    Q("q155_perplexity_filter", perplexityFilter, Some(perplexityFilterSql)),
     Q("q139_bpe_train", bpeTrain, Some(bpeTrainSql)),
     Q("q140_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("q15_text_stats", textStats, Some(textStatsSql)),
