@@ -451,9 +451,58 @@ object SketchQueries {
       |    AS err_ppm
       |FROM est JOIN x ON est.event_type = x.event_type""".stripMargin
 
+  /** q156: [[graft.streaming.HllRollupTable]] — the distinct-count
+    * rollup IVM can't do (COUNT DISTINCT isn't subtractable; exact
+    * maintenance would keep state ∝ history) — maintained through
+    * three on-disk generations, one per event_id%3 batch. The Spark
+    * side folds INCREMENTALLY (stored registers max-merged with each
+    * batch, generation-committed parquet between steps); the oracle
+    * recomputes every step's sketch FROM SCRATCH over the prefix, so
+    * maintain ≡ recompute is hash-proven at every generation, not
+    * asserted. Estimates are the exact-integer raw estimator. */
+  def hllRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.HllRollupTable
+    val events = Tables.events(s, d)
+    val t = new HllRollupTable(s, tempWorkDir("graft_q156_"),
+      Seq("event_type"))
+    (0 until 3).foreach(p =>
+      t.maintain(events.filter(pmod(col("event_id"), lit(3)) === p),
+        col("event_id")))
+    (0 until 3).map(g => t.estimates(g).withColumn("step", lit(g)))
+      .reduce(_ unionByName _)
+      .select(col("step"), col("event_type"), col("n_set"),
+        col("den_scaled"), col("est_raw"))
+  }
+
+  val hllRollupSql: String =
+    """WITH h AS (
+      |  SELECT event_type, event_id % 3 AS part,
+      |    ('0x'||substr(md5(event_id::VARCHAR),1,15))::BIGINT AS h
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type, part, h >> 50 AS bucket,
+      |    (h >> 19) & 2147483647 AS rem
+      |  FROM h),
+      |steps AS (SELECT * FROM unnest([0,1,2]) t(step)),
+      |r AS (
+      |  SELECT step, event_type, bucket,
+      |    max(CASE WHEN rem = 0 THEN 32
+      |             ELSE 32 - length(bin(rem)) END)::BIGINT AS reg
+      |  FROM steps JOIN b ON b.part <= step GROUP BY 1, 2, 3),
+      |e AS (
+      |  SELECT step, event_type, count(*)::BIGINT AS n_set,
+      |    (sum(1::BIGINT << (32 - reg)::INTEGER)
+      |      + (1024 - count(*)) * 4294967296)::BIGINT AS den_scaled
+      |  FROM r GROUP BY 1, 2)
+      |SELECT step, event_type, n_set, den_scaled,
+      |  ((720541 * (4503599627370496 // den_scaled)) // 1000000)::BIGINT
+      |    AS est_raw
+      |FROM e""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q152_hll_registers", hllRegisters, Some(hllRegistersSql)),
     Q("q153_hll_estimate", hllEstimate, Some(hllEstimateSql)),
+    Q("q156_hll_rollup", hllRollup, Some(hllRollupSql)),
     Q("q135_sampled_triangles", knnTrianglesSampled,
       Some(knnTrianglesSampledSql)),
     Q("q130_knn_triangles", knnTriangles, Some(knnTrianglesSql)),
