@@ -491,6 +491,64 @@ object ProfileScratch {
         println("  merges: " +
           ms.map(m => s"${m.lhs}+${m.rhs}:${m.pair_cnt}").mkString(", "))
 
+      case "hllscale" =>
+        // HLL at cardinalities the sf-dirs can't produce: N distinct
+        // keys (args(1), default 50M) through registers + estimate,
+        // plus a 16-shard merge. The claims under test: one pass,
+        // map-side combined (shuffle rows <= groups * 1024), flat
+        // driver, and the 1.04/sqrt(1024) error band at real N.
+        import graft.operators.Hll
+        val n = args.lift(1).map(_.toLong).getOrElse(50000000L)
+        val src = spark.range(n).select(
+          concat(lit("k"), col("id")).as("k"),
+          pmod(col("id"), lit(4)).as("g"))
+        val regs = Hll.registers(src, col("k"), Seq("g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nRegs = t(s"registers over $n keys")(regs.count())
+        println(s"  register rows: $nRegs (<= 4*1024)")
+        val est = t("estimate")(
+          Hll.estimate(regs, Seq("g"))
+            .select(col("g"), col("est_raw")).collect())
+        est.sortBy(_.getLong(0)).foreach { r =>
+          val per = n / 4
+          val err = (r.getLong(1) - per) * 100.0 / per
+          println(f"  g=${r.getLong(0)} est=${r.getLong(1)} exact=$per err=$err%.2f%%")
+        }
+        val sharded = t("16-shard build + merge")(
+          Hll.merge((0 until 16).map(p =>
+            Hll.registers(src.filter(pmod(xxhash64(col("k")), lit(16)) === p),
+              col("k"), Seq("g"))): _*))
+        println(s"  merge == one-pass: ${
+          sharded.exceptAll(regs).isEmpty && regs.exceptAll(sharded).isEmpty}")
+        regs.unpersist()
+
+      case "lmscale" =>
+        // Bigram LM at corpus scale: N synthetic docs (args(1), default
+        // 2M) of 40 tokens from a 50k-word zipf-ish vocab, trained on
+        // the 20% slice, scored end-to-end. The claims under test: the
+        // two count joins + per-doc aggregate survive 80M scoring
+        // bigrams, and throughput is join-bound, not driver-bound.
+        import graft.operators.BigramLm
+        val n = args.lift(1).map(_.toLong).getOrElse(2000000L)
+        val words = 50000L
+        // doc text: 40 words; squaring a uniform draw skews the vocab
+        // toward low ids (a crude zipf stand-in with realistic reuse)
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 40).map { i =>
+            val u = pmod(xxhash64(col("id") * 40 + i), lit(words))
+            // u² div words: exact in doubles (u² < 2^53)
+            concat(lit("w"), floor((u * u) / lit(words)).cast("long"))
+          }: _*).as("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"  docs: ${docs.count()}")
+        val scored = t(s"train(20%) + score $n docs")(
+          BigramLm.scoreDocs(docs,
+            docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+            "doc_id", "text")
+            .agg(count(lit(1)), avg(col("avg_nll_milli"))).collect())
+        println(s"  scored: ${scored.mkString}")
+        docs.unpersist()
+
       case "timertie" =>
         // Boundary pin for q151's oracle: does a timer whose expiry
         // EQUALS the watermark fire? Arm user 1's timer at exactly
