@@ -36,36 +36,17 @@ import org.apache.spark.sql.functions._
   */
 object BigramLm {
 
-  /** Log scale: scores are in milli-bits (1000 · log2). */
-  val LogScale = 1000L
-
-  /** Mantissa correction table: tbl(i−256) = round(1000·(log2 i − 8))
-    * for i ∈ [256, 511]. Values are data, not math — both dialects
-    * embed these exact literals. */
-  val MantissaTable: IndexedSeq[Long] = (256 until 512).map(i =>
-    math.round(LogScale * (math.log(i) / math.log(2.0) - 8.0)))
-
-  private val tblSpark = MantissaTable.mkString("array(", ",", ")")
-
-  /** DuckDB list literal for the oracle (1-indexed downstream). */
-  def tblDuck: String = MantissaTable.mkString("[", ",", "]") + "::BIGINT[]"
-
-  /** Spark-dialect fixed-point log2 of a positive integral SQL
-    * expression: 1000·(bitlen−1) + tbl[top 9 bits]. `e` must be ≥ 1
-    * and free of side effects (it is repeated). */
+  /** Shared fixed-point log2 (see
+    * [[graft.functions.FixedPointLog]] for the contract): re-exported
+    * here because the LM's oracles and scaladoc speak in terms of it. */
+  val LogScale: Long = graft.functions.FixedPointLog.LogScale
+  val MantissaTable: IndexedSeq[Long] =
+    graft.functions.FixedPointLog.MantissaTable
+  def tblDuck: String = graft.functions.FixedPointLog.tblDuck
   def ilog2MilliSpark(e: String): String =
-    s"""($LogScale * (length(bin($e)) - 1) + element_at($tblSpark,
-       |  cast(CASE WHEN length(bin($e)) >= 9
-       |    THEN shiftright($e, cast(length(bin($e)) - 9 AS INT))
-       |    ELSE shiftleft($e, cast(9 - length(bin($e)) AS INT)) END
-       |    AS INT) - 255))""".stripMargin
-
-  /** DuckDB-dialect twin — requires a CTE exposing `tbl` (from
-    * [[tblDuck]]) in scope. */
+    graft.functions.FixedPointLog.ilog2MilliSpark(e)
   def ilog2MilliDuck(e: String): String =
-    s"""($LogScale * (length(bin($e)) - 1) + tbl[(CASE
-       |  WHEN length(bin($e)) >= 9 THEN $e >> (length(bin($e)) - 9)
-       |  ELSE $e << (9 - length(bin($e))) END) - 255])""".stripMargin
+    graft.functions.FixedPointLog.ilog2MilliDuck(e)
 
   /** (id, w1, w2) — consecutive lowercase whitespace-token pairs. */
   def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -134,4 +134,38 @@ object Selection {
       nParts: Int = 64): DataFrame =
     PrefixSum.systematicSample(scored, Seq(col(idCol)),
       col("score_ppm"), step, nParts)
+
+  /** Weighted sampling WITHOUT replacement, exact k — Efraimidis &
+    * Spirakis A-ES (IPL 2006): draw u_i ~ U(0,1], the k smallest
+    * −ln(u_i)/w_i win, which samples without replacement with
+    * inclusion proportional-ish to w. The complement to
+    * [[importanceResample]]: systematic PPS needs a GLOBAL prefix
+    * scan and yields a rate-controlled (variable-size) sample; A-ES
+    * needs no scan at all — every key is local arithmetic and the
+    * selection is ONE TakeOrderedAndProject (top-k with partial
+    * per-partition top-k map-side), the cheapest possible shape when
+    * you want exactly k of 100 TB.
+    *
+    * Determinism/parity: u_i is the portable 60-bit hash of
+    * (seed, id) shifted to [1, 2^60] (so u = h/2^60 ∈ (0, 1]), and
+    * −log2(u_i) = 60000 − ilog2Milli(h) in EXACT fixed-point
+    * ([[graft.functions.FixedPointLog]]) — key = that, ×10⁶, div w.
+    * The 5.6-milli-bit log granularity only reorders draws whose true
+    * keys differ by < 0.4%, which is sampling noise, not bias; ties
+    * break on id. No transcendental, no randomness source beyond the
+    * seed — replayable in the oracle and stable across retries. */
+  def weightedSampleK(df: DataFrame, idCol: String, weight: Column,
+      k: Int, seed: Long): DataFrame = {
+    import graft.functions.FixedPointLog
+    df.select(col(idCol), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("h",
+        Dedup.stringHash(concat(lit(s"s${seed}_"), col(idCol).cast("string")),
+          portable = true) + lit(1L))
+      .withColumn("sample_key", expr(
+        s"((${60 * FixedPointLog.LogScale}L - ${FixedPointLog.ilog2MilliSpark("h")}) * 1000000L) div w"))
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("w"), col("sample_key"))
+  }
 }

@@ -333,7 +333,36 @@ object DataMixQueries {
        |WHERE cum_weight // $resampleStep >
        |      (cum_weight - score_ppm) // $resampleStep""".stripMargin
 
+  /** q157: [[Selection.weightedSampleK]] — A-ES weighted sampling
+    * without replacement, exactly 100 documents with inclusion scaled
+    * by n_chars (the token-weighted doc-sampling shape). No global
+    * scan: the whole selection is one TakeOrderedAndProject over
+    * locally-computed fixed-point keys, vs q148's prefix-scan PPS.
+    * The oracle recomputes every key from the same pinned mantissa
+    * table and takes the same ordered limit. */
+  def weightedSampleDocs(s: SparkSession, d: String): DataFrame =
+    Selection.weightedSampleK(Tables.documents(s, d), "doc_id",
+      col("n_chars"), k = 100, seed = 42L)
+
+  val weightedSampleDocsSql: String = {
+    import graft.functions.FixedPointLog.{ilog2MilliDuck, tblDuck}
+    s"""WITH t AS (SELECT $tblDuck AS tbl),
+       |h AS (
+       |  SELECT doc_id, n_chars AS w,
+       |    ('0x'||substr(md5('s42_'||doc_id::VARCHAR),1,15))::BIGINT + 1
+       |      AS h
+       |  FROM documents WHERE n_chars > 0),
+       |k AS (
+       |  SELECT doc_id, w,
+       |    ((60000 - ${ilog2MilliDuck("h")}) * 1000000) // w AS sample_key
+       |  FROM h, t)
+       |SELECT doc_id, w, sample_key FROM k
+       |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q157_weighted_sample", weightedSampleDocs,
+      Some(weightedSampleDocsSql)),
     Q("q147_importance_select", importanceSelect, Some(importanceSelectSql)),
     Q("q148_importance_resample", importanceResample,
       Some(importanceResampleSql)),

@@ -111,4 +111,39 @@ class SelectionSpec extends SparkSpec {
       .map(r => (r._1, r._2, r._3, r._4)).toSeq
     assert(picks.sortBy(_._1) == expect)
   }
+
+  test("A-ES weighted sample: exact k, no dupes, weight-proportional") {
+    val pool = spark.range(20000).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0, 9L).otherwise(1L).as("wt"))
+    val got = Selection.weightedSampleK(pool, "doc_id", col("wt"),
+      k = 200, seed = 42L).collect()
+    assert(got.length == 200)
+    assert(got.map(_.getLong(0)).distinct.length == 200, "no duplicates")
+    // 10k docs at w=9 vs 10k at w=1: heavy class expected ~90% of picks
+    val heavy = got.count(_.getLong(1) == 9L)
+    assert(heavy >= 160 && heavy <= 199,
+      s"heavy-weight class got $heavy/200, expected ≈180")
+  }
+
+  test("A-ES sample is deterministic under partitioning, varies by seed") {
+    val pool = spark.range(5000).select(col("id").as("doc_id"),
+      (pmod(col("id"), lit(7)) + 1).as("wt"))
+    val a = Selection.weightedSampleK(pool, "doc_id", col("wt"), 50, 42L)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Selection.weightedSampleK(pool.repartition(17, col("doc_id")),
+      "doc_id", col("wt"), 50, 42L).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same seed + same pool must pick the same sample")
+    val c = Selection.weightedSampleK(pool, "doc_id", col("wt"), 50, 43L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a != c, "a different seed must (overwhelmingly) differ")
+  }
+
+  test("A-ES selection plans as TakeOrderedAndProject — no global sort") {
+    val pool = spark.range(10000).select(col("id").as("doc_id"),
+      lit(5L).as("wt"))
+    val plan = Selection.weightedSampleK(pool, "doc_id", col("wt"), 10, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a full sort:\n$plan")
+  }
 }
