@@ -588,7 +588,49 @@ object EventQueries {
        |  sum(roll_cents)::BIGINT AS sum_roll_cents
        |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** q158: [[graft.functions.TopKRows]] — per-group top-k as a
+    * MERGEABLE typed Aggregator. Not a speed play (Spark ≥3.5's
+    * WindowGroupLimit already bounds the window form — they tie at
+    * 20M rows, see ProfileScratch `topk`): the point is top-k as a
+    * COLUMN, composable into one aggregation pass next to counts /
+    * sums / sketches and usable where window functions aren't
+    * (streaming aggregations, stored rollup partials). The oracle IS
+    * the window form — the contract that the bounded-state path
+    * selects exactly the rows a rank-filter would, under the total
+    * (cents DESC, event_id ASC) order. */
+  def topKPerType(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TopKAgg
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"),
+        TopKAgg.topK(col("event_id"), cents(col("value")), 5).as("top"))
+      .select(col("event_type"), col("n_events"), col("value_cents"),
+        posexplode(col("top")))
+      .select(col("event_type"), col("n_events"), col("value_cents"),
+        (col("pos") + 1).as("rank"),
+        col("col._2").as("event_id"), col("col._1").as("cents"))
+  }
+
+  val topKPerTypeSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, event_id, ${sqlCents("value")} AS c
+       |  FROM events),
+       |a AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_events,
+       |    sum(c)::BIGINT AS value_cents
+       |  FROM c GROUP BY 1),
+       |r AS (
+       |  SELECT event_type, event_id, c, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY c DESC, event_id) AS rank
+       |  FROM c)
+       |SELECT r.event_type, n_events, value_cents, rank, event_id,
+       |  c AS cents
+       |FROM r JOIN a ON r.event_type = a.event_type
+       |WHERE rank <= 5""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q158_topk_per_group", topKPerType, Some(topKPerTypeSql)),
     Q("q131_event_trigrams", eventTrigrams, Some(eventTrigramsSql)),
     Q("q132_rolling_7d", rollingWindow7d, Some(rollingWindow7dSql)),
     Q("q124_user_ewma_chunked", userEwmaChunked, Some(userEwmaSql)),
