@@ -611,7 +611,33 @@ object RelationalQueries {
        |FROM unnest([1,2,3,4,5,6,7,8,9,10]) t(i), n
        |JOIN r ON rk = (i * n.n + 9) // 10""".stripMargin
 
+  /** q159: ROLLUP — the hierarchical-subtotal shape (§2.7 had sorts /
+    * sets / windows; this closes grouping sets). One pass produces
+    * (flag, status), (flag, ALL), (ALL, ALL) aggregate rows; Spark
+    * plans a single Expand + aggregate, so the cost is one extra
+    * duplication factor over the plain groupBy, not one pass per
+    * level. Subtotal keys surface as 'ALL' via coalesce — keeping
+    * NULL-vs-value semantics OUT of the hash contract (grouping-id
+    * bit orders differ across engines; coalesced labels don't). */
+  def rollupRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_items"), col("price_cents"))
+
+  val rollupRevenueSql: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       |  coalesce(l_linestatus, 'ALL') AS status,
+       |  count(*)::BIGINT AS n_items,
+       |  (sum(${sqlCents("l_extendedprice")}))::BIGINT AS price_cents
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q159_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)),
     Q("q136_equidepth_deciles", equiDepthDeciles, Some(equiDepthDecilesSql)),
     Q("q122_exact_covariance", exactCovariance, Some(exactCovarianceSql)),
     Q("q62_group_quantiles", groupQuantiles, Some(groupQuantilesSql)),
