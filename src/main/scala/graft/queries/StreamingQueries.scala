@@ -370,7 +370,82 @@ object StreamingQueries {
       |  FROM a1, wm WHERE n > 0)
       |SELECT * FROM s0 UNION ALL SELECT * FROM s12""".stripMargin
 
+  /** q160: [[EventStreams.viewPurchaseJoin]] — watermarked
+    * STREAM-STREAM join (StreamingSymmetricHashJoin) under the replay
+    * gate; with q125/q126/q142/q151 this closes the last major
+    * Structured-Streaming operator class. Timeline = q126's
+    * time-ordered half split, which makes emission attribution exact
+    * WITHOUT modeling state internals: an inner-join pair emits in
+    * the batch delivering its later side, and since v_ts <= p_ts and
+    * drains are time-ordered, that is simply the purchase's half —
+    * so the oracle is the batch interval join labeled by
+    * `part(p_ts)`. Eviction can't bite across the boundary: a view
+    * old enough to be evicted after drain 0 (v_ts + 1h < wm0 =
+    * half − 1h) can't match any drain-1 purchase (p_ts > half)
+    * under the 1h join window — by margin, not luck. */
+  def streamingJoin(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val half = events
+      .agg((min(unix_micros(col("ts"))) +
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 2)
+          .cast("long")).as("h"))
+      .head().getLong(0)
+    val dir = tempWorkDir("graft_q160_")
+    val srcDir = s"$dir/in"
+    def arrive(cond: org.apache.spark.sql.Column): Unit =
+      events.filter(cond)
+        .coalesce(1).write.mode("append")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(srcDir)
+    arrive(unix_micros(col("ts")) <= half)
+    val step = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = EventStreams.viewPurchaseJoin(
+        EventStreams.readJsonStream(s, srcDir))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (emitted: Dataset[Row], _: Long) =>
+        if (!emitted.isEmpty) {
+          val g = step.getAndIncrement()
+          emitted.coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/snap/step=$g")
+        }
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      arrive(unix_micros(col("ts")) > half)
+      query.processAllAvailable()
+    } finally query.stop()
+    require(step.get() == 2, s"expected 2 emission batches, got ${step.get()}")
+    (0 until 2).map(g => s.read.parquet(s"$dir/snap/step=$g")
+        .withColumn("step", lit(g)))
+      .reduce(_ unionByName _)
+      .select(col("step"), col("user_id"), col("view_id"),
+        col("purchase_id"), unix_micros(col("v_ts")).as("v_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+  }
+
+  val streamingJoinSql: String =
+    """WITH bounds AS (
+      |  SELECT min(epoch_us(ts)) +
+      |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS half
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT CASE WHEN p_us <= half THEN 0 ELSE 1 END AS step,
+      |  user_id, view_id, purchase_id, v_us, p_us
+      |FROM v JOIN p USING (user_id) CROSS JOIN bounds
+      |WHERE p_us >= v_us AND p_us <= v_us + 3600000000""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q160_streaming_join", streamingJoin, Some(streamingJoinSql)),
     Q("q125_streaming_histogram", streamingHistogram,
       Some(streamingHistogramSql)),
     Q("q126_streaming_sessions", streamingSessions,

@@ -148,6 +148,32 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Watermarked STREAM-STREAM inner join: per user, each 'view'
+    * matched to every 'purchase' in [view ts, view ts + 1h]. The time
+    * bound is what makes unbounded-stream joins possible at all: the
+    * watermark proves when a buffered view can no longer match any
+    * future purchase (v_ts + 1h < watermark) and evicts it, so state
+    * is bounded by the join window × arrival rate, not the stream.
+    * Works identically on batch frames (the condition is plain SQL);
+    * on streams Spark plans StreamingSymmetricHashJoin with state
+    * cleanup driven by the same watermark. Append semantics: a pair
+    * emits in the micro-batch that delivers its LATER side. */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "1 hour")
+      else events
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("p_value"))
+    views.join(purchases, expr(
+      "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("v_ts"), col("p_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double, props: String)
   final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)

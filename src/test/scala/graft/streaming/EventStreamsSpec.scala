@@ -220,4 +220,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSet == expected)
     assert(expected.nonEmpty)
   }
+
+  test("stream-stream join: buffered view matches a LATER-batch purchase") {
+    // q160's sf0.01 timeline has no cross-boundary pair, so the
+    // state-carry semantics — a view buffered in join state matching a
+    // purchase that arrives in a later micro-batch — is pinned here
+    // with constructed data. Also pins eviction: a view whose whole
+    // join window predates (watermark − margin) must NOT match.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, user: Long, typ: String) =
+      EventStreams.Event(id, java.sql.Timestamp.valueOf(t), user, typ,
+        1.0, "{}")
+    val in = MemoryStream[EventStreams.Event]
+    val q = EventStreams.viewPurchaseJoin(in.toDS().toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def rows(): Set[(Long, Long)] = spark.table("ss_join")
+      .select(col("view_id"), col("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+    try {
+      // batch 1: two views; no purchases yet — nothing emits
+      in.addData(ev(1, "2026-01-01 10:00:00", 7, "view"),
+        ev(2, "2026-01-01 10:20:00", 7, "view"))
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+      // batch 2: purchase at 10:30 — joins BOTH buffered views (each
+      // within its 1h window); same-batch view+purchase also pairs
+      in.addData(ev(3, "2026-01-01 10:30:00", 7, "purchase"),
+        ev(4, "2026-01-01 10:29:00", 7, "view"))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 3L), (2L, 3L), (4L, 3L)))
+      // batch 3: advance watermark far ahead, evicting all state …
+      in.addData(ev(5, "2026-01-01 20:00:00", 9, "view"))
+      q.processAllAvailable()
+      // … batch 4: a purchase inside view-1's window arrives LATE
+      // (behind the watermark): the view is gone — no new pair
+      in.addData(ev(6, "2026-01-01 10:40:00", 7, "purchase"))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 3L), (2L, 3L), (4L, 3L)))
+    } finally q.stop()
+  }
 }
