@@ -34,6 +34,16 @@ object FixedPointLog {
        |    ELSE shiftleft($e, cast(9 - length(bin($e)) AS INT)) END
        |    AS INT) - 255))""".stripMargin
 
+  /** Driver-side evaluator — the SAME function over Scala longs, for
+    * deriving constants (e.g. an IDCG denominator) that enter both
+    * engines as literals. */
+  def ilog2Milli(n: Long): Long = {
+    require(n >= 1, s"ilog2Milli domain is [1, ..): $n")
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val ms = if (b >= 9) n >>> (b - 9) else n << (9 - b)
+    LogScale * (b - 1) + MantissaTable((ms - 256).toInt)
+  }
+
   /** DuckDB-dialect twin — requires a CTE exposing `tbl` (from
     * [[tblDuck]]) in scope. */
   def ilog2MilliDuck(e: String): String =

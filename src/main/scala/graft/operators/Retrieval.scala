@@ -194,4 +194,42 @@ object Retrieval {
        |FROM scored GROUP BY 1
        |ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
   }
+
+  /** Retrieval-quality metrics over a system ranking vs a truth set,
+    * in exact fixed-point — evaluation as a first-class, oracle-
+    * checkable operator (retrieval pipelines are tuned on exactly
+    * these numbers, so they deserve the same determinism as the
+    * rankings themselves). Inputs: `system` = (query_id, neighbor_id,
+    * rank 1..k), `truth` = (query_id, neighbor_id) — binary relevance.
+    * Per query:
+    *  - n_hits, first_hit_rank (0 when none);
+    *  - mrr_ppm = 10^6 div first_hit_rank (reciprocal rank, exact);
+    *  - dcg_micro = Σ_hits 10^9 div ilog2Milli(rank+1) — the classic
+    *    1/log2(rank+1) discount on the shared fixed-point log
+    *    ([[graft.functions.FixedPointLog]]);
+    *  - ndcg_ppm = dcg·10^6 div IDCG, where IDCG (all k positions
+    *    relevant) is derived ONCE via the driver-side evaluator and
+    *    enters both engines as the same literal.
+    * One left join + one aggregate; metrics over a 100-TB eval set
+    * are exactly as distributed as the rankings were. */
+  def rankingMetrics(system: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    import graft.functions.FixedPointLog
+    val idcg = (1 to k).map(i => 1000000000L / FixedPointLog.ilog2Milli(i + 1L)).sum
+    val rel = truth.withColumn("rel", lit(1L))
+    system
+      .join(rel, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("disc", expr(
+        s"1000000000L div ${FixedPointLog.ilog2MilliSpark("(rank + 1)")}"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_hits"),
+        coalesce(min(when(col("rel") === 1L, col("rank"))), lit(0L))
+          .as("first_hit_rank"),
+        sum(when(col("rel") === 1L, col("disc")).otherwise(0L))
+          .as("dcg_micro"))
+      .withColumn("mrr_ppm",
+        when(col("first_hit_rank") > 0, expr("1000000L div first_hit_rank"))
+          .otherwise(lit(0L)))
+      .withColumn("ndcg_ppm", expr(s"(dcg_micro * 1000000L) div ${idcg}L"))
+  }
 }

@@ -629,7 +629,34 @@ object EventQueries {
        |FROM r JOIN a ON r.event_type = a.event_type
        |WHERE rank <= 5""".stripMargin
 
+  /** q161: [[graft.streaming.EventStreams.slidingCounts]] — sliding
+    * event-time windows (2h span / 30min slide: each event lands in
+    * exactly 4 overlapping windows), the one windowing shape that was
+    * spec-only. The oracle replays Spark's epoch-aligned window
+    * assignment arithmetically: an event in 30-min slot s belongs to
+    * windows starting at slots s−3 … s — a 4-row lateral expansion,
+    * no window function at all, which is also WHY the operator scales
+    * (the expansion factor is span/slide, fixed at plan time). */
+  def slidingWindowCounts(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.slidingCounts(
+      Tables.events(s, d)
+        .select(col("ts"), col("event_type")))
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("n_events"))
+
+  val slidingWindowCountsSql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 1800000000 AS slot, event_type
+      |  FROM events),
+      |w AS (
+      |  SELECT (slot - i) * 1800000000 AS win_start_us, event_type
+      |  FROM e, unnest([0, 1, 2, 3]) t(i))
+      |SELECT win_start_us, event_type, count(*)::BIGINT AS n_events
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q161_sliding_window", slidingWindowCounts,
+      Some(slidingWindowCountsSql)),
     Q("q158_topk_per_group", topKPerType, Some(topKPerTypeSql)),
     Q("q131_event_trigrams", eventTrigrams, Some(eventTrigramsSql)),
     Q("q132_rolling_7d", rollingWindow7d, Some(rollingWindow7dSql)),

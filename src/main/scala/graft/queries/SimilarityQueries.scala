@@ -242,6 +242,51 @@ object SimilarityQueries {
        |  GROUP BY 1)
        |SELECT n_common, count(*) AS n_queries FROM per_q GROUP BY 1""".stripMargin
 
+  /** q162: [[Similarity]] rankings graded by
+    * [[graft.operators.Retrieval.rankingMetrics]] — MRR and NDCG@5 of
+    * the int8-quantized ranking (q87) against exact cosine top-5
+    * (q22) as binary truth, every metric exact fixed-point (NDCG's
+    * 1/log2(rank+1) discount rides FixedPointLog; the IDCG
+    * denominator is derived once driver-side and enters both engines
+    * as the same literal). Evaluation as an oracle-gated operator:
+    * the numbers a retrieval pipeline is TUNED on deserve the same
+    * determinism as the rankings. */
+  def retrievalMetrics(s: SparkSession, d: String): DataFrame =
+    graft.operators.Retrieval.rankingMetrics(
+      knnQuantized(s, d).select(col("query_id"), col("neighbor_id"),
+        col("rank")),
+      knnBruteForce(s, d).select(col("query_id"), col("neighbor_id")),
+      k = 5)
+
+  val retrievalMetricsSql: String = {
+    import graft.functions.FixedPointLog
+    val idcg = (1 to 5).map(i =>
+      1000000000L / FixedPointLog.ilog2Milli(i + 1L)).sum
+    s"""WITH t AS (SELECT ${FixedPointLog.tblDuck} AS tbl),
+       |exact AS (${knnBruteForceSql.replace("\n", "\n  ")}),
+       |sys AS (${knnQuantizedSql.replace("\n", "\n  ")}),
+       |j AS (
+       |  SELECT s.query_id, s.rank,
+       |    CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+       |  FROM sys s LEFT JOIN exact e
+       |    ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id),
+       |m AS (
+       |  SELECT query_id,
+       |    sum(rel)::BIGINT AS n_hits,
+       |    coalesce(min(CASE WHEN rel = 1 THEN rank END), 0)::BIGINT
+       |      AS first_hit_rank,
+       |    sum(CASE WHEN rel = 1
+       |        THEN 1000000000 // ${FixedPointLog.ilog2MilliDuck("(rank + 1)")}
+       |        ELSE 0 END)::BIGINT AS dcg_micro
+       |  FROM j, t GROUP BY 1)
+       |SELECT query_id, n_hits, first_hit_rank,
+       |  (CASE WHEN first_hit_rank > 0 THEN 1000000 // first_hit_rank
+       |        ELSE 0 END)::BIGINT AS mrr_ppm,
+       |  dcg_micro,
+       |  ((dcg_micro * 1000000) // $idcg)::BIGINT AS ndcg_ppm
+       |FROM m""".stripMargin
+  }
+
   /** SemDeDup-style survivors: within each label cluster, a vector is
     * dropped when any lower-id cluster-mate is cosine-similar ≥ 0.35
     * (q24's pair threshold, reused so the two queries share blocking
@@ -542,6 +587,7 @@ object SimilarityQueries {
 
   def all: Seq[Q] = Seq(
     Q("q144_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
+    Q("q162_retrieval_metrics", retrievalMetrics, Some(retrievalMetricsSql)),
     Q("q145_pq_ann_seeded", pqAnnSeeded, Some(pqAnnSeededSql)),
     Q("q127_kmeans_clusters", kmeansClusters, Some(kmeansClustersSql)),
     Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
