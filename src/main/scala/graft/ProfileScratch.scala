@@ -491,6 +491,48 @@ object ProfileScratch {
         println("  merges: " +
           ms.map(m => s"${m.lhs}+${m.rhs}:${m.pair_cnt}").mkString(", "))
 
+      case "bloomjoin" =>
+        // Runtime-filter shape: dim too big to broadcast (5M keys),
+        // fact 50M rows at ~1% match rate -> SMJ shuffles all 50M
+        // without the bloom, ~matches with it. args(1) = fact rows.
+        import graft.operators.JoinPrune
+        val n = args.lift(1).map(_.toLong).getOrElse(50000000L)
+        val dimKeys = 5000000L
+        // dim keys live in [0, 5e9) sparsely; fact keys uniform over
+        // [0, 5e9) -> ~0.1% natural match rate
+        val dim = spark.range(dimKeys)
+          .select((col("id") * 1000L).as("k"), col("id").as("payload"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fact = spark.range(n)
+          .select(pmod(xxhash64(col("id")), lit(dimKeys * 1000L)).as("k"),
+            (col("id") % 97).as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"  dim=${dim.count()} fact=${fact.count()}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try {
+          val plainN = t("plain SMJ join")(
+            fact.join(dim, Seq("k")).agg(count(lit(1))).head().getLong(0))
+          val bloom = t("bloom build (5M keys)")(
+            graft.functions.BloomFunctions.buildHashedBloom(
+              dim, "k", dimKeys, 0.01))
+          println(s"  bloom bytes: ${bloom.length}")
+          graft.functions.BloomFunctions.register(spark)
+          val survivors = t("fact prefilter alone")(
+            fact.filter(graft.functions.BloomFunctions
+              .mightContainHashed(bloom, col("k"))).count())
+          println(s"  survivors: $survivors of $n")
+          val bloomN = t("bloom-pruned join end-to-end")(
+            JoinPrune.bloomFilteredJoin(fact, dim, "k",
+              expectedDimKeys = Some(dimKeys))
+              .agg(count(lit(1))).head().getLong(0))
+          println(s"  rows: plain=$plainN bloom=$bloomN (must match)")
+        } finally {
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          dim.unpersist(); fact.unpersist()
+        }
+
       case "topk" =>
         // Window row_number vs mergeable TopKRows Aggregator at scale:
         // N rows (args(1), default 20M) over 1000 groups, k=5.

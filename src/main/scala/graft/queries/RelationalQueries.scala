@@ -636,7 +636,39 @@ object RelationalQueries {
        |FROM lineitem
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** q163: [[graft.operators.JoinPrune.bloomFilteredJoin]] — the
+    * runtime-filter join: urgent orders (a ~20% selective dim) bloom-
+    * prune the lineitem scan BEFORE the join, then monthly revenue.
+    * Exact by construction (no false negatives), so the oracle is the
+    * PLAIN join — the pruning must be invisible in the result. At
+    * sf0.01 Spark broadcasts the dim anyway; the shape this operator
+    * buys — big-dim/bigger-fact where SMJ would shuffle the whole
+    * fact — is measured in ProfileScratch `bloomjoin`. */
+  def bloomJoinRevenue(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.JoinPrune
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    JoinPrune.bloomFilteredJoin(fact, dim, "l_orderkey")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+      .select(unix_micros(col("month")).as("month_us"),
+        col("n_items"), col("price_cents"))
+  }
+
+  val bloomJoinRevenueSql: String =
+    s"""SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       |  count(*)::BIGINT AS n_items,
+       |  (sum(${sqlCents("l_extendedprice")}))::BIGINT AS price_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q163_bloom_join", bloomJoinRevenue, Some(bloomJoinRevenueSql)),
     Q("q159_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)),
     Q("q136_equidepth_deciles", equiDepthDeciles, Some(equiDepthDecilesSql)),
     Q("q122_exact_covariance", exactCovariance, Some(exactCovarianceSql)),
