@@ -210,4 +210,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q152: HLL registers aggregate partially before one exchange") {
+    val p = plan("q152_hll_registers")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, p) // partial max(rho) map-side, final after shuffle
+    // FormattedMode prints each node in the tree AND as a detail
+    // heading, so one physical Exchange == 2 matching lines
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
+  }
+
+  test("q154: the LM vocab scalar enters as a broadcast, counts shuffle") {
+    val p = plan("q154_bigram_lm_scores")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // 1-row V crossJoin broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q159: ROLLUP plans one Expand, not one pass per level") {
+    val p = plan("q159_rollup_revenue")
+    assert(p.linesIterator.count(_.contains("Expand")) == 2, p) // tree + detail = ONE node
+  }
 }
