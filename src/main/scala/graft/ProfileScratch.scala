@@ -290,14 +290,23 @@ object ProfileScratch {
           col("text"), encode(col("text"), "UTF-8").as("payload"))
         val n = docs.count()
         val adaptive = operators.Similarity.adaptiveHyperplaneBits(n)
-        println(s"  corpus $n docs; adaptive width = $adaptive bits")
-        Seq("fixed8" -> 8, s"adaptive$adaptive" -> -1).foreach {
-          case (tag, bits) =>
+        val (anh, ab, ar) = operators.Dedup.adaptiveBandShape(n)
+        println(s"  corpus $n docs; adaptive image width = $adaptive bits; " +
+          s"adaptive text shape = $ab bands x $ar rows ($anh hashes)")
+        // (tag, nBits, numHashes, bands, cap): the q79 oracle pin (fixed
+        // everything), image-only adaptivity (the r7 state), full text+
+        // image adaptivity (the default path), and default + bucket cap.
+        Seq(("fixed8 4x4 (q79 pin)", 8, 16, 4, -1),
+            (s"img-adaptive$adaptive 4x4", -1, 16, 4, -1),
+            (s"full-adaptive", -1, -1, -1, -1),
+            (s"full-adaptive cap256", -1, -1, -1, 0)).foreach {
+          case (tag, bits, nh, bnd, cap) =>
             t(s"fusion pairs, $tag") {
               val out = operators.Fusion.imageTextNearDupPairs(docs,
                 "doc_id", "text", "payload", dim = 16, shingleN = 3,
-                numHashes = 16, bands = 4, nBits = bits, minFused = 0.6,
-                seed = 42L, planeSeed = 7L, portable = true)
+                numHashes = nh, bands = bnd, nBits = bits, minFused = 0.6,
+                seed = 42L, planeSeed = 7L, portable = true,
+                maxTextBucket = cap)
               println(s"  -> ${out.count()} fused pairs")
               operators.Lifecycle.release(out)
             }

@@ -91,8 +91,12 @@ object Bpe {
     require(nMerges >= 1, s"nMerges $nMerges")
     val spark = corpus.sparkSession
     val owned = scratchDir.isEmpty
+    // Default under Lifecycle.scratchRoot (honors graft.scratch.dir, so a
+    // cluster deploy pointing that conf at shared storage keeps executor
+    // writes reachable); a driver-local temp dir would silently break
+    // multi-node.
     val dir = scratchDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_bpe_").toString)
+      s"${Lifecycle.scratchRoot(spark)}/bpe${System.nanoTime()}")
     def gen(i: Int) = s"$dir/v$i"
     wordCounts(corpus, textCol)
       .select(sepForm(col("word")).as("w"), col("cnt"))

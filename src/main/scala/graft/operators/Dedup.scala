@@ -311,6 +311,69 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
   }
 
+  /** Corpus-sized MinHash band shape: (numHashes, bands, rows). The
+    * counterpart of [[Similarity.adaptiveHyperplaneBits]] for the TEXT
+    * side — a FIXED band shape is the text pipeline's super-linear
+    * cliff: per-band random-collision probability for background
+    * similarity s is s^rows, so at fixed rows the expected noise
+    * candidates grow ~n², and the measured sf0.1→sf1.0 fusion ratio hit
+    * 15.3× at 10× data. Growing `rows` with log(n) shrinks s^rows as
+    * the corpus grows; `bands = 2^(rows/2)` holds the LSH threshold
+    * (1/bands)^(1/rows) = 2^(-1/2) ≈ 0.707 constant, so recall at the
+    * operating point is preserved (the S-curve only gets SHARPER —
+    * fewer low-similarity false candidates, slightly better recall
+    * above threshold). Hash compute is numHashes = rows·bands per
+    * shingle — grows with log(n), paid scan-side, linear in corpus.
+    * rows clamped to [4, 12] (4096 bands is past any single-table
+    * regime). */
+  def adaptiveBandShape(corpusSize: Long): (Int, Int, Int) = {
+    val log2n = math.log(math.max(corpusSize, 2).toDouble) / math.log(2.0)
+    val rows = math.min(12, math.max(4, 2 * math.ceil(log2n / 7.0).toInt))
+    val bands = 1 << (rows / 2)
+    (rows * bands, bands, rows)
+  }
+
+  /** Within-bucket candidate pairs with a per-bucket cap: in each
+    * (band_idx, band_hash) bucket, only the `maxBucket` smallest-id
+    * members ("anchors") pair with the rest — per-bucket pairs drop
+    * from C(m,2) to C(a,2) + a·(m−a) (linear in m), and every member
+    * still links to the bucket's minimum-id anchor, so CONNECTIVITY
+    * (the thing downstream dedup clustering consumes) is preserved;
+    * only non-anchor–non-anchor pairs are dropped — exactly
+    * C(m−a, 2) per bucket, which the caller should surface via
+    * [[cappedBandDropped]] (never silently). The rank is a keyed
+    * window (partitioned per bucket — no single-task global sort). */
+  def cappedBandPairs(banded: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket $maxBucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_hash")).orderBy(col(idCol))
+    val ranked = banded.withColumn("__rk", row_number().over(w))
+    val anchors = ranked.filter(col("__rk") <= maxBucket)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    anchors.join(
+        ranked.select(col("band_idx"), col("band_hash"),
+          col(idCol).as("id_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Exact count of candidate pairs [[cappedBandPairs]] drops at this
+    * cap: Σ_buckets C(max(0, m − maxBucket), 2). One keyed aggregate
+    * over the banding rows — cheap, and the price of never capping
+    * silently. */
+  def cappedBandDropped(banded: DataFrame, maxBucket: Int): Long = {
+    val m = col("m")
+    banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("m"))
+      .filter(m > maxBucket)
+      .agg(coalesce(
+        sum(expr(s"((m - $maxBucket) * (m - $maxBucket - 1)) div 2")),
+        lit(0L)).as("dropped"))
+      .head().getLong(0)
+  }
+
   /** LSH banding over (id, mh_*) signatures: docs agreeing on all `rows`
     * components of any band are candidates. Collision probability for
     * Jaccard j is 1-(1-j^rows)^bands (≈ step at j ≈ (1/bands)^(1/rows);

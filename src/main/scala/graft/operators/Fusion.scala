@@ -32,15 +32,33 @@ object Fusion {
 
   /** @param minFused keep pairs with (jaccard + cosine)/2 ≥ this
     *   (applied in exact ppm integers — see `fused_ppm` below).
+    * @param numHashes,bands text-side MinHash band shape; pass
+    *   `bands <= 0` to size BOTH from the corpus count via
+    *   [[Dedup.adaptiveBandShape]] (rows grow with log n at constant
+    *   LSH threshold ≈ 0.707). A FIXED shape is the text-side
+    *   super-linear cliff (the mirror of the image one below):
+    *   per-band noise collisions scale as n²·s̄^rows, so at fixed rows
+    *   the candidate volume — and with it the fused verify — grows
+    *   quadratically with dup density. Pin the shape only for an
+    *   external replay (the q79 oracle).
     * @param nBits image-LSH bit-width; pass <= 0 to size it from the
     *   corpus count via [[Similarity.adaptiveHyperplaneBits]] (one
-    *   cheap count action). A FIXED width is the pipeline's one
-    *   super-linear cliff: buckets saturate as the corpus grows and
+    *   cheap count action). A FIXED width is the same cliff on the
+    *   image side: buckets saturate as the corpus grows and
     *   within-bucket pair generation goes quadratic (measured: 10×
     *   docs at 8 fixed bits → 104× image candidates → 16× wall;
     *   adaptive width restores ~linear candidate growth). Pin it only
     *   when an external replay (the q79 oracle) needs a fixed bucket
     *   function.
+    * @param maxTextBucket per-bucket candidate cap for the text bands
+    *   ([[Dedup.cappedBandPairs]] — anchors preserve bucket
+    *   connectivity; dropped non-anchor pairs are counted and logged,
+    *   never silent). > 0 = cap at that many anchors; 0 = auto (256,
+    *   only meaningful protection at pathological dup density); < 0 =
+    *   uncapped (exact replay mode — what the pinned q79 oracle
+    *   needs). Capping can drop true pairs whose ONLY blocking
+    *   evidence was a non-anchor text collision, so it is off unless
+    *   asked for.
     * @return (id_a, id_b, jaccard, cosine, fused_ppm), materialized.
     *   `fused_ppm` = (jaccard_ppm + cosine_ppm) div 2 as an exact long:
     *   rounding (j+c)/2 to 6 dp in DOUBLE hit a real cross-engine
@@ -52,14 +70,25 @@ object Fusion {
     */
   def imageTextNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, binCol: String,
-      dim: Int, shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      dim: Int, shingleN: Int = 3, numHashes: Int = 16, bands: Int = -1,
       nBits: Int = -1, minFused: Double = 0.6, seed: Long = 42L,
-      planeSeed: Long = 7L, portable: Boolean = false): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+      planeSeed: Long = 7L, portable: Boolean = false,
+      maxTextBucket: Int = -1): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
+    // one corpus count sizes both modalities' blocking (skipped when
+    // both are pinned)
+    lazy val corpusN = df.count()
     val imgBits =
       if (nBits > 0) nBits
-      else Similarity.adaptiveHyperplaneBits(df.count())
+      else Similarity.adaptiveHyperplaneBits(corpusN)
+    val (nh, nBands) =
+      if (bands > 0) (numHashes, bands)
+      else { val (h, b, _) = Dedup.adaptiveBandShape(corpusN); (h, b) }
+    require(nh % nBands == 0, "bands must divide numHashes")
+    val cap =
+      if (maxTextBucket > 0) maxTextBucket
+      else if (maxTextBucket == 0) 256
+      else Int.MaxValue
 
     // per-doc image signals: embedding + hyperplane LSH bucket + norm
     val signals = Lifecycle.materializeToScratch(
@@ -78,13 +107,23 @@ object Fusion {
     val banded = Lifecycle.materializeToScratch(
       Dedup.bandedSignatures(
         Dedup.withMinHashSignature(df, idCol, textCol, shingleN,
-          numHashes, seed, portable),
-        idCol, bands, numHashes / bands, portable))
-    val textCand = banded.alias("x").join(banded.alias("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+          nh, seed, portable),
+        idCol, nBands, nh / nBands, portable))
+    val textCand =
+      if (cap == Int.MaxValue)
+        banded.alias("x").join(banded.alias("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_hash") === col("y.band_hash") &&
+              col(s"x.$idCol") < col(s"y.$idCol"))
+          .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      else {
+        val dropped = Dedup.cappedBandDropped(banded, cap)
+        if (dropped > 0)
+          System.err.println(s"[graft.fusion] text-band cap $cap dropped " +
+            s"$dropped non-anchor candidate pairs (bucket connectivity " +
+            "preserved via anchors)")
+        Dedup.cappedBandPairs(banded, idCol, cap)
+      }
 
     // image-modality candidates: same-bucket self-join
     val imgCand = signals.alias("x").join(signals.alias("y"),

@@ -96,6 +96,8 @@ object QualityModel {
           count(lit(1L)).as("n")
         val row = mat.agg(aggs.head, aggs.tail: _*).head()
         val n = row.getLong(Dim)
+        require(n > 0, "QualityModel.train: empty training input " +
+          "(docs has no rows) — cannot take a gradient step")
         w = Array.tabulate(Dim)(j => w(j) - (row.getLong(j) / n) / lrDen)
         history += w.clone()
         i += 1

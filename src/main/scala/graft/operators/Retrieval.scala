@@ -131,10 +131,17 @@ object Retrieval {
       vecCol: String, lambdaPpm: Long, k: Int): DataFrame = {
     require(lambdaPpm >= 0L && lambdaPpm <= 1000000L, s"lambda $lambdaPpm")
     graft.functions.VectorFunctions.register(pool.sparkSession)
-    val simPpm = round(round(Similarity.cosine(col("__va"), col("__vb")),
-      6) * lit(1000000L), 0).cast("long")
-    val sims = pool.select(col(idCol).as("__ia"), col(vecCol).as("__va"))
-      .join(pool.select(col(idCol).as("__ib"), col(vecCol).as("__vb")),
+    // cosine is null for a zero-magnitude vector — treat as similarity 0
+    // instead of NPE-ing at the driver-side getLong; ids/relevance are
+    // cast to long explicitly so a non-integer id column fails the cast
+    // analysis with a clear type error rather than an opaque getLong.
+    val simPpm = coalesce(
+      round(round(Similarity.cosine(col("__va"), col("__vb")),
+        6) * lit(1000000L), 0).cast("long"), lit(0L))
+    val sims = pool.select(col(idCol).cast("long").as("__ia"),
+        col(vecCol).as("__va"))
+      .join(pool.select(col(idCol).cast("long").as("__ib"),
+          col(vecCol).as("__vb")),
         col("__ia") < col("__ib"))
       .select(col("__ia"), col("__ib"), simPpm.as("__sim"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))

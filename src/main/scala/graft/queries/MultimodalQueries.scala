@@ -82,14 +82,30 @@ object MultimodalQueries {
     * pairs survive a fused Jaccard+cosine score. The oracle replays
     * EVERYTHING: the FLOAT4 stub-codec embedding, the literal
     * hyperplane projections, the md5-portable MinHash banding, exact
-    * shingle Jaccard, and the fused-score arithmetic. */
+    * shingle Jaccard, and the fused-score arithmetic.
+    *
+    * Blocking shape: an oracle pin must be a FIXED bucket function
+    * (static SQL can't read the corpus count), so this query pins the
+    * shape the ADAPTIVE default path chooses at the largest corpus the
+    * driver benches (sf1.0, 50k docs): 12 image bits
+    * ([[graft.operators.Similarity.adaptiveHyperplaneBits]](50000)) and
+    * 8×6 text bands ([[graft.operators.Dedup.adaptiveBandShape]]
+    * (50000)). r9 pinned the sf0.01-ish shape (8 bits, 4×4) and paid
+    * 15.3× wall at 10× data from saturated buckets — a pinned shape
+    * should be sized for the biggest corpus it will ever see, and the
+    * un-pinned operator default self-sizes (fusionscale row: ≤5.6× at
+    * 10×). */
+  val FusionBits = 12
+  val FusionBands = 8
+  val FusionRows = 6
   def multimodalFusion(s: SparkSession, d: String): DataFrame = {
     val withPayload = Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         encode(col("text"), "UTF-8").as("payload"))
     graft.operators.Fusion.imageTextNearDupPairs(withPayload,
       "doc_id", "text", "payload", dim = 16, shingleN = 3,
-      numHashes = 16, bands = 4, nBits = 8, minFused = 0.6,
+      numHashes = FusionBands * FusionRows, bands = FusionBands,
+      nBits = FusionBits, minFused = 0.6,
       seed = 42L, planeSeed = 7L, portable = true)
   }
 
@@ -104,7 +120,7 @@ object MultimodalQueries {
     }.mkString(",\n  ")
     // hyperplane projections: strict left-to-right Σ f_j * plane_ij in
     // double — the VectorDot fold order
-    val planes = Similarity.hyperplanes(dim = 16, nBits = 8, seed = 7L)
+    val planes = Similarity.hyperplanes(dim = 16, nBits = FusionBits, seed = 7L)
     val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
       val proj = (0 until 16).map(j => s"f$j::DOUBLE * (${p(j)})").mkString(" + ")
       s"(CASE WHEN ($proj) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)"
@@ -113,12 +129,13 @@ object MultimodalQueries {
       .mkString("sqrt(", " + ", ")")
     val dotExpr = (0 until 16).map(j => s"fa.f$j::DOUBLE * fb.f$j::DOUBLE")
       .mkString(" + ")
-    // portable MinHash(16) + 4×4 banding (q20 replay at 16 hashes)
-    val mins = Dedup.hashParams(16, 42L).zipWithIndex.map { case ((a, b), i) =>
+    // portable MinHash + banding at the pinned sf1.0-adaptive shape
+    val nh = FusionBands * FusionRows
+    val mins = Dedup.hashParams(nh, 42L).zipWithIndex.map { case ((a, b), i) =>
       s"min((h*$a + $b) % $P) AS mh_$i"
     }.mkString(",\n  ")
-    val bandSelects = (0 until 4).map { b =>
-      val comps = (0 until 4).map(r => s"mh_${b * 4 + r}").mkString(",")
+    val bandSelects = (0 until FusionBands).map { b =>
+      val comps = (0 until FusionRows).map(r => s"mh_${b * FusionRows + r}").mkString(",")
       s"SELECT doc_id, $b AS band_idx, md5(array_to_string([$comps], ',')) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH ${DedupQueries.shingleCtes(3)},

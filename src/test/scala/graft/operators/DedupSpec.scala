@@ -168,4 +168,45 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((100L, 1L)) && cands.contains((100L, 4L)))
     assert(!cands.exists(_._1 == 101L))
   }
+
+  test("adaptiveBandShape: rows grow with log n at constant ~0.707 threshold") {
+    // pinned values (the scale contract: 10x corpus must widen bands)
+    assert(Dedup.adaptiveBandShape(500L) == (16, 4, 4))    // small = legacy 4x4
+    assert(Dedup.adaptiveBandShape(5000L) == (16, 4, 4))
+    assert(Dedup.adaptiveBandShape(50000L) == (48, 8, 6))  // 10x -> wider bands
+    assert(Dedup.adaptiveBandShape(5000000L) == (128, 16, 8))
+    assert(Dedup.adaptiveBandShape(Long.MaxValue) == (768, 64, 12)) // clamp
+    // threshold (1/b)^(1/r) stays ~2^-1/2 for every shape
+    Seq(500L, 50000L, 5000000L, Long.MaxValue).foreach { n =>
+      val (_, b, r) = Dedup.adaptiveBandShape(n)
+      val t = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(t - math.pow(2, -0.5)) < 1e-9, s"n=$n t=$t")
+    }
+  }
+
+  test("cappedBandPairs: caps per-bucket pairs, preserves anchor connectivity, counts drops") {
+    // one bucket of 6 ids, one of 2: cap=2 keeps C(2,2)+2*4=9 and 1
+    // pairs, drops C(4,2)=6 from the big bucket only
+    val banded = ((1L to 6L).map(i => (i, 0, "bucketA")) ++
+      Seq((10L, 0, "bucketB"), (11L, 0, "bucketB")))
+      .toDF("id", "band_idx", "band_hash")
+    val pairs = Dedup.cappedBandPairs(banded, "id", maxBucket = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.size == 10, s"got ${pairs.size}: $pairs")
+    // every member of bucketA still links to anchor id=1
+    (2L to 6L).foreach(i => assert(pairs.contains((1L, i)), s"1-$i missing"))
+    assert(pairs.contains((10L, 11L)))
+    // no non-anchor pair survives
+    assert(!pairs.contains((3L, 4L)))
+    assert(Dedup.cappedBandDropped(banded, 2) == 6L)
+    // cap >= bucket size = exact: identical to the uncapped self-join
+    val uncapped = banded.alias("x").join(banded.alias("y"),
+        $"x.band_idx" === $"y.band_idx" &&
+          $"x.band_hash" === $"y.band_hash" && $"x.id" < $"y.id")
+      .select($"x.id", $"y.id").as[(Long, Long)].collect().toSet
+    val capped6 = Dedup.cappedBandPairs(banded, "id", maxBucket = 6)
+      .as[(Long, Long)].collect().toSet
+    assert(capped6 == uncapped)
+    assert(Dedup.cappedBandDropped(banded, 6) == 0L)
+  }
 }

@@ -58,6 +58,27 @@ class FusionSpec extends SparkSpec {
     assert(math.abs(pair.get.getDouble(3)) <= 1.0)
   }
 
+  test("adaptive text+image blocking (default path) finds the exact dup") {
+    // bands/nBits unset -> both modalities size from the corpus count;
+    // the exact pair (1,2) collides at ANY band shape / bit width
+    val rows = Fusion.imageTextNearDupPairs(corpus, "doc_id", "text",
+      "payload", dim = 16, minFused = 0.6, portable = true).collect()
+    val dup = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(dup.isDefined, s"exact dup (1,2) missing under adaptive blocking")
+    assert(dup.get.getLong(4) == 1000000L)
+  }
+
+  test("capped text blocking still finds the exact dup (anchor path)") {
+    val rows = Fusion.imageTextNearDupPairs(corpus, "doc_id", "text",
+      "payload", dim = 16, shingleN = 3, numHashes = 16, bands = 4,
+      nBits = 8, minFused = 0.6, portable = true, maxTextBucket = 1)
+      .collect()
+    // with cap=1 only the min-id anchor pairs within each text bucket,
+    // and (1,2)'s anchor IS doc 1 — the pair must survive
+    val dup = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(dup.isDefined, "exact dup (1,2) lost under anchor cap")
+  }
+
   test("fusion releases every internal frame") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
