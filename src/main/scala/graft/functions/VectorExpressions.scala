@@ -295,12 +295,18 @@ object VectorFunctions {
   val dotName = "graft_vector_dot"
   val dotLongName = "graft_vector_dot_long"
   val pqNearestName = "graft_pq_nearest"
+  val fastRoundName = "graft_round"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier(dotName))) {
       reg.createOrReplaceTempFunction(dotName,
         exprs => VectorDot(exprs.head, exprs(1)), "built-in")
+    }
+    if (!reg.functionExists(FunctionIdentifier(fastRoundName))) {
+      reg.createOrReplaceTempFunction(fastRoundName,
+        exprs => FastRound(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     }
     if (!reg.functionExists(FunctionIdentifier(dotLongName))) {
       reg.createOrReplaceTempFunction(dotLongName,

@@ -556,7 +556,7 @@ object Dedup {
         col("common_rare") + coalesce(col("common_freq"), lit(0L)))
     def direction(cid: String, par: String, nOf: String) = withCommon
       .withColumn("containment",
-        round(col("common").cast("double") / col(nOf), 6))
+        Similarity.round6(col("common").cast("double") / col(nOf)))
       .filter(col("containment") >= minContainment)
       .select(col(cid).as("contained_id"), col(par).as("container_id"),
         col("containment"))

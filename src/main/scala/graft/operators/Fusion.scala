@@ -158,8 +158,8 @@ object Fusion {
       .join(signals.select(col(idCol).as("id_b"),
         col("features").as("__fb"), col("inorm").as("__nb")), "id_b")
       .withColumn("cosine",
-        round(Similarity.dot(col("__fa"), col("__fb")) /
-          (col("__na") * col("__nb")), 6))
+        Similarity.round6(Similarity.dot(col("__fa"), col("__fb")) /
+          (col("__na") * col("__nb"))))
       // exact integer fusion: jaccard as a ppm rational, the 6-dp
       // cosine recovered to its exact ppm integer (floor(x*1e6+0.5)
       // undoes the representation error of the rounded double), mean

@@ -43,15 +43,41 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/medoids")
   }
 
+  /** √n default cluster count: within-cluster scan work is quadratic
+    * in cell population, so a FIXED cluster count is a scale cliff —
+    * 10× vectors at fixed k = 10× denser cells = ~100× within-cell
+    * pairs (measured 15.3× wall at 10× data in r9's sf1.0 audit). At
+    * k = ⌈√n⌉ both the routing table and the mean cell population grow
+    * as √n — the classic IVF balance — and a 10× corpus gets ~3.16×
+    * clusters (spec-pinned). */
+  def adaptiveClusterCount(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
   /** [[build]] without a label column: coarse clusters come from
     * [[Similarity.kmeansAssign]] (deterministic Lloyd over the corpus
     * itself), completing the unsupervised IVF lifecycle —
     * train → assign → partition-by-cluster → medoid routing. Appends
-    * route new vectors through the persisted medoids as before. */
+    * route new vectors through the persisted medoids as before.
+    *
+    * `k <= 0` (the DEFAULT) sizes the cluster count adaptively via
+    * [[adaptiveClusterCount]] from one corpus count; pass an explicit
+    * k only for pinned external replays (the q83/q127 oracles). The
+    * chosen shape is recorded in `path/meta` (n_vectors, n_clusters,
+    * adaptive flag) so an operator reading the index can audit how it
+    * was sized. */
   def buildUnsupervised(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, path: String): Unit =
-    build(Similarity.kmeansAssign(corpus, idCol, vecCol, k, iters),
+      iters: Int, path: String, k: Int = -1): Unit = {
+    val spark = corpus.sparkSession
+    val (kEff, adaptive) =
+      if (k > 0) (k, false)
+      else (adaptiveClusterCount(corpus.count()), true)
+    build(Similarity.kmeansAssign(corpus, idCol, vecCol, kEff, iters),
       idCol, vecCol, "cluster", path)
+    import spark.implicits._
+    Seq((corpus.count(), kEff.toLong, adaptive))
+      .toDF("n_vectors", "n_clusters", "adaptive")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
 
   private def writeIncrement(batch: DataFrame, idCol: String,
       vecCol: String, clusterCol: String, path: String,
@@ -120,8 +146,8 @@ object IvfIndex {
       .orderBy(col("__route_sim").desc, col("__mc"))
     batch.join(medoids)
       .withColumn("__route_sim",
-        round(Similarity.dot(col(vecCol), col("__medoid_vec")) /
-          (Similarity.norm(col(vecCol)) * col("__mnorm")), 6))
+        Similarity.round6(Similarity.dot(col(vecCol), col("__medoid_vec")) /
+          (Similarity.norm(col(vecCol)) * col("__mnorm"))))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
       .drop("__medoid_vec", "__mnorm", "__route_sim", "__r")
@@ -188,8 +214,8 @@ object IvfIndex {
       .orderBy(col("__route_sim").desc, col("__mc"))
     val probed = q.join(medoids)
       .withColumn("__route_sim",
-        round(Similarity.dot(col("__qvec"), col("__medoid_vec")) /
-          (col("__qnorm") * col("__mnorm")), 6))
+        Similarity.round6(Similarity.dot(col("__qvec"), col("__medoid_vec")) /
+          (col("__qnorm") * col("__mnorm"))))
       .withColumn("__r", row_number().over(routeW))
       .filter(col("__r") <= nprobe)
       .select(col(queryIdCol), col("__qvec"), col("__qnorm"), col("__mc"))
@@ -223,8 +249,8 @@ object IvfIndex {
       }
     joined
       .withColumn("similarity",
-        round(Similarity.dot(col("__qvec"), col(vecCol)) /
-          (col("__qnorm") * col("__norm")), 6))
+        Similarity.round6(Similarity.dot(col("__qvec"), col(vecCol)) /
+          (col("__qnorm") * col("__norm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol).as("neighbor_id"),
@@ -271,21 +297,57 @@ object IvfIndex {
       .withColumn("__blk", pmod(xxhash64(col(idCol)), col("__nb")).cast("int"))
       .withColumn("__other", explode(sequence(lit(0), col("__nb") - 1)))
       .hint("merge")
-    val w = Window.partitionBy(col(s"x.$idCol"))
-      .orderBy(col("similarity").desc, col(s"y.$idCol"))
     // x is the row side (its own block is the row-block, __other spans
     // column-blocks); y is the column side (mirror image).
-    v.alias("x").join(v.alias("y"),
+    val scored = v.alias("x").join(v.alias("y"),
         col(s"x.$clusterCol") === col(s"y.$clusterCol") &&
           col("x.__blk") === col("y.__other") &&
           col("x.__other") === col("y.__blk") &&
           col(s"x.$idCol") =!= col(s"y.$idCol"))
       .withColumn("similarity",
-        round(Similarity.dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
-          (col("x.__norm") * col("y.__norm")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+        Similarity.round6(Similarity.dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
+          (col("x.__norm") * col("y.__norm"))))
       .select(col(s"x.$idCol").as("id"), col(s"y.$idCol").as("neighbor_id"),
-        col("rank"), col("similarity"))
+        col("similarity"))
+    // Top-k extraction: for integral ids, a bounded [[graft.functions
+    // .TopKAgg]] aggregation (map-side-combined heap of k per vector —
+    // the pair volume never gets SORTED; the r9 window form fed a full
+    // sort of all within-cluster pairs into WindowGroupLimit, which at
+    // sf1.0 was ~5s of the 21s wall on 40M pairs). The similarity
+    // enters the agg as its exact ppm integer (the 6-dp round makes
+    // floor(s·10⁶ + 0.5) lossless) and is reconstructed by the exact
+    // division ppm/10⁶ — bit-equal round trip, probe-verified
+    // exceptAll-empty against the window form at sf1.0. Null
+    // similarities (zero-norm vectors) map to Long.MinValue = the
+    // window's NULLS LAST, and back to null on output. Non-integral
+    // ids keep the window form (same rows, same order contract).
+    val integralId = index.vectors.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integralId) {
+      val ppm = when(col("similarity").isNull, lit(Long.MinValue))
+        .otherwise(floor(col("similarity") * 1e6 + 0.5).cast("long"))
+      scored.withColumn("__ppm", ppm)
+        .groupBy(col("id"))
+        .agg(graft.functions.TopKAgg.topK(
+          col("neighbor_id").cast("long"), col("__ppm"), k).as("__tk"))
+        .select(col("id"), posexplode(col("__tk")))
+        .select(col("id"),
+          col("col._2").cast(index.vectors.schema(idCol).dataType)
+            .as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"),
+          when(col("col._1") === Long.MinValue, lit(null))
+            .otherwise(col("col._1") / 1e6).as("similarity"))
+    } else {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("similarity").desc, col("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("id"), col("neighbor_id"), col("rank"), col("similarity"))
+    }
   }
 }

@@ -245,8 +245,8 @@ object IvfPq {
     c.join(broadcast(routed), Seq("cluster"))
       .filter(col(queryIdCol) =!= col(idCol))
       .withColumn("approx_score",
-        round((col("__qc") +: (0 until m).map(s =>
-          element_at(col(s"__lut$s"), col(s"__c$s") + 1))).reduce(_ + _), 6))
+        Similarity.round6((col("__qc") +: (0 until m).map(s =>
+          element_at(col(s"__lut$s"), col(s"__c$s") + 1))).reduce(_ + _)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol).as("neighbor_id"),
@@ -285,7 +285,7 @@ object IvfPq {
       .orderBy(col("similarity").desc, col("neighbor_id"))
     cand.join(qv, Seq(queryIdCol))
       .withColumn("similarity",
-        round(Similarity.cosine(col("__qv"), col("__cv")), 6))
+        Similarity.round6(Similarity.cosine(col("__qv"), col("__cv"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("neighbor_id"), col("rank"),

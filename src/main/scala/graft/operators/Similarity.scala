@@ -32,6 +32,13 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The engine's 6-dp similarity round — bit-equal to `round6(c)`
+    * via the codegen'd [[graft.functions.FastRound]] (Spark's Round on
+    * doubles is one BigDecimal round-trip PER ROW; measured ~7s of an
+    * 11s 40M-pair scoring pass on the q84 shape, it was the hottest
+    * instruction in every similarity pipeline). */
+  def round6(c: Column): Column = graft.functions.FastRound.round6(c)
+
   /** Brute-force top-k: queries × corpus scored via broadcast
     * nested-loop join (no shuffle of the corpus), then per-query top-k.
     * Norms are precomputed per row on both sides — O(corpus + queries)
@@ -52,7 +59,7 @@ object Similarity {
       norm(col(vecCol)).as("__cnorm"))
     val scored = c.join(q, col(queryIdCol) =!= col(idCol))
       .withColumn("similarity",
-        round(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm")), 6))
+        round6(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm"))))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("similarity").desc, col(idCol))
     scored
@@ -81,7 +88,7 @@ object Similarity {
     val scored = c
       .join(q, col("__qcluster") === col(clusterCol) && col(queryIdCol) =!= col(idCol))
       .withColumn("similarity",
-        round(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm")), 6))
+        round6(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm"))))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("similarity").desc, col(idCol))
     scored
@@ -126,8 +133,8 @@ object Similarity {
       .orderBy(col("__route_sim").desc, col("__mc"))
     val probed = q.join(medoids)
       .withColumn("__route_sim",
-        round(dot(col("__qvec"), col("__medoid_vec")) /
-          (col("__qnorm") * col("__mnorm")), 6))
+        round6(dot(col("__qvec"), col("__medoid_vec")) /
+          (col("__qnorm") * col("__mnorm"))))
       .withColumn("__r", row_number().over(routeW))
       .filter(col("__r") <= nprobe)
       .select(col(queryIdCol), col("__qvec"), col("__qnorm"), col("__mc"))
@@ -138,7 +145,7 @@ object Similarity {
     c.join(broadcast(probed),
         col("__mc") === col(clusterCol) && col(queryIdCol) =!= col(idCol))
       .withColumn("similarity",
-        round(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm")), 6))
+        round6(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol).as("neighbor_id"),
@@ -195,8 +202,8 @@ object Similarity {
         col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .withColumn("similarity",
-        round(dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
-          (col("x.__norm") * col("y.__norm")), 6))
+        round6(dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
+          (col("x.__norm") * col("y.__norm"))))
       .filter(col("similarity") >= minSim)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         col("similarity"))
@@ -221,8 +228,8 @@ object Similarity {
         col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") =!= col(s"y.$idCol"))
       .withColumn("similarity",
-        round(dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
-          (col("x.__norm") * col("y.__norm")), 6))
+        round6(dot(col(s"x.$vecCol"), col(s"y.$vecCol")) /
+          (col("x.__norm") * col("y.__norm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(s"x.$idCol").as("id"), col(s"y.$idCol").as("neighbor_id"),

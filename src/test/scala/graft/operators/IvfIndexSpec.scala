@@ -230,4 +230,38 @@ class IvfIndexSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(n > 0.0)
   }
+
+  test("adaptiveClusterCount: sqrt(n) default, 10x corpus -> ~3.16x clusters") {
+    import IvfIndex.adaptiveClusterCount
+    assert(adaptiveClusterCount(0L) == 1)
+    assert(adaptiveClusterCount(1000L) == 32)
+    assert(adaptiveClusterCount(10000L) == 100)   // 10x -> 3.1x
+    assert(adaptiveClusterCount(100000L) == 317)  // 10x -> 3.2x
+    assert(adaptiveClusterCount(1000000L) == 1000)
+    // the scale contract: ratio at any decade stays near sqrt(10)
+    Seq(10000L, 1000000L, 100000000L).foreach { n =>
+      val r = adaptiveClusterCount(n * 10).toDouble / adaptiveClusterCount(n)
+      assert(r > 3.0 && r < 3.4, s"n=$n ratio=$r")
+    }
+  }
+
+  test("buildUnsupervised default is adaptive and records the shape in meta") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_adm").toString
+    val vs = spark.range(100).select(col("id").as("vec_id"),
+      array((0 until 4).map(i => (rand(7 + i) * 2 - 1)): _*)
+        .cast("array<double>").as("embedding"))
+    IvfIndex.buildUnsupervised(vs, "vec_id", "embedding",
+      iters = 2, path = dir)
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    assert(meta.getAs[Long]("n_vectors") == 100L)
+    assert(meta.getAs[Long]("n_clusters") == 10L) // ceil(sqrt(100))
+    assert(meta.getAs[Boolean]("adaptive"))
+    // explicit k still honored + recorded as non-adaptive
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_adm2").toString
+    IvfIndex.buildUnsupervised(vs, "vec_id", "embedding",
+      iters = 2, path = dir2, k = 3)
+    val meta2 = spark.read.parquet(s"$dir2/meta").collect().head
+    assert(meta2.getAs[Long]("n_clusters") == 3L)
+    assert(!meta2.getAs[Boolean]("adaptive"))
+  }
 }

@@ -183,7 +183,7 @@ class SimilaritySpec extends SparkSpec {
   test("buildUnsupervised: IVF lifecycle works without a label column") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_unsup").toString
     IvfIndex.buildUnsupervised(vecs.drop("label"), "vec_id", "embedding",
-      k = 3, iters = 2, dir)
+      iters = 2, path = dir, k = 3)
     val idx = IvfIndex.load(spark, dir, "vec_id", "embedding", "cluster")
     val top = IvfIndex.topK(idx, vecs.filter($"vec_id" === 1L),
       k = 2, nprobe = 1)
