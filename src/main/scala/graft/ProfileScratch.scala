@@ -312,6 +312,51 @@ object ProfileScratch {
             }
         }
 
+      case "bpescale" =>
+        // Production-depth BPE: driver-side trainer (one corpus scan +
+        // bounded vocab collect, then in-memory merge loop) at 1k+
+        // merges, vs the per-merge-job distributed loop's cost model
+        // (one Spark job + parquet generation PER MERGE — fine at 8,
+        // catastrophic at 32k). Then the constant-codegen tokenizer
+        // over the corpus at that depth. Reports merges/sec + tokens.
+        val nM = args.lift(1).map(_.toInt).getOrElse(1000)
+        val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        val nDocs = docs.count()
+        var merges: Seq[operators.Bpe.Merge] = Nil
+        t(s"trainMergesLocal($nM) on $nDocs docs") {
+          merges = operators.Bpe.trainMergesLocal(docs, "text", nM)
+        }
+        println(f"  learned ${merges.size} merges")
+        val t0 = System.nanoTime()
+        val m2 = operators.Bpe.trainMergesLocal(docs, "text", nM)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"  repeat: ${m2.size} merges in $secs%.2f s = ${m2.size / secs}%.0f merges/sec (incl. corpus scan + vocab collect)")
+        t(s"applyMergesFast at ${merges.size} merges") {
+          val toks = operators.Bpe.applyMergesFast(docs, "doc_id", "text", merges)
+            .select(sum(size(col("tokens"))))
+          println(s"  total tokens: ${toks.head.getLong(0)}")
+        }
+        // 8-merge distributed baseline for the per-merge job cost
+        t("trainMerges(8) distributed (per-merge-job baseline)") {
+          operators.Bpe.trainMerges(docs, "text", 8)
+        }
+        // The sf corpus's synthetic vocab exhausts after ~90 merges, so
+        // production DEPTH is measured on a 50k-word Zipf vocabulary of
+        // 18-char words (the in-memory loop is corpus-independent once
+        // the vocab is collected — this is exactly its input shape).
+        val rnd = new scala.util.Random(11)
+        val alphabet = "abcdefghijklmnopqrstuvwxyz"
+        val synth = Seq.tabulate(50000) { i =>
+          val w = Seq.fill(18)(alphabet(rnd.nextInt(
+            4 + rnd.nextInt(22)))).mkString
+          (w, (50000L / (i + 1)) + 1)
+        }
+        val deep = args.lift(2).map(_.toInt).getOrElse(4000)
+        val t1 = System.nanoTime()
+        val md = operators.Bpe.trainMergesFromCounts(synth, deep)
+        val s2 = (System.nanoTime() - t1) / 1e9
+        println(f"  synth 50k-word vocab: ${md.size} merges in $s2%.2f s = ${md.size / s2}%.0f merges/sec")
+
       case "bloomscale" =>
         // Bloom-pruned anti-join smoke: a corpus-sized on-disk index vs
         // a small ingest batch (the incremental-dedup membership shape).

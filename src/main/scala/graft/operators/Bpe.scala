@@ -128,11 +128,228 @@ object Bpe {
 
   /** Segmentation of one word under the ordered merge list: the same
     * literal replace chain the trainer applied, folded left over the
-    * merges — works for words never seen in training. */
+    * merges — works for words never seen in training.
+    *
+    * DEPTH WARNING: the fold builds an O(nMerges)-deep expression tree
+    * — fine at the q139/q140 gate sizes, but a production 32k-merge
+    * vocab would produce an expression janino refuses (the
+    * PqNearestCode failure class). Past ~100 merges use
+    * [[segmentCol]] / [[applyMergesFast]]: constant-size generated
+    * code, identical output (spec-pinned). */
   def segmentExpr(word: Column, merges: Seq[Merge]): Column =
     symbols(merges.foldLeft(sepForm(word)) { (acc, m) =>
       mergeExpr(acc, m.lhs, m.rhs)
     })
+
+  /** One merge applied to a symbol array — the JVM reference of
+    * [[mergeExpr]]'s `replace` semantics, byte-for-byte: leftmost
+    * first, non-overlapping, the scan resumes AFTER the matched region
+    * of the SOURCE. Because the pattern `␟l␟r␟` consumes the separator
+    * after `r`, the symbol following a match loses its leading
+    * separator and can never begin (or join) the next match:
+    * `a a a a` + merge(a,a) → `[aa, a, a]` (NOT `[aa, aa]`), and
+    * `a a a a a` → `[aa, a, aa]` — verified against both engines'
+    * replace and pinned in BpeSpec. */
+  private[operators] def applyMergeJvm(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = syms.length
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && syms(i) == l && syms(i + 1) == r) {
+        out += l + r
+        if (i + 2 < n) out += syms(i + 2)
+        i += 3
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Code-POINT symbol split — [[sepForm]]'s `(.)` regex matches one
+    * code point, so the JVM twins must not split surrogate pairs the
+    * way `String.map` (code units) would. */
+  private[operators] def splitCodePoints(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length))
+    var i = 0
+    var o = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out(o) = new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+      o += 1
+    }
+    out
+  }
+
+  /** JVM reference of [[segmentExpr]]: the full ordered merge chain
+    * applied to one word. A symbol-SET pre-check skips merges whose
+    * sides can't both be present (O(1) per skipped merge), so cost is
+    * O(nMerges + applied·|word|) — the shape that makes a 32k-merge
+    * vocabulary usable. The set is add-only (a superset), which can
+    * only cause a futile O(|word|) scan, never a wrong skip. */
+  def segmentWord(word: String, merges: Seq[Merge]): Array[String] =
+    segmentWordPairs(word, merges.map(_.lhs).toArray,
+      merges.map(_.rhs).toArray)
+
+  /** Array-pair core of [[segmentWord]] — the form [[graft.functions
+    * .BpeSegmentWord]] calls from generated code (no Merge boxing on
+    * the scan path). */
+  def segmentWordPairs(word: String, lhs: Array[String],
+      rhs: Array[String]): Array[String] = {
+    var syms = splitCodePoints(word)
+    if (syms.length == 0) return syms
+    val present = new java.util.HashSet[String]()
+    syms.foreach(present.add)
+    var k = 0
+    while (k < lhs.length) {
+      if (present.contains(lhs(k)) && present.contains(rhs(k))) {
+        val next = applyMergeJvm(syms, lhs(k), rhs(k))
+        if (next.length != syms.length) {
+          present.add(lhs(k) + rhs(k))
+          syms = next
+        }
+      }
+      k += 1
+    }
+    syms
+  }
+
+  /** Spark's string ordering (UTF8String binary = code-point order) on
+    * JVM strings — `String.compareTo` is UTF-16 code-UNIT order, which
+    * disagrees for supplementary-plane characters, and the driver-side
+    * trainer's tie-break must match the distributed `orderBy`
+    * exactly. */
+  private[operators] def codePointLt(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
+  /** [[trainMerges]] computed DRIVER-SIDE from the collected word-
+    * frequency table: ONE corpus scan + one bounded-metadata collect
+    * (the distinct-word vocabulary — the [[ProductQuant]] codebook
+    * pattern, never the corpus), then the merge loop runs in memory
+    * with incremental pair-count maintenance. Produces the IDENTICAL
+    * merge list to the distributed loop (same pair counting, same
+    * rewrite semantics, same (count DESC, lhs, rhs) tie-break in
+    * Spark's string order — equality spec-pinned), but each merge is a
+    * hash-map update instead of one Spark job + one parquet
+    * generation, so a production 10⁴–10⁵-merge vocabulary trains in
+    * seconds where the per-merge-job form needs 32k sequential jobs.
+    * Use [[trainMerges]] when the vocab genuinely exceeds driver
+    * memory (rare: even a 10⁸-word web vocab is ~GBs) or when the
+    * on-disk per-generation resume points matter. */
+  def trainMergesLocal(corpus: DataFrame, textCol: String,
+      nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges $nMerges")
+    val wc = wordCounts(corpus, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainMergesFromCounts(wc, nMerges)
+  }
+
+  /** The in-memory merge loop over (word, count) rows. */
+  def trainMergesFromCounts(wordCnt: Seq[(String, Long)],
+      nMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] =
+      wordCnt.map(w => splitCodePoints(w._1)).toArray
+    val cnts: Array[Long] = wordCnt.map(_._2).toArray
+    val pc = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    def addPairs(w: Int, mult: Long, index: Boolean): Unit = {
+      val s = words(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        pc.update(p, pc.getOrElse(p, 0L) + mult)
+        if (index) occ.getOrElseUpdate(p,
+          mutable.ArrayBuffer.empty[Int]) += w
+        i += 1
+      }
+    }
+    words.indices.foreach(w => addPairs(w, cnts(w), index = true))
+    def beats(a: ((String, String), Long), b: ((String, String), Long)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 &&
+        (codePointLt(a._1._1, b._1._1) || (a._1._1 == b._1._1 &&
+          codePointLt(a._1._2, b._1._2))))
+    val out = mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      var best: ((String, String), Long) = null
+      pc.foreach { e =>
+        if (e._2 > 0 && (best == null || beats(e, best))) best = e
+      }
+      if (best == null) done = true
+      else {
+        val ((l, r), c) = best
+        out += Merge(step, l, r, c)
+        // rewrite only words that (might) contain the pair; entries in
+        // occ can be stale after earlier rewrites, so re-verify. The
+        // quirky non-overlap rule means a rewritten word CAN still
+        // contain (l, r) — counts are maintained by exact delta, and
+        // the same pair may legitimately win again at a later step
+        // (exactly like the distributed recount would).
+        val affected = occ.getOrElse((l, r),
+          mutable.ArrayBuffer.empty[Int]).distinct
+        affected.foreach { w =>
+          val s = words(w)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) {
+            has = s(i) == l && s(i + 1) == r
+            i += 1
+          }
+          if (has) {
+            addPairs(w, -cnts(w), index = false)
+            words(w) = applyMergeJvm(s, l, r)
+            addPairs(w, cnts(w), index = true)
+          }
+        }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[segmentExpr]] with CONSTANT-SIZE generated code: the merge list
+    * rides along as a codegen reference object ([[graft.functions
+    * .BpeSegmentWord]], the PqNearestCode pattern) instead of an
+    * O(nMerges)-deep replace tree — janino-safe at any vocabulary
+    * size, identical output (spec-pinned vs the fold, including the
+    * non-overlap quirk). */
+  def segmentCol(word: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeFunctions.segment(word, merges.map(m => (m.lhs, m.rhs)))
+
+  /** [[applyMerges]] on the constant-size segmentation path — the
+    * 10⁴⁺-merge production tokenizer. Same distinct-word dictionary
+    * join, same document-order reassembly. */
+  def applyMergesFast(corpus: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    graft.functions.BpeFunctions.register(corpus.sparkSession)
+    val words = corpus
+      .select(col(idCol), posexplode(TextAnalysis.whitespaceTokens(
+        lower(trim(col(textCol))))).as(Seq("wp", "word")))
+      .filter(col("word") =!= "" && !col("word").contains(Sep))
+    val dict = words.select(col("word")).distinct()
+      .withColumn("seg", segmentCol(col("word"), merges))
+    words.join(dict, "word")
+      .select(col(idCol), col("wp"), posexplode(col("seg")).as(Seq("sp", "tok")))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("wp"), col("sp"), col("tok")))),
+        e => e.getField("tok")).as("tokens"))
+  }
 
   /** Tokenize a corpus under a learned vocabulary:
     * (idCol, tokens: array<string>) with tokens in document order.

@@ -39,6 +39,89 @@ class BpeSpec extends SparkSpec {
     assert(ms.head.pair_cnt == 5L)
   }
 
+  test("driver-side trainer produces the IDENTICAL merge list") {
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"low lower lowest aaaa abab ${if (i % 3 == 0) "new newer" else "wide wider"}"))
+      .toDF("doc_id", "text")
+    val distributed = Bpe.trainMerges(docs, "text", 20)
+    val local = Bpe.trainMergesLocal(docs, "text", 20)
+    assert(local == distributed)
+    // and the early-stop contract matches on a fully-mergeable corpus
+    val tiny = Seq((1L, "xyz xyz")).toDF("doc_id", "text")
+    assert(Bpe.trainMergesLocal(tiny, "text", 10) ==
+      Bpe.trainMerges(tiny, "text", 10))
+  }
+
+  test("segmentWord ≡ segmentExpr (property, incl. the non-overlap quirk)") {
+    // the quirk, pinned directly: replace resumes AFTER the matched
+    // region, so the next symbol loses its leading separator
+    assert(Bpe.segmentWord("aaaa", Seq(Bpe.Merge(1, "a", "a", 0L)))
+      .toSeq == Seq("aa", "a", "a"))
+    assert(Bpe.segmentWord("aaaaa", Seq(Bpe.Merge(1, "a", "a", 0L)))
+      .toSeq == Seq("aa", "a", "aa"))
+    val rnd = new scala.util.Random(7)
+    val alpha = "abc"
+    val words = Seq.tabulate(120)(_ =>
+      Seq.fill(1 + rnd.nextInt(10))(alpha(rnd.nextInt(3))).mkString)
+    val train = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(train, "text", 12)
+    val viaExpr = words.distinct.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("i", "w")
+      .select(col("w"), Bpe.segmentExpr(col("w"), merges).as("seg"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.distinct.foreach { w =>
+      assert(Bpe.segmentWord(w, merges).toSeq == viaExpr(w),
+        s"word '$w': jvm=${Bpe.segmentWord(w, merges).toSeq} " +
+          s"expr=${viaExpr(w)}")
+    }
+  }
+
+  test("applyMergesFast ≡ applyMerges (dictionary join + constant codegen)") {
+    val train = Seq((1L, "ship shop ship shop shore")).toDF("doc_id", "text")
+    val ms = Bpe.trainMerges(train, "text", 5)
+    val corpus = Seq((7L, "shop shrimp ship aaaa"), (8L, "unrelated words"),
+      (9L, "ship shore shop")).toDF("doc_id", "text")
+    val slow = Bpe.applyMerges(corpus, "doc_id", "text", ms)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fast = Bpe.applyMergesFast(corpus, "doc_id", "text", ms)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast == slow)
+  }
+
+  test("1500-merge vocabulary stays inside whole-stage codegen") {
+    // fabricated but well-formed merge list at production depth — the
+    // segmentExpr fold at this size is the janino failure class;
+    // the reference-object form must keep every span compiling
+    val merges = (1 to 1500).map { i =>
+      Bpe.Merge(i, ('a' + i % 26).toChar.toString,
+        ('a' + (i / 26) % 26).toChar.toString, 1L)
+    }
+    val docs = Seq((1L, "abcdef ghijkl zzyyxx"), (2L, "mnopqr aa bb cc"))
+      .toDF("doc_id", "text")
+    // the expression's home is the dict projection — pin THAT span
+    // (applyMergesFast's full plan is AQE-wrapped, which hides its
+    // codegen nodes until execution)
+    graft.functions.BpeFunctions.register(spark)
+    val dictPlan = spark.range(3)
+      .select(concat(lit("abc"), col("id")).as("word"))
+      .select(Bpe.segmentCol(col("word"), merges).as("seg"))
+    val spans = dictPlan.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    val plan = Bpe.applyMergesFast(docs, "doc_id", "text", merges)
+    assert(spans.nonEmpty)
+    spans.foreach { w =>
+      val (_, source) = w.doCodeGen()
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .compile(source) // throws on janino overflow
+    }
+    // and the fast path still tokenizes correctly at this depth: the
+    // only applicable merges chain greedily in order
+    val toks = plan.filter(col("doc_id") === 2L).head.getSeq[String](1)
+    assert(toks.nonEmpty && toks.mkString("") == "mnopqraabbcc")
+  }
+
   test("applyMerges preserves document token order and handles unseen " +
       "words via the replace chain") {
     val train = Seq((1L, "ship shop ship shop")).toDF("doc_id", "text")
