@@ -128,6 +128,44 @@ object IvfPq {
       pqIters, coarseSeedStride, pqSeedStride)
     writeModel(spark, model, path)
     writeIncrement(corpus, idCol, vecCol, model, path, batchId = 0L)
+    writeStats(spark, path, model)
+  }
+
+  /** Occupancy stats of the quantization CELLS (the distinct
+    * (cluster, code…) tuples): the quantity [[topKRefined]]'s
+    * auto-sizing needs, because ADC cannot rank WITHIN a cell — the
+    * exact re-rank shortlist must cover the query's expected cellmates
+    * (≈ n / occupied cells), not a constant (ivfpqscale measured
+    * refine=10 recovering nothing at 1M where the cell population was
+    * ~4000). One aggregate over the CODES (m small ints per vector —
+    * ~1% of the raw corpus bytes), recomputed after build and after
+    * every append so the stats always describe the whole index. */
+  final case class CellStats(nVectors: Long, occupiedCells: Long) {
+    def meanCellPop: Double =
+      if (occupiedCells == 0) 0.0 else nVectors.toDouble / occupiedCells
+  }
+
+  private def writeStats(spark: SparkSession, path: String,
+      model: Model): Unit = {
+    import spark.implicits._
+    val codes = spark.read.parquet(s"$path/codes")
+    val cellCols = col("cluster") +:
+      (0 until model.m).map(s => col(s"__c$s"))
+    val row = codes.agg(count(lit(1)).as("n"),
+      count_distinct(struct(cellCols: _*)).as("cells")).head()
+    Seq((row.getLong(0), row.getLong(1)))
+      .toDF("n_vectors", "occupied_cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model/stats")
+  }
+
+  def loadStats(spark: SparkSession, path: String): Option[CellStats] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/model/stats")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(s"$path/model/stats").head()
+      Some(CellStats(r.getLong(0), r.getLong(1)))
+    }
   }
 
   private def writeModel(spark: SparkSession, model: Model,
@@ -165,8 +203,9 @@ object IvfPq {
       idCol: String, vecCol: String, batchId: Long): Unit = {
     require(batchId > 0,
       s"batchId must be > 0 (0 is the build's base increment), got $batchId")
-    writeIncrement(batch, idCol, vecCol, loadModel(spark, path), path,
-      batchId)
+    val model = loadModel(spark, path)
+    writeIncrement(batch, idCol, vecCol, model, path, batchId)
+    writeStats(spark, path, model)
   }
 
   def nextBatchId(spark: SparkSession, path: String): Long = {
@@ -185,10 +224,12 @@ object IvfPq {
       }.maxOption.map(_ + 1).getOrElse(0L)
   }
 
-  final case class Index(codes: DataFrame, model: Model, idCol: String)
+  final case class Index(codes: DataFrame, model: Model, idCol: String,
+      stats: Option[CellStats] = None)
 
   def load(spark: SparkSession, path: String, idCol: String): Index =
-    Index(spark.read.parquet(s"$path/codes"), loadModel(spark, path), idCol)
+    Index(spark.read.parquet(s"$path/codes"), loadModel(spark, path),
+      idCol, loadStats(spark, path))
 
   /** ADC top-k through the index. Per query: route to the `nprobe`
     * nearest coarse centroids (same argmin score as assignment, ties
@@ -267,9 +308,37 @@ object IvfPq {
     * re-rank it. Output shape = [[Similarity.bruteForceTopK]]
     * (query_id, neighbor_id, rank, similarity), so refined results
     * drop into every recall harness unchanged. */
+  /** Auto-sizing rule for the refine factor: shortlist k·refine must
+    * reach the index's mean cell population. */
+  def autoRefine(stats: CellStats, k: Int): Int =
+    math.max(1, math.ceil(stats.meanCellPop / k).toInt)
+
+  /** @param refine exact-rerank shortlist factor (shortlist =
+    *   k·refine). `<= 0` (the DEFAULT) auto-sizes from the index's
+    *   persisted cell stats via [[autoRefine]] — a 10× corpus under a
+    *   frozen model densifies its cells 10× and the shortlist grows
+    *   with it (spec-pinned); pass an explicit factor only for pinned
+    *   external replays. Auto requires an index built/appended by this
+    *   version (stats present). */
   def topKRefined(index: Index, corpus: DataFrame, queries: DataFrame,
-      vecCol: String, k: Int, nprobe: Int, refine: Int,
+      vecCol: String, k: Int, nprobe: Int, refine: Int = -1,
       queryIdCol: String = "query_id"): DataFrame = {
+    val refineEff =
+      if (refine >= 1) refine
+      else index.stats match {
+        case Some(st) => autoRefine(st, k)
+        case None => throw new IllegalArgumentException(
+          "topKRefined: refine <= 0 requests auto-sizing, but the index " +
+            "has no model/stats table — rebuild (or append once) with " +
+            "this version, or pass an explicit refine factor")
+      }
+    topKRefinedExplicit(index, corpus, queries, vecCol, k, nprobe,
+      refineEff, queryIdCol)
+  }
+
+  private def topKRefinedExplicit(index: Index, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, k: Int, nprobe: Int,
+      refine: Int, queryIdCol: String): DataFrame = {
     require(refine >= 1, s"refine $refine")
     val idCol = index.idCol
     graft.functions.VectorFunctions.register(corpus.sparkSession)

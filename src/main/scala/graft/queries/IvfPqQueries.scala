@@ -57,9 +57,15 @@ object IvfPqQueries {
   }
 
   /** The full IVF-PQ pipeline as one DuckDB query: top-`topK` ADC for
-    * queries `vec_id < maxQuery` at the given nprobe. */
+    * queries `vec_id < maxQuery` at the given nprobe. `topKSqlOverride`
+    * replaces the shortlist bound with an arbitrary SQL scalar (the
+    * q165 self-sizing oracle computes it from cell stats); `extraCtes`
+    * are appended after `enc`/`gassign` are in scope. */
   private[queries] def ivfPqSqlFor(maxQuery: Int, nprobe: Int,
-      topK: Int = 5): String = {
+      topK: Int = 5, topKSqlOverride: Option[String] = None,
+      extraCtes: String = ""): String = {
+    val topKSql = topKSqlOverride.getOrElse(topK.toString)
+    val extra = if (extraCtes.isEmpty) "" else extraCtes + "\n"
     val coarse = (1 to CoarseIters).map(lloydStep("g", _, Dims))
       .mkString("", ",\n", ",\n")
     val pq = (1 to PqIters).map(lloydStep("p", _, Sub))
@@ -97,7 +103,7 @@ object IvfPqQueries {
       |enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
       |      ORDER BY score, code) AS r FROM pd) WHERE r = 1),
-      |q AS (SELECT vec_id AS query_id, v AS qv FROM c
+      |${extra}q AS (SELECT vec_id AS query_id, v AS qv FROM c
       |      WHERE vec_id < $maxQuery),
       |qroute AS (SELECT query_id, cluster, qcp FROM (
       |    SELECT q.query_id, ct.cluster,
@@ -125,7 +131,7 @@ object IvfPqQueries {
       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |         ORDER BY approx_score DESC, neighbor_id) AS rank FROM scored)
       |SELECT query_id, neighbor_id, rank, approx_score FROM rk
-      |WHERE rank <= $topK""".stripMargin
+      |WHERE rank <= $topKSql""".stripMargin
   }
 
   /** Build the persisted index once per call in a scratch dir —
@@ -233,8 +239,57 @@ object IvfPqQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** q165: [[IvfPq.topKRefined]] at AUTO-SIZED refine — the shortlist
+    * derives from the index's persisted cell stats (shortlist ≈ mean
+    * quantization-cell population, the quantity that made refine=10
+    * recover nothing at 1M where the cells held ~4000 vectors). The
+    * oracle is SELF-SIZING: it recomputes n / occupied-cells from the
+    * replayed encoding and bounds the shortlist with the same
+    * ceil((n/cells)/k) scalar, so the query stays hash-exact at ANY
+    * scale factor — no pinned constant to go stale. */
+  def ivfPqAutoRefined(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    IvfPq.topKRefined(builtIndex(s, d, "graft_q165_"), emb,
+      emb.filter(col("vec_id") < 10), "embedding", k = 5, nprobe = 4)
+  }
+
+  val ivfPqAutoRefinedSql: String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
+    val statsCtes =
+      s"""pvt AS (SELECT vec_id,
+         |    max(CASE WHEN s = 0 THEN code END) AS c0,
+         |    max(CASE WHEN s = 1 THEN code END) AS c1,
+         |    max(CASE WHEN s = 2 THEN code END) AS c2,
+         |    max(CASE WHEN s = 3 THEN code END) AS c3
+         |  FROM enc GROUP BY 1),
+         |cellstats AS (SELECT count(*) AS n,
+         |    count(DISTINCT (a.cluster, c0, c1, c2, c3)) AS cells
+         |  FROM pvt JOIN gassign a ON a.vec_id = pvt.vec_id),
+         |refctl AS (SELECT greatest(1,
+         |    CAST(ceil((n::DOUBLE / cells) / 5) AS BIGINT)) AS refine
+         |  FROM cellstats),""".stripMargin
+    val inner = ivfPqSqlFor(10, 4,
+      topKSqlOverride = Some("5 * (SELECT refine FROM refctl)"),
+      extraCtes = statsCtes)
+    s"""WITH sl AS MATERIALIZED (
+       |  ${inner.replace("\n", "\n  ")}),
+       |cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+       |       FROM embeddings WHERE vec_id < 10),
+       |ex AS (SELECT sl.query_id, sl.neighbor_id,
+       |    ${cos("qv.v", "cv.v")} AS similarity
+       |  FROM sl JOIN cv ON cv.vec_id = sl.neighbor_id
+       |          JOIN qv ON qv.qid = sl.query_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY similarity DESC, neighbor_id) AS rank FROM ex)
+       |SELECT query_id, neighbor_id, rank, similarity FROM rr
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q137_ivfpq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
     Q("q138_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallSql)),
-    Q("q146_ivfpq_refined", ivfPqRefined, Some(ivfPqRefinedSql)))
+    Q("q146_ivfpq_refined", ivfPqRefined, Some(ivfPqRefinedSql)),
+    Q("q165_ivfpq_auto_refined", ivfPqAutoRefined, Some(ivfPqAutoRefinedSql)))
 }

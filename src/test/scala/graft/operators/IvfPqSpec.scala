@@ -110,4 +110,54 @@ class IvfPqSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(r1 == r2 && r1.nonEmpty)
   }
+
+  test("cell stats persist at build/append; 10x corpus auto-grows the shortlist") {
+    // base corpus: 200 vectors over 20 DISTINCT values -> cells shared,
+    // mean population 10; the 10x self-union densifies every cell 10x
+    // under the same trained model shape, so auto refine must scale
+    def dupCorpus(copies: Int): DataFrame =
+      spark.range(20L * copies).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => sin(pmod(col("id"), lit(20)) * lit(31) + j).cast("float"))
+          .as("embedding"))
+    val p1 = java.nio.file.Files.createTempDirectory("ivfpq_st1").toString
+    IvfPq.build(dupCorpus(10), "vec_id", "embedding", kc = 4,
+      coarseIters = 1, m = 4, k = 8, pqIters = 1, p1)
+    val s1 = IvfPq.loadStats(spark, p1).get
+    assert(s1.nVectors == 200L)
+    // distinct vectors can legitimately SHARE a cell (nearby values
+    // encode identically at m=4/k=8) — pin the bound, not the exact
+    assert(s1.occupiedCells >= 1 && s1.occupiedCells <= 20L, s"$s1")
+    val p10 = java.nio.file.Files.createTempDirectory("ivfpq_st10").toString
+    IvfPq.build(dupCorpus(100), "vec_id", "embedding", kc = 4,
+      coarseIters = 1, m = 4, k = 8, pqIters = 1, p10)
+    val s10 = IvfPq.loadStats(spark, p10).get
+    // same 20 distinct values -> same occupied cells at any duplication
+    assert(s10.nVectors == 2000L && s10.occupiedCells == s1.occupiedCells)
+    // the pin: 10x corpus -> 10x mean cell population -> ~10x refine
+    val r1 = IvfPq.autoRefine(s1, 5)
+    val r10 = IvfPq.autoRefine(s10, 5)
+    val ratio = r10.toDouble / r1
+    assert(ratio > 8.0 && ratio <= 11.0, s"refine $r1 -> $r10 (x$ratio)")
+    // append keeps stats current (n grows, refine follows)
+    IvfPq.append(spark, p1, dupCorpus(10)
+      .withColumn("vec_id", col("vec_id") + 1000), "vec_id", "embedding",
+      IvfPq.nextBatchId(spark, p1))
+    val s1b = IvfPq.loadStats(spark, p1).get
+    assert(s1b.nVectors == 400L)
+    assert(IvfPq.autoRefine(s1b, 5) >= 2 * r1 - 1)
+    // auto path end-to-end: refine unset resolves from stats
+    val idx1 = IvfPq.load(spark, p1, "vec_id")
+    val out = IvfPq.topKRefined(idx1, dupCorpus(10), dupCorpus(1),
+      "embedding", k = 3, nprobe = 2)
+    assert(out.count() > 0)
+    // and a stats-less index fails auto with an actionable message
+    val noStats = idx1.copy(stats = None)
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.topKRefined(noStats, dupCorpus(10), dupCorpus(1),
+        "embedding", k = 3, nprobe = 2)
+    }
+    assert(e.getMessage.contains("stats"))
+  }
 }
