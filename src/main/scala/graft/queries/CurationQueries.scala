@@ -387,7 +387,127 @@ object CurationQueries {
        |FROM sc GROUP BY 1""".stripMargin
   }
 
+  /** q166 — the END-TO-END training-data capstone (the q65-for-LLM-data,
+    * composing the now-complete pieces as ONE plan): BPE tokenize
+    * (q140's vocabulary, counted per doc) → CCNet perplexity gate
+    * (q155's keep-≤-median) → near-dup drop (q60's capped-candidate
+    * clusters) → domain quota (q102's 30% lang cap) → GLOBAL
+    * token-budget packing by BPE tokens (q133's distributed prefix
+    * sum) → deterministic shard shuffle of the PACKS (q92's portable
+    * permutation). Output: one row per (shard, pack) with membership
+    * checksums, so every stage's exact decisions are in the hash.
+    * The oracle replays the whole chain as MATERIALIZED CTEs; the
+    * merge list comes from the r10 DRIVER-SIDE trainer
+    * ([[graft.operators.Bpe.trainMergesLocal]] — spec-pinned identical
+    * to the distributed loop the q139 oracle replays).
+    *
+    * Cross-operator lineage note (what a composed plan surfaces that
+    * per-query gates can't): the quality-kept corpus feeds BOTH the
+    * dedup pair generation and the final join chain, so it
+    * materializes once ([[graft.operators.Lifecycle]] scratch, zero
+    * pinned RDDs — spec-checked), exactly the intermediate-table shape
+    * a 100 TB pipeline persists between stages. */
+  def curateLlmCorpus(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{BigramLm, Bpe, Components, Dedup, Lifecycle}
+    val docs = Tables.documents(s, d)
+    // 1. BPE tokenization: per-doc subword token counts under the
+    //    corpus-trained vocabulary
+    val merges = Bpe.trainMergesLocal(docs, "text", TextQueries.BpeMerges)
+    val btok = Lifecycle.materializeToScratch(
+      Bpe.applyMergesFast(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_bpe_tokens")))
+    // 2. quality gate: keep docs at or below the median LM score
+    val scores = Lifecycle.materializeToScratch(
+      BigramLm.scoreDocs(docs,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text"))
+    val med = scores.agg(
+      percentile(col("avg_nll_milli"), lit(0.5)).as("med"))
+    val keptQ = scores.crossJoin(broadcast(med))
+      .filter(col("avg_nll_milli") <= col("med")).select(col("doc_id"))
+    val d2 = Lifecycle.materializeToScratch(
+      docs.join(keptQ, Seq("doc_id"), "left_semi"))
+    // 3. near-dup drop over the quality-kept corpus
+    val pairs = Dedup.ngramJaccardPairs(d2, "doc_id", "text",
+      n = 3, minJaccard = 0.5,
+      maxDocFreq = Some(DedupQueries.NgramMaxDocFreq))
+    val d3 = Components.dropNearDuplicates(d2, "doc_id", pairs)
+    // 4. domain quota: no language over 30% of the curated corpus
+    val d4 = DataMix.domainQuota(d3, "doc_id", "lang",
+      capNum = 3, capDen = 10)
+    // 5. global packing by BPE-token budget (curriculum doc_id order)
+    val packed = DataMix.packByTokenBudget(
+      d4.select(col("doc_id")).join(btok, "doc_id"),
+      "doc_id", "n_bpe_tokens", 2000L)
+    // 6. deterministic shard shuffle of the packs
+    val shards = DataMix.shuffleShards(
+      packed.select(col("pack_id")).distinct(), "pack_id", nShards = 8)
+    packed.join(shards, "pack_id")
+      .groupBy(col("shard"), col("pack_id"), col("pos"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("pack_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+  }
+
+  val curateLlmCorpusSql: String = {
+    val h = (c: String) =>
+      s"('0x'||substr(md5($c::VARCHAR || '#42'),1,15))::BIGINT"
+    s"""WITH RECURSIVE
+       |v8 AS MATERIALIZED (
+       |  ${TextQueries.bpeChainSql(TextQueries.BpeMerges).replace("\n", "\n  ")}
+       |  SELECT word, w, cnt FROM v${TextQueries.BpeMerges}),
+       |seg AS (SELECT word,
+       |    len(list_filter(str_split(w, chr(31)), x -> x <> '')) AS seg_len
+       |  FROM v8),
+       |dw AS (SELECT doc_id, w AS word FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' AND strpos(w, chr(31)) = 0),
+       |btok AS MATERIALIZED (
+       |  SELECT doc_id, sum(seg_len)::BIGINT AS n_bpe_tokens
+       |  FROM dw JOIN seg USING (word) GROUP BY 1),
+       |nq AS MATERIALIZED (
+       |  ${TextQueries.bigramLmScoresSql.replace("\n", "\n  ")}),
+       |mq AS (SELECT quantile_cont(avg_nll_milli, 0.5) AS med FROM nq),
+       |d2 AS MATERIALIZED (
+       |  SELECT d.* FROM documents d
+       |  JOIN nq ON nq.doc_id = d.doc_id, mq
+       |  WHERE nq.avg_nll_milli <= mq.med),
+       |${DedupQueries.shingleCtes(3, from = "d2")},
+       |${DedupQueries.cappedCommonCtes},
+       |${DedupQueries.clusterCtes},
+       |losers AS (SELECT s AS doc_id FROM reach GROUP BY s
+       |           HAVING least(s, min(d)) <> s),
+       |d3 AS MATERIALIZED (SELECT * FROM d2
+       |      WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |qt AS (SELECT (3 * count(*)) // 10 AS target FROM d3),
+       |qr AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${h("doc_id")}, doc_id) AS rn
+       |    FROM d3), qt
+       |  WHERE rn <= target),
+       |pk AS MATERIALIZED (
+       |  SELECT b.doc_id, b.n_bpe_tokens,
+       |    sum(b.n_bpe_tokens) OVER (ORDER BY b.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM btok b JOIN qr ON qr.doc_id = b.doc_id),
+       |packed AS (SELECT doc_id, n_bpe_tokens,
+       |    ((cum - n_bpe_tokens) // 2000)::BIGINT AS pack_id FROM pk),
+       |sh2 AS (SELECT pack_id, ${h("pack_id")} AS h
+       |        FROM (SELECT DISTINCT pack_id FROM packed)),
+       |shards AS (SELECT pack_id, h % 8 AS shard,
+       |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, pack_id) AS pos
+       |  FROM sh2)
+       |SELECT s.shard, p.pack_id, s.pos, count(*) AS n_docs,
+       |  sum(p.n_bpe_tokens)::BIGINT AS pack_tokens,
+       |  sum(p.doc_id)::BIGINT AS id_checksum
+       |FROM packed p JOIN shards s USING (pack_id)
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
+    Q("q166_curate_llm_corpus", curateLlmCorpus, Some(curateLlmCorpusSql)),
     Q("q149_quality_probe_train", qualityProbeTrain,
       Some(qualityProbeTrainSql)),
     Q("q150_quality_probe_scores", qualityProbeScores,

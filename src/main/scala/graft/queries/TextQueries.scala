@@ -480,7 +480,7 @@ object TextQueries {
     * deterministic argmax → vocab substitution), so the greedy
     * left-to-right merge semantics and the (count DESC, lhs, rhs)
     * tie-break are cross-engine-pinned, not trusted. */
-  private val BpeMerges = 8
+  private[queries] val BpeMerges = 8
 
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     val merges = graft.operators.Bpe.trainMerges(
@@ -507,7 +507,7 @@ object TextQueries {
        |  FROM v$p, best$i)""".stripMargin
   }
 
-  private def bpeChainSql(n: Int): String = {
+  private[queries] def bpeChainSql(n: Int): String = {
     val steps = (1 to n).map(bpeStepSql).mkString(",\n")
     s"""WITH vocab AS (SELECT w AS word, count(*) AS cnt FROM (
        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w

@@ -132,7 +132,19 @@ final class BucketedCdcTable(
   private def writeGen(rows: DataFrame, g: Int): Unit = {
     val out = s"$dir/data/gen=$g"
     if (rows.isEmpty) rows.write.mode("overwrite").parquet(out)
-    else rows.write.mode("overwrite").partitionBy(Bkt).parquet(out)
+    else {
+      // widen a narrow plan (publish's single-file base scan arrives as
+      // ONE input split) so buckets write in parallel; a plan already
+      // at/above bucket parallelism writes as-is — no extra shuffle on
+      // the wide path, which is the only path at scale
+      val parts = rows.queryExecution.toRdd.getNumPartitions
+      val w = if (parts < math.min(nBuckets,
+          spark.conf.get("spark.sql.shuffle.partitions").toInt))
+        rows.repartition(math.min(nBuckets,
+          spark.conf.get("spark.sql.shuffle.partitions").toInt), col(Bkt))
+      else rows
+      w.write.mode("overwrite").partitionBy(Bkt).parquet(out)
+    }
     if (statsCols.nonEmpty) writeStats(g)
   }
 
@@ -211,21 +223,36 @@ final class BucketedCdcTable(
 
   /** Fold one change batch in, rewriting only the buckets its keys
     * hash to. Write volume per batch ∝ touched buckets (≈ batch size ×
-    * table/nBuckets), never the table. */
+    * table/nBuckets), never the table.
+    *
+    * The batch is scratch-materialized FIRST: it is consumed twice
+    * (bucket routing, then the rewrite join), and a lazy caller plan —
+    * q114's change feeds are three-way unions over the source scan —
+    * would re-execute per consumer; one batch-sized scratch write is
+    * the cheaper side of that trade at every scale (cost ∝ batch,
+    * matching this method's contract). Released before return
+    * ([[graft.operators.Lifecycle]] — nothing stays pinned). */
   def applyBatch(changes: DataFrame): Unit = {
-    val next = gen + 1
-    val touched = touchedBuckets(changes)
-    if (touched.isEmpty) { writeManifest(readManifest(gen), next); gen = next }
-    else {
-      val m = readManifest(gen)
-      val affected = assemble(m.filter(t => touched(t._1)))
-      writeGen(Upsert.applyChanges(affected, changes, keyCol, opCol, seqCol)
-        .withColumn(Bkt, bucketOf(col(keyCol))), next)
-      writeManifest(
-        m.map { case (b, dg) => (b, if (touched(b)) next else dg) }, next)
-      gen = next
+    val ch =
+      if (changes.isStreaming) changes
+      else graft.operators.Lifecycle.materializeToScratch(changes)
+    try {
+      val next = gen + 1
+      val touched = touchedBuckets(ch)
+      if (touched.isEmpty) { writeManifest(readManifest(gen), next); gen = next }
+      else {
+        val m = readManifest(gen)
+        val affected = assemble(m.filter(t => touched(t._1)))
+        writeGen(Upsert.applyChanges(affected, ch, keyCol, opCol, seqCol)
+          .withColumn(Bkt, bucketOf(col(keyCol))), next)
+        writeManifest(
+          m.map { case (b, dg) => (b, if (touched(b)) next else dg) }, next)
+        gen = next
+      }
+      if (referencedGens > autoCompactAt) compact()
+    } finally {
+      if (!(ch eq changes)) graft.operators.Lifecycle.release(ch)
     }
-    if (referencedGens > autoCompactAt) compact()
   }
 
   /** Distinct data generations the current manifest references — the

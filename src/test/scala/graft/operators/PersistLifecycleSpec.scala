@@ -99,6 +99,15 @@ class PersistLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("q166 LLM-corpus capstone composition leaves nothing pinned") {
+    // the end-to-end training-data chain: BPE tokenize -> perplexity
+    // gate -> near-dup drop -> quota -> packing -> shard shuffle; four
+    // scratch materializations inside, zero pinned RDDs after
+    assertReleasesAll {
+      graft.queries.CurationQueries.curateLlmCorpus(spark, d).count()
+    }
+  }
+
   test("repeated minHashPairs calls do not accrete pinned storage") {
     // the per-batch service shape: N calls, zero monotone growth
     assertReleasesAll {
