@@ -36,9 +36,22 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val warmupDir = "/root/testdata/sf0.001"
-    selected.foreach { case (_, fn) =>
-      try exec(fn, warmupDir) catch { case _: Throwable => () }
-    }
+    // Warmup stays untimed in the report, but its wall time is recorded:
+    // single-rep queries (streaming family, benchReps=1) use it as their
+    // contention yardstick. Those queries warm at the BENCH sf, not
+    // sf0.001: a 3-run median implicitly reported the warm steady state
+    // (runs 2-3 dominate the median), so the rep=1 replacement must
+    // time a warm run too — a cold-run number would read as a fake
+    // +8s-per-query regression while actually measuring first-run
+    // state-store setup. Net suite cost: 2 full-sf executions instead
+    // of 1 tiny + 3 full.
+    val benchReps = SparkEntry.registered.map(q => q.name -> q.benchReps).toMap
+    val warmupT: Map[String, Double] = selected.map { case (name, fn) =>
+      val dir = if (benchReps.getOrElse(name, 3) == 1) sfDir else warmupDir
+      val t0 = System.nanoTime()
+      try exec(fn, dir) catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     // 3 timed runs per query, report the MEDIAN: r2→r3 showed 2-5×
     // run-to-run swings on individual queries (warmup/ordering noise)
     // that masked a real regression (q65); medians cut that band to
@@ -69,9 +82,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = selected.map { case (name, fn) =>
-      var times = (1 to 3).map(_ => timeOne(name, fn))
+      val reps = benchReps.getOrElse(name, 3)
+      var times = (1 to reps).map(_ => timeOne(name, fn))
+      // Single-rep guard (streaming family): with one run there is no
+      // spread to inspect, so the yardstick is the query's own warmup —
+      // the same query at the same sf (see above). >3x warmup (floored
+      // at 1s so tiny warmups can't trip it) ⇒ suspected contention ⇒
+      // escalate to the standard 3-run median.
+      if (reps == 1 && times.head > 3.0 * math.max(warmupT(name), 1.0)) {
+        System.err.println(f"BENCH ESCALATE $name: single run ${times.head}%.2f" +
+          f"s > 3x warmup ${warmupT(name)}%.2fs — taking 3-run median")
+        times = times ++ (1 to 2).map(_ => timeOne(name, fn))
+      }
       var retries = 0
-      while (retries < 2 && times.max / math.max(times.min, 1e-9) > OutlierSpread) {
+      while (times.size >= 3 && retries < 2 &&
+          times.max / math.max(times.min, 1e-9) > OutlierSpread) {
         System.err.println(f"BENCH RETRY $name: spread [${times.min}%.2f, " +
           f"${times.max}%.2f] exceeds ${OutlierSpread}%.1fx — rerunning")
         times = times :+ timeOne(name, fn)

@@ -643,6 +643,48 @@ object ProfileScratch {
           sharded.exceptAll(regs).isEmpty && regs.exceptAll(sharded).isEmpty}")
         regs.unpersist()
 
+      case "overlapscale" =>
+        // KMV overlap at cardinalities where the sketch matters: two
+        // N-item corpora (args(1), default 50M) with a known 1/3
+        // Jaccard, per 4 groups. The claims under test: one map-side-
+        // combined aggregation per side (k longs per group reach the
+        // driver-free join), and the 1/sqrt(k) error band at real N.
+        import graft.operators.Overlap
+        val n = args.lift(1).map(_.toLong).getOrElse(50000000L)
+        val k = args.lift(2).map(_.toInt).getOrElse(1024)
+        def corpus(lo: Long, hi: Long) = spark.range(lo, hi).select(
+          pmod(col("id"), lit(4)).cast("string").as("g"),
+          // 60-bit spread of the item id — the operator only needs
+          // distinct uniform hashes
+          pmod(col("id") * 2654435761L, lit(1L << 60)).as("h"))
+        // A = [0, n), B = [n/2, 3n/2): |A∩B| = n/2, |A∪B| = 3n/2, J = 1/3
+        val est = t(s"kmvOverlap over 2x$n items, k=$k")(
+          Overlap.kmvOverlap(corpus(0, n), corpus(n / 2, n + n / 2),
+            "g", "h", k).collect())
+        est.sortBy(_.getString(0)).foreach { r =>
+          val j = r.getAs[Double]("jaccard_est")
+          println(f"  g=${r.getString(0)} est_union=${r.getAs[Double]("est_union")}%.0f " +
+            f"est_int=${r.getAs[Double]("est_intersection")}%.0f " +
+            f"jaccard=$j%.4f (true 0.3333, err ${(j - 1.0 / 3) * 300}%.2f%%)")
+        }
+
+      case "pcascale" =>
+        // PCA Gram pass at corpus scale: N 64-dim vectors (args(1),
+        // default 1M). The claims under test: fit is ONE aggregation
+        // (map-side combined 17KB buffers), wall linear in N, and the
+        // recovered axis matches the planted anisotropy.
+        import graft.operators.Pca
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val vecs = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (when(i === 5, 3.0).otherwise(0.03) *
+              (pmod(xxhash64(col("id"), i), lit(20001L)) - 10000L)
+                .cast("double") / 10000.0).cast("float")).as("embedding"))
+        val m = t(s"Pca.fit over $n x64")(
+          Pca.fit(vecs, "embedding", d = 64, nComponents = 2, iters = 30))
+        println(f"  ev1=${m.eigenvalues(0)}%.4f ev2=${m.eigenvalues(1)}%.4f " +
+          f"v1[6]=${m.components(0)(5)}%.4f (planted axis 5)")
+
       case "lmscale" =>
         // Bigram LM at corpus scale: N synthetic docs (args(1), default
         // 2M) of 40 tokens from a 50k-word zipf-ish vocab, trained on

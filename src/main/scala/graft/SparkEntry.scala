@@ -18,7 +18,8 @@ object SparkEntry {
       SimilarityQueries.all ++ IvfPqQueries.all ++ EventQueries.all ++
       MultimodalQueries.all ++ ScaleQueries.all ++ SketchQueries.all ++
       SemanticsQueries.all ++ DataMixQueries.all ++ CurationQueries.all ++
-      UpsertQueries.all ++ ValidationQueries.all ++ StreamingQueries.all
+      UpsertQueries.all ++ ValidationQueries.all ++ StreamingQueries.all ++
+      PcaQueries.all ++ SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -21,15 +21,11 @@ import org.apache.spark.sql.functions.udaf
   * Input contract: a non-null 60-bit hash in [0, 2^60), e.g.
   * `Dedup.stringHash(col, portable = true)`.
   */
-class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
-  require(k >= 2)
+private[graft] object KmvOps {
+  val TwoPow60: Double = 1152921504606846976.0 // 2^60 as double
 
-  private val twoPow60 = 1152921504606846976.0 // 2^60 as double
-
-  /** Sorted ascending, distinct, length ≤ k. */
-  override def zero: Array[Long] = Array.empty[Long]
-
-  private def insert(s: Array[Long], h: Long): Array[Long] = {
+  /** Insert into a sorted-ascending distinct k-minima buffer. */
+  def insert(s: Array[Long], h: Long, k: Int): Array[Long] = {
     val pos = java.util.Arrays.binarySearch(s, h)
     if (pos >= 0) s // already present
     else {
@@ -45,18 +41,45 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
       }
     }
   }
+}
 
-  override def reduce(s: Array[Long], h: Long): Array[Long] = insert(s, h)
+class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
+  require(k >= 2)
+
+  /** Sorted ascending, distinct, length ≤ k. */
+  override def zero: Array[Long] = Array.empty[Long]
+
+  override def reduce(s: Array[Long], h: Long): Array[Long] =
+    KmvOps.insert(s, h, k)
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    b.foldLeft(a)(insert)
+    b.foldLeft(a)(KmvOps.insert(_, _, k))
 
   override def finish(s: Array[Long]): Double =
     if (s.length < k) s.length.toDouble
-    else (k - 1).toDouble * twoPow60 / s.last.toDouble
+    else (k - 1).toDouble * KmvOps.TwoPow60 / s.last.toDouble
 
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
+}
+
+/** Same k-minima state, but `finish` SHIPS THE SKETCH (the sorted
+  * minima array) instead of collapsing it to an estimate — the
+  * composable form: two corpora's sketches support union, intersection
+  * and Jaccard estimation AFTER aggregation (Beyer et al., SIGMOD'07),
+  * which is how a 100 TB pipeline answers "how much of the eval set
+  * leaked into training" without ever joining the corpora. See
+  * [[graft.operators.Overlap]]. */
+class KmvMinima(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(k >= 2)
+  override def zero: Array[Long] = Array.empty[Long]
+  override def reduce(s: Array[Long], h: Long): Array[Long] =
+    KmvOps.insert(s, h, k)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)(KmvOps.insert(_, _, k))
+  override def finish(s: Array[Long]): Array[Long] = s
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
 
 object KmvSketch {
@@ -64,4 +87,9 @@ object KmvSketch {
     * input. */
   def approxDistinct(hashed: Column, k: Int): Column =
     udaf(new KmvDistinct(k), ExpressionEncoder[Long]()).apply(hashed)
+
+  /** Column aggregate: the k-minima sketch itself (sorted ascending
+    * distinct hashes, length ≤ k) for post-aggregation set algebra. */
+  def minima(hashed: Column, k: Int): Column =
+    udaf(new KmvMinima(k), ExpressionEncoder[Long]()).apply(hashed)
 }

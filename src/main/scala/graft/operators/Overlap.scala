@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.functions.{KmvOps, KmvSketch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-corpus overlap estimation from KMV sketches (Beyer et al.,
+  * "On synopses for distinct-value estimation under multiset
+  * operations", SIGMOD 2007).
+  *
+  * The 100 TB question this answers: how much of corpus B (an eval
+  * benchmark, a licensed set, last month's crawl) is ALREADY IN corpus
+  * A — without the exact-join decontamination pass (q56), which costs
+  * a shuffle of both corpora. Each side is reduced to a k-minima
+  * sketch (one map-side-combinable aggregation, k longs per group);
+  * the estimator then needs only the two sketches:
+  *
+  *  - the k smallest of (minA ∪ minB) ARE the k minima of A∪B (each
+  *    sketch contains its own set's k smallest, so nothing in the
+  *    union's bottom-k can be missing from both);
+  *  - |A∪B| ≈ (k−1)·2^60 / h_(k) on that union sketch (same estimator
+  *    as [[graft.functions.KmvDistinct]]);
+  *  - ρ = |{h ∈ union minima : h ∈ minA ∧ h ∈ minB}| / k is an
+  *    unbiased estimate of the Jaccard J(A,B), so
+  *    |A∩B| ≈ ρ · |A∪B|-est.
+  *
+  * Everything after the aggregation is builtin array algebra on ≤k-long
+  * arrays, and the fixed 60-bit portable hash makes the WHOLE estimate
+  * (not just its expectation) a deterministic function of the input
+  * sets — order- and partitioning-insensitive, hence oracle-replayable
+  * in ANSI SQL. When a group's union has fewer than k distinct hashes
+  * the sketches are complete sets and every output is EXACT.
+  */
+object Overlap {
+
+  /** Per-group overlap estimate between two keyed item sets.
+    *
+    * @param a        left corpus items: one row per (group, hash)
+    * @param b        right corpus items: same shape
+    * @param groupCol grouping column (present in both); inner-joined, so
+    *                 only groups with rows on both sides are emitted
+    * @param hashCol  non-null 60-bit item hash in [0, 2^60) — e.g.
+    *                 `Dedup.stringHash(item, portable = true)`
+    * @param k        sketch size (standard error ~ 1/sqrt(k))
+    * @return one row per group: est_union, est_intersection,
+    *         jaccard_est, n_match (the raw intersection evidence count)
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, groupCol: String,
+      hashCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"sketch size k must be >= 2, got $k")
+    val ska = a.groupBy(col(groupCol))
+      .agg(KmvSketch.minima(col(hashCol), k).as("__ska"))
+    val skb = b.groupBy(col(groupCol))
+      .agg(KmvSketch.minima(col(hashCol), k).as("__skb"))
+    ska.join(skb, Seq(groupCol))
+      .withColumn("__um",
+        slice(array_sort(array_union(col("__ska"), col("__skb"))), 1, k))
+      .withColumn("__keff", size(col("__um")))
+      .withColumn("est_union",
+        when(col("__keff") < k, col("__keff").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvOps.TwoPow60) /
+            element_at(col("__um"), k).cast("double")))
+      .withColumn("n_match",
+        size(array_intersect(array_intersect(col("__um"), col("__ska")),
+          col("__skb"))).cast("long"))
+      .withColumn("jaccard_est",
+        col("n_match").cast("double") / col("__keff").cast("double"))
+      .withColumn("est_intersection", col("jaccard_est") * col("est_union"))
+      .select(col(groupCol), col("est_union"), col("est_intersection"),
+        col("jaccard_est"), col("n_match"))
+  }
+}

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object DataMixQueries {
 
-  private def sqlBucket(id: String, seed: Long): String =
+  private[queries] def sqlBucket(id: String, seed: Long): String =
     s"('0x'||substr(md5($id::VARCHAR || '#$seed'),1,15))::BIGINT % 1000000"
 
   /** Train/test split + per-split stats (membership-sensitive sums). */

@@ -1,9 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Components, Dedup}
+import graft.operators.{Components, DataMix, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, expr, lit, md5, pmod, sum}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, countDistinct, expr, lit, md5, pmod, sum}
 
 /** Near-duplicate detection coverage on `documents` (SURVEY north-star:
   * n-gram Jaccard, MinHash+LSH, SimHash). The oracle SQL replays the
@@ -173,6 +173,49 @@ object DedupQueries {
        |$clusterCtes
        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
        |FROM reach GROUP BY s""".stripMargin
+
+  /** Leakage-safe train/test split at DUP-CLUSTER granularity: the
+    * split key is the q60 component label (coalesced to the doc's own
+    * id for unclustered docs), hashed through
+    * [[DataMix.groupAwareSplit]] — so a near-dup family can NEVER
+    * straddle train/test, the exact leak a row-hash split (q45)
+    * permits and q56 then has to detect. Output is the per-split audit
+    * (docs, clustered docs, distinct clusters, id checksum); the
+    * straddle-impossibility is structural (one hash per group), and
+    * the oracle replays components + hash-split + aggregate end to
+    * end. At 100 TB the extra cost over a row split is exactly the
+    * q60 clustering pass; the split itself stays map-side. */
+  def clusterSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = dedupClusters(s, d).withColumnRenamed("cluster_id", "__cid")
+    val keyed = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("__grp", coalesce(col("__cid"), col("doc_id")))
+    DataMix.groupAwareSplit(keyed, "__grp", testFraction = 0.25)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("__cid")).as("n_clustered_docs"),
+        countDistinct(col("__cid")).as("n_clusters"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
+  val clusterSplitSql: String =
+    s"""WITH RECURSIVE ${shingleCtes(3)},
+       |$cappedCommonCtes,
+       |$clusterCtes,
+       |cl AS (SELECT s AS doc_id, least(s, min(d)) AS cid
+       |       FROM reach GROUP BY s),
+       |k AS (SELECT d.doc_id, cl.cid,
+       |        coalesce(cl.cid, d.doc_id) AS grp
+       |      FROM documents d LEFT JOIN cl USING (doc_id)),
+       |sp AS (SELECT doc_id, cid,
+       |        CASE WHEN ${DataMixQueries.sqlBucket("grp", 42L)} < 250000
+       |             THEN 'test' ELSE 'train' END AS split
+       |       FROM k)
+       |SELECT split, count(*) AS n_docs,
+       |  count(cid) AS n_clustered_docs,
+       |  count(DISTINCT cid) AS n_clusters,
+       |  (sum(doc_id))::BIGINT AS id_sum
+       |FROM sp GROUP BY 1""".stripMargin
 
   /** Incremental (ingestion-order) MinHash+LSH dedup: docs arrive in 4
     * batches (doc_id % 4), each batch dedups against itself (smaller-id
@@ -485,6 +528,7 @@ object DedupQueries {
     Q("q20_minhash_lsh", minHashLsh, Some(minHashLshSql)),
     Q("q21_simhash", simHash, Some(simHashSql)),
     Q("q60_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("q170_cluster_split", clusterSplit, Some(clusterSplitSql)),
     Q("q80_incremental_dedup", incrementalDedupQ, Some(incrementalDedupSql)),
     Q("q82_ingested_dedup", ingestedDedupQ, Some(incrementalDedupSql)),
     Q("q86_retracted_dedup", retractedDedupQ, Some(retractedDedupSql)),

@@ -647,7 +647,71 @@ object SimilarityQueries {
        |$out""".stripMargin
   }
 
+  private val HamShortlist = 15
+
+  /** Binary-quantized ANN: 1-bit sign codes (64 dims → ONE long),
+    * Hamming-distance shortlist of 15 per query, exact cosine rerank —
+    * the 32×-fewer-scan-bytes candidate pass with a candidate-pruned
+    * rerank ([[Similarity.hammingTopK]]). The oracle replays the sign
+    * test per dimension (semantically identical to
+    * bit_count(xor(words)) on the packed codes) and the same two-stage
+    * ranking. */
+  def hammingAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", dim = 64, k = 5, shortlist = HamShortlist)
+  }
+
+  private val hammingTermSql: String = (1 to 64)
+    .map(i => s"(CASE WHEN (qv[$i]>0)<>(cv[$i]>0) THEN 1 ELSE 0 END)")
+    .mkString("+")
+
+  val hammingAnnSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |ham AS (SELECT query_id, vec_id, qv, cv,
+       |    ($hammingTermSql)::BIGINT AS hamming
+       |  FROM q JOIN c ON query_id <> vec_id),
+       |short AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, vec_id) AS hrank FROM ham),
+       |rer AS (SELECT query_id, vec_id AS neighbor_id, hamming,
+       |    ${sqlCos("qv", "cv")} AS similarity
+       |  FROM short WHERE hrank <= $HamShortlist),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY similarity DESC, neighbor_id) AS rank FROM rer)
+       |SELECT query_id, neighbor_id, rank, hamming, similarity FROM r
+       |WHERE rank <= 5""".stripMargin
+
+  /** Recall audit for the binary path: exact top-5 (q22) vs the
+    * Hamming-shortlisted top-5 (q167), histogrammed — the measurement
+    * that decides whether 1 bit/dim survives as the candidate pass. */
+  def hammingRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = knnBruteForce(s, d).select(col("query_id"),
+      col("neighbor_id"))
+    val ham = hammingAnn(s, d).select(col("query_id").as("hq"),
+      col("neighbor_id").as("hn"))
+    exact.join(ham,
+        col("query_id") === col("hq") && col("neighbor_id") === col("hn"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hn")).as("n_common"))
+      .groupBy(col("n_common")).agg(count(lit(1)).as("n_queries"))
+  }
+
+  val hammingRecallSql: String =
+    s"""WITH exact AS (${knnBruteForceSql.replace("\n", "\n  ")}),
+       |ham AS (${hammingAnnSql.replace("\n", "\n  ")}),
+       |per_q AS (
+       |  SELECT e.query_id, count(h.neighbor_id) AS n_common
+       |  FROM exact e LEFT JOIN ham h
+       |    ON e.query_id = h.query_id AND e.neighbor_id = h.neighbor_id
+       |  GROUP BY 1)
+       |SELECT n_common, count(*) AS n_queries FROM per_q GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q167_hamming_ann", hammingAnn, Some(hammingAnnSql)),
+    Q("q168_hamming_recall", hammingRecall, Some(hammingRecallSql)),
     Q("q144_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q162_retrieval_metrics", retrievalMetrics, Some(retrievalMetricsSql)),
     Q("q164_truncation_recall", truncationRecall, Some(truncationRecallSql)),

@@ -499,7 +499,65 @@ object SketchQueries {
       |    AS est_raw
       |FROM e""".stripMargin
 
+  private val OverlapK = 256
+
+  /** Train↔eval corpus-overlap estimate per language from KMV sketch
+    * intersection ([[graft.operators.Overlap.kmvOverlap]]): the
+    * shuffle-free "did the benchmark leak into training" measurement.
+    * Items are the q19/q20 3-gram shingles under the portable 60-bit
+    * hash; train = doc_id % 5 ≠ 0, eval = doc_id % 5 = 0. The oracle
+    * replays the SKETCH (per-side k smallest distinct hashes) and the
+    * whole Beyer et al. estimator in list algebra — deterministic at
+    * any sf because the hash is fixed, not seeded. */
+  def corpusOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+      .filter(col("shingle").isNotNull)
+      .join(docs.select(col("doc_id"), col("lang"),
+        (col("doc_id") % 5 === 0).as("__iseval")), Seq("doc_id"))
+      .select(col("lang"), col("__iseval"),
+        Dedup.stringHash(col("shingle"), portable = true).as("__h"))
+    graft.operators.Overlap.kmvOverlap(
+      sh.filter(!col("__iseval")), sh.filter(col("__iseval")),
+      groupCol = "lang", hashCol = "__h", k = OverlapK)
+  }
+
+  val corpusOverlapSql: String =
+    s"""WITH ${DedupQueries.shingleCtes(3)},
+       |lab AS MATERIALIZED (
+       |  SELECT d.lang, (d.doc_id % 5 = 0) AS iseval,
+       |    ('0x'||substr(md5(s.shingle),1,15))::BIGINT AS h
+       |  FROM sh s JOIN documents d USING (doc_id)
+       |  WHERE s.shingle IS NOT NULL),
+       |ha AS (SELECT DISTINCT lang, h FROM lab WHERE NOT iseval),
+       |hb AS (SELECT DISTINCT lang, h FROM lab WHERE iseval),
+       |ra AS (SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM ha),
+       |rb AS (SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hb),
+       |ska AS (SELECT lang, array_agg(h ORDER BY h) AS a FROM ra
+       |  WHERE rn <= $OverlapK GROUP BY 1),
+       |skb AS (SELECT lang, array_agg(h ORDER BY h) AS b FROM rb
+       |  WHERE rn <= $OverlapK GROUP BY 1),
+       |m AS (SELECT lang, a, b,
+       |    list_slice(list_sort(list_distinct(list_concat(a, b))), 1,
+       |      $OverlapK) AS um
+       |  FROM ska JOIN skb USING (lang)),
+       |e AS (SELECT lang, len(um) AS keff,
+       |    CASE WHEN len(um) < $OverlapK THEN len(um)::DOUBLE
+       |         ELSE ${OverlapK - 1}::DOUBLE *
+       |           1152921504606846976::BIGINT::DOUBLE / um[$OverlapK]::DOUBLE
+       |    END AS est_union,
+       |    len(list_intersect(list_intersect(um, a), b))::BIGINT AS n_match
+       |  FROM m)
+       |SELECT lang, est_union,
+       |  (n_match::DOUBLE / keff::DOUBLE) * est_union AS est_intersection,
+       |  n_match::DOUBLE / keff::DOUBLE AS jaccard_est,
+       |  n_match
+       |FROM e""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("q169_corpus_overlap", corpusOverlap, Some(corpusOverlapSql)),
     Q("q152_hll_registers", hllRegisters, Some(hllRegistersSql)),
     Q("q153_hll_estimate", hllEstimate, Some(hllEstimateSql)),
     Q("q156_hll_rollup", hllRollup, Some(hllRollupSql)),

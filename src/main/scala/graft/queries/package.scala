@@ -8,11 +8,20 @@ package object queries {
   /** One registered operator/query: the Spark implementation plus (when the
     * semantics are ANSI-SQL-expressible) a DuckDB oracle over the same
     * parquet tables. `oracle = None` → driver records a rows-only check.
+    *
+    * `benchReps` is the timed-run count the bench harness uses (default 3,
+    * medians beat local[32] noise — NOTES r3). The Structured-Streaming
+    * family sets 1: their wall time is dominated by per-run harness fixed
+    * cost (stream start, checkpoint dir, RocksDB state store, multi-drain
+    * replay) that repeats identically every rep, so extra reps buy no
+    * signal; the bench guards the single run against contention by
+    * comparing it to the query's own warmup time (same fixed cost).
     */
   final case class Q(
       name: String,
       run: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
+      oracle: Option[String],
+      benchReps: Int = 3)
 
   /** Exact money arithmetic: parquet doubles carry 2-decimal money values;
     * `cents` lifts them to exact longs so sums/orderings hash-match the

@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DSv2 TSV connector: typed parsing, pruned-parse pushdown, charset,
+  * file-level parallelism, PERMISSIVE short rows. */
+class TsvSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTsv(lines: Seq[String], charset: String = "UTF-8"): String = {
+    val dir = Files.createTempDirectory("tsvsrc")
+    Files.write(dir.resolve("part-0.tsv"),
+      lines.mkString("\n").getBytes(charset))
+    dir.toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  test("typed read matches the builtin csv reader on the same files") {
+    val df = (1L to 200L).map(i => (i, s"name_$i", i * 0.5))
+      .toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("tsvrt").toString + "/out"
+    df.write.option("sep", "\t").option("header", "true").csv(dir)
+    val viaBuiltin = spark.read.schema(schema)
+      .option("sep", "\t").option("header", "true").csv(dir)
+    val viaDsv2 = spark.read.format("graft-tsv").schema(schema)
+      .option("charset", "UTF-8").load(dir)
+    assert(viaDsv2.exceptAll(viaBuiltin).isEmpty &&
+      viaBuiltin.exceptAll(viaDsv2).isEmpty)
+  }
+
+  test("column pruning reaches the scan: readSchema is the projected subset") {
+    val dir = writeTsv(Seq("id\tname\tscore", "1\ta\t0.5", "2\tb\t1.5"))
+    val df = spark.read.format("graft-tsv").schema(schema).load(dir)
+      .select(col("name"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.readSchema().fieldNames.toSeq === Seq("name"))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("ISO-8859-1 is the default charset (the reference's encoding)") {
+    val dir = writeTsv(Seq("id\tname\tscore", "1\tcafé\t1.0"),
+      charset = "ISO-8859-1")
+    val out = spark.read.format("graft-tsv").schema(schema).load(dir)
+      .select(col("name")).head.getString(0)
+    assert(out === "café")
+  }
+
+  test("short rows read as nulls; empty cells of typed columns are null") {
+    val dir = writeTsv(Seq("id\tname\tscore", "1\tonly_id", "2\t\t3.5"))
+    val rows = spark.read.format("graft-tsv").schema(schema).load(dir)
+      .orderBy(col("id")).collect()
+    assert(rows(0).getLong(0) === 1L)
+    assert(rows(0).getString(1) === "only_id")
+    assert(rows(0).isNullAt(2)) // missing trailing cell
+    assert(rows(1).isNullAt(1)) // empty string cell -> null
+    assert(rows(1).getDouble(2) === 3.5)
+  }
+
+  test("one input partition per file; hidden files skipped") {
+    val dir = Files.createTempDirectory("tsvpart")
+    (0 until 3).foreach { i =>
+      Files.write(dir.resolve(s"part-$i.tsv"),
+        s"id\tname\tscore\n$i\tx\t1.0".getBytes(StandardCharsets.UTF_8))
+    }
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    Files.write(dir.resolve(".hidden"), "id\tname\tscore".getBytes)
+    val df = spark.read.format("graft-tsv").schema(schema).load(dir.toString)
+    assert(df.rdd.getNumPartitions === 3)
+    assert(df.count() === 3)
+  }
+
+  test("schema inference: header names, all strings") {
+    val dir = writeTsv(Seq("colA\tcolB", "x\ty"))
+    val df = spark.read.format("graft-tsv").load(dir)
+    assert(df.schema === StructType(Seq(
+      StructField("colA", StringType), StructField("colB", StringType))))
+    assert(df.head.getString(1) === "y")
+  }
+
+  test("header=false exposes the first line as data with _cN names") {
+    val dir = writeTsv(Seq("1\ta", "2\tb"))
+    val df = spark.read.format("graft-tsv").option("header", "false").load(dir)
+    assert(df.schema.fieldNames.toSeq === Seq("_c0", "_c1"))
+    assert(df.count() === 2)
+  }
+
+  test("empty directory is refused loudly") {
+    val dir = Files.createTempDirectory("tsvempty").toString
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-tsv").load(dir)
+    }
+  }
+}
