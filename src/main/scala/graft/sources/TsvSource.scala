@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,6 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the required fields — a projection of 2 of 50 columns splits the
   *    line once and converts 2 cells (the text-source equivalent of a
   *    parquet `ReadSchema`).
+  *  - **Filter pushdown reaches the parser**: `SupportsPushDownFilters`
+  *    evaluates equality/range/null predicates on the RAW cells and
+  *    skips non-matching lines before any row materializes (the
+  *    text-source analogue of row-group skipping); every filter is
+  *    also left residual, so pushing is an accelerator, never a
+  *    correctness dependency ([[TsvFilters]]).
+  *  - **Statistics for the optimizer**: `SupportsReportStatistics`
+  *    reports the files' byte size, so Catalyst can make the
+  *    broadcast-vs-shuffle call for TSV dims like it does for parquet.
   *  - **One InputPartition per file**: the directory fans out across
   *    executors; at 100 TB the unit of parallelism is the file (the
   *    reference's export is sharded), and a reader task streams its
@@ -129,40 +139,159 @@ private[sources] class TsvTable(tableSchema: StructType,
 
 private[sources] class TsvScanBuilder(full: StructType,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new TsvScan(full, required, TsvOptions(options))
+  /** Accept the predicates [[TsvFilters]] can evaluate during the
+    * parse (rows are dropped before materialization — the text-source
+    * equivalent of parquet row-group skipping, minus the statistics).
+    * ALL filters are returned as residual: Spark re-evaluates them
+    * post-scan, so a pushed predicate is a row-skipping accelerator,
+    * never a correctness dependency. */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(f => TsvFilters.supported(full, f))
+    filters
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+  override def build(): Scan =
+    new TsvScan(full, required, pushed, TsvOptions(options))
 }
 
 private[sources] class TsvScan(full: StructType, required: StructType,
-    opts: TsvOptions) extends Scan with Batch {
+    pushed: Array[sources.Filter], opts: TsvOptions)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-tsv ${opts.path} ReadSchema: ${required.simpleString}"
+    s"graft-tsv ${opts.path} ReadSchema: ${required.simpleString}" +
+      (if (pushed.nonEmpty) s" PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+       else "")
   override def planInputPartitions(): Array[InputPartition] =
     TsvSource.listFiles(opts.path).map(TsvFilePartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(full, required, opts)
+    new TsvReaderFactory(full, required, pushed, opts)
+  /** Byte size from the file system (what the optimizer needs for the
+    * broadcast-vs-shuffle decision); row count unknown — text files
+    * carry no row metadata. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = {
+      val conf = new Configuration()
+      TsvSource.listFiles(opts.path).map { f =>
+        val p = new Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 }
 
 private[sources] case class TsvFilePartition(file: String) extends InputPartition
 
 private[sources] class TsvReaderFactory(full: StructType, required: StructType,
-    opts: TsvOptions) extends PartitionReaderFactory {
+    pushed: Array[sources.Filter], opts: TsvOptions)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TsvPartitionReader(partition.asInstanceOf[TsvFilePartition].file,
-      full, required, opts)
+      full, required, pushed, opts)
 }
 
-/** Streams one file: split each line on tabs once, convert ONLY the
-  * required columns (by their index in the FULL schema). Short rows
-  * (trailing empty cells dropped by the writer) read as nulls —
-  * PERMISSIVE, matching the reference reader's tolerance. */
+/** Parse-time predicate evaluation for pushed-down v1 filters.
+  *
+  * Supported: EqualTo / In (any type), ordering comparisons on NUMERIC
+  * columns only (string ordering differs between Java's UTF-16
+  * compareTo and Spark's UTF-8 binary order for supplementary
+  * characters, so string ranges stay post-scan), IsNull / IsNotNull,
+  * And of supported children. SQL three-valued logic: a comparison on
+  * a null cell is false (row skipped) — identical to what the residual
+  * Filter would do, so skipping early never changes results. */
+private[sources] object TsvFilters {
+  import org.apache.spark.sql.sources._
+
+  private def ordered(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType => true
+    case _ => false
+  }
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case In(a, _) => schema.fieldNames.contains(a)
+    case GreaterThan(a, _) => has(schema, a, ordered)
+    case GreaterThanOrEqual(a, _) => has(schema, a, ordered)
+    case LessThan(a, _) => has(schema, a, ordered)
+    case LessThanOrEqual(a, _) => has(schema, a, ordered)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case And(l, r) => supported(schema, l) && supported(schema, r)
+    case _ => false
+  }
+
+  private def has(schema: StructType, name: String,
+      p: DataType => Boolean): Boolean =
+    schema.fieldNames.contains(name) && p(schema(name).dataType)
+
+  /** (full-schema cell index, raw-cell predicate). The raw cell is the
+    * pre-conversion string (null = missing/nullValue). */
+  type CellPred = (Int, String => Boolean)
+
+  def compile(schema: StructType, f: Filter,
+      parse: (String, String) => Any): Seq[CellPred] = f match {
+    case And(l, r) =>
+      compile(schema, l, parse) ++ compile(schema, r, parse)
+    case IsNull(a) => Seq((schema.fieldIndex(a), raw => raw == null))
+    case IsNotNull(a) => Seq((schema.fieldIndex(a), raw => raw != null))
+    case EqualTo(a, v) => cmp(schema, a, parse)(x => x == 0, v)
+    case GreaterThan(a, v) => cmp(schema, a, parse)(x => x > 0, v)
+    case GreaterThanOrEqual(a, v) => cmp(schema, a, parse)(x => x >= 0, v)
+    case LessThan(a, v) => cmp(schema, a, parse)(x => x < 0, v)
+    case LessThanOrEqual(a, v) => cmp(schema, a, parse)(x => x <= 0, v)
+    case In(a, vs) =>
+      val set = vs.map(normalize).toSet
+      Seq((schema.fieldIndex(a),
+        raw => raw != null && set.contains(normalize(parse(a, raw)))))
+    case _ => Seq.empty
+  }
+
+  /** Literal values arrive as external types (String for strings);
+    * parsed cells are internal (UTF8String) — compare on one side. */
+  private def normalize(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case other => other
+  }
+
+  private def cmp(schema: StructType, name: String,
+      parse: (String, String) => Any)(
+      accept: Int => Boolean, lit: Any): Seq[CellPred] = {
+    val idx = schema.fieldIndex(name)
+    Seq((idx, raw => raw != null && {
+      val cell = normalize(parse(name, raw))
+      val l = normalize(lit)
+      val c = (cell, l) match {
+        case (a: Int, b: Int) => java.lang.Integer.compare(a, b)
+        case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+        case (a: Double, b: Double) => java.lang.Double.compare(a, b)
+        case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+        case (a: String, b: String) => if (a == b) 0 else Int.MinValue
+        case _ => Int.MinValue // type mismatch: never matches
+      }
+      if (c == Int.MinValue) false else accept(c)
+    }))
+  }
+}
+
+/** Streams one file: split each line on tabs once, evaluate pushed
+  * predicates on the raw cells (skipping non-matching rows BEFORE any
+  * materialization), then convert ONLY the required columns (by their
+  * index in the FULL schema). Short rows (trailing empty cells dropped
+  * by the writer) read as nulls — PERMISSIVE, matching the reference
+  * reader's tolerance. */
 private[sources] class TsvPartitionReader(file: String, full: StructType,
-    required: StructType, opts: TsvOptions)
+    required: StructType, pushed: Array[sources.Filter], opts: TsvOptions)
     extends PartitionReader[InternalRow] {
 
   private val reader = TsvSource.open(file, opts.charset)
@@ -176,6 +305,11 @@ private[sources] class TsvPartitionReader(file: String, full: StructType,
   }
   private val converters: Array[String => Any] =
     required.fields.map(f => converter(f.dataType))
+  private val fullConverters: Array[String => Any] =
+    full.fields.map(f => converter(f.dataType))
+  private val preds: Array[TsvFilters.CellPred] = pushed.flatMap(f =>
+    TsvFilters.compile(full, f,
+      (name, raw) => fullConverters(full.fieldIndex(name))(raw))).toArray
   private var current: InternalRow = _
 
   private def converter(dt: DataType): String => Any = dt match {
@@ -188,24 +322,36 @@ private[sources] class TsvPartitionReader(file: String, full: StructType,
       s"graft-tsv: unsupported column type $other (string/int/long/double/boolean)")
   }
 
+  private def cell(cells: Array[String], idx: Int): String = {
+    val raw = if (idx < cells.length) cells(idx) else null
+    if (raw == null || raw == opts.nullValue) null else raw
+  }
+
   override def next(): Boolean = {
-    val line = reader.readLine()
-    if (line == null) false
-    else {
+    var line = reader.readLine()
+    while (line != null) {
       val cells = line.split("\t", -1)
-      val row = new GenericInternalRow(fieldIdx.length)
-      var i = 0
-      while (i < fieldIdx.length) {
-        val idx = fieldIdx(i)
-        val raw = if (idx < cells.length) cells(idx) else null
-        row.update(i,
-          if (raw == null || raw == opts.nullValue) null
-          else converters(i)(raw))
-        i += 1
+      var pass = true
+      var p = 0
+      while (pass && p < preds.length) {
+        val (idx, pred) = preds(p)
+        pass = pred(cell(cells, idx))
+        p += 1
       }
-      current = row
-      true
+      if (pass) {
+        val row = new GenericInternalRow(fieldIdx.length)
+        var i = 0
+        while (i < fieldIdx.length) {
+          val raw = cell(cells, fieldIdx(i))
+          row.update(i, if (raw == null) null else converters(i)(raw))
+          i += 1
+        }
+        current = row
+        return true
+      }
+      line = reader.readLine()
     }
+    false
   }
 
   override def get(): InternalRow = current

@@ -81,6 +81,46 @@ class TsvSourceSpec extends SparkSpec {
     assert(df.count() === 3)
   }
 
+  test("filter pushdown: pushed predicates skip rows at parse, results unchanged") {
+    val df = (1L to 500L).map(i => (i, s"name_$i", i * 0.5))
+      .toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("tsvpush").toString + "/out"
+    df.write.option("sep", "\t").option("header", "true").csv(dir)
+    def read() = spark.read.format("graft-tsv").schema(schema)
+      .option("charset", "UTF-8").load(dir)
+    val q = read().filter(col("id") > 400L && col("score") <= 210.0 &&
+      col("name") =!= "name_405")
+    val viaBuiltin = spark.read.schema(schema)
+      .option("sep", "\t").option("header", "true").csv(dir)
+      .filter(col("id") > 400L && col("score") <= 210.0 &&
+        col("name") =!= "name_405")
+    assert(q.exceptAll(viaBuiltin).isEmpty && viaBuiltin.exceptAll(q).isEmpty)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    // the supported subset (id >, score <=) is pushed and visible
+    assert(scans.head.description().contains("PushedFilters"))
+    assert(scans.head.description().contains("GreaterThan(id,400)"))
+    // equality-In and string EqualTo also push
+    val q2 = read().filter(col("name") === "name_7")
+    assert(q2.count() === 1)
+    val d2 = q2.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.head
+    assert(d2.contains("EqualTo(name,name_7)"))
+  }
+
+  test("statistics: optimizer sees the files' byte size") {
+    val dir = Files.createTempDirectory("tsvstats")
+    val payload = ("id\tname\tscore\n" +
+      (1 to 50).map(i => s"$i\tn$i\t1.0").mkString("\n")).getBytes("UTF-8")
+    Files.write(dir.resolve("a.tsv"), payload)
+    Files.write(dir.resolve("b.tsv"), payload)
+    val df = spark.read.format("graft-tsv").schema(schema).load(dir.toString)
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes === BigInt(2L * payload.length))
+  }
+
   test("schema inference: header names, all strings") {
     val dir = writeTsv(Seq("colA\tcolB", "x\ty"))
     val df = spark.read.format("graft-tsv").load(dir)
