@@ -654,9 +654,11 @@ object ProfileScratch {
         val k = args.lift(2).map(_.toInt).getOrElse(1024)
         def corpus(lo: Long, hi: Long) = spark.range(lo, hi).select(
           pmod(col("id"), lit(4)).cast("string").as("g"),
-          // 60-bit spread of the item id — the operator only needs
-          // distinct uniform hashes
-          pmod(col("id") * 2654435761L, lit(1L << 60)).as("h"))
+          // uniform 60-bit item hash (a non-wrapping multiplier is NOT
+          // uniform over [0,2^60) and collapses the estimator — the
+          // OverlapSpec lesson; ANSI mode also rejects wrapping
+          // multiplies, so use the codegen'd xxhash64)
+          shiftrightunsigned(xxhash64(col("id")), 4).as("h"))
         // A = [0, n), B = [n/2, 3n/2): |A∩B| = n/2, |A∪B| = 3n/2, J = 1/3
         val est = t(s"kmvOverlap over 2x$n items, k=$k")(
           Overlap.kmvOverlap(corpus(0, n), corpus(n / 2, n + n / 2),

@@ -327,10 +327,49 @@ private[sources] class TsvPartitionReader(file: String, full: StructType,
     if (raw == null || raw == opts.nullValue) null else raw
   }
 
+  /** Quote-aware field split (pandas QUOTE_MINIMAL / RFC 4180 on a tab
+    * separator): a field STARTING with `"` is quoted — embedded tabs
+    * are literal and `""` is a literal quote — which is exactly what
+    * the reference export can legally contain (the adversarial USNVC
+    * fixture row pins it). Quote-free lines take the zero-allocation
+    * split fast path. Like the builtin line-mode csv reader, embedded
+    * NEWLINES in quoted fields are out of scope (multiLine=false). */
+  private def splitLine(line: String): Array[String] = {
+    if (line.indexOf('"') < 0) line.split("\t", -1)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val n = line.length
+      var i = 0
+      var done = false
+      while (!done) {
+        val sb = new java.lang.StringBuilder
+        if (i < n && line.charAt(i) == '"') {
+          i += 1
+          var closed = false
+          while (!closed && i < n) {
+            val c = line.charAt(i)
+            if (c == '"') {
+              if (i + 1 < n && line.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
+              else { closed = true; i += 1 }
+            } else { sb.append(c); i += 1 }
+          }
+          // lenient: text between the closing quote and the tab is literal
+          while (i < n && line.charAt(i) != '\t') { sb.append(line.charAt(i)); i += 1 }
+        } else {
+          while (i < n && line.charAt(i) != '\t') { sb.append(line.charAt(i)); i += 1 }
+        }
+        out += sb.toString
+        if (i < n) i += 1 // consume the tab; EOL-after-tab yields a final empty field
+        else done = true
+      }
+      out.toArray
+    }
+  }
+
   override def next(): Boolean = {
     var line = reader.readLine()
     while (line != null) {
-      val cells = line.split("\t", -1)
+      val cells = splitLine(line)
       var pass = true
       var p = 0
       while (pass && p < preds.length) {

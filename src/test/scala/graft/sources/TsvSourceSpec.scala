@@ -121,6 +121,33 @@ class TsvSourceSpec extends SparkSpec {
     assert(stats.sizeInBytes === BigInt(2L * payload.length))
   }
 
+  test("quoted fields: embedded tabs and doubled quotes parse like the builtin reader") {
+    val dir = writeTsv(Seq(
+      "id\tname\tscore",
+      "1\t\"a\tb\"\t0.5",          // embedded tab inside quotes
+      "2\t\"say \"\"hi\"\"\"\t1.5", // doubled quotes
+      "3\tplain\t2.5"))
+    val viaDsv2 = spark.read.format("graft-tsv").schema(schema)
+      .option("charset", "UTF-8").load(dir).orderBy(col("id")).collect()
+    assert(viaDsv2(0).getString(1) === "a\tb")
+    assert(viaDsv2(1).getString(1) === "say \"hi\"")
+    assert(viaDsv2(2).getString(1) === "plain")
+  }
+
+  test("USNVC adversarial fixture parity: graft-tsv == the reference-shaped reader") {
+    // the r5 fixture row 1000011 carries a quoted field with an
+    // embedded tab, doubled quotes, and ISO-8859-1 high bytes — the
+    // text a real reference export can legally contain
+    val dir = graft.usnvc.Fixtures.writeTo(
+      Files.createTempDirectory("usnvc_tsv"))
+    val s = graft.usnvc.UsnvcSchemas.unit
+    val builtin = graft.usnvc.UsnvcSources.readTable(spark, "unit.txt",
+      s"$dir/unit.txt")
+    val dsv2 = spark.read.format("graft-tsv").schema(s).load(s"$dir/unit.txt")
+    assert(dsv2.exceptAll(builtin).isEmpty && builtin.exceptAll(dsv2).isEmpty)
+    assert(dsv2.count() === builtin.count() && dsv2.count() > 0)
+  }
+
   test("schema inference: header names, all strings") {
     val dir = writeTsv(Seq("colA\tcolB", "x\ty"))
     val df = spark.read.format("graft-tsv").load(dir)
