@@ -670,6 +670,67 @@ object ProfileScratch {
             f"jaccard=$j%.4f (true 0.3333, err ${(j - 1.0 / 3) * 300}%.2f%%)")
         }
 
+      case "hamscale" =>
+        // Binary-quantized ANN at corpus scale: N 64-dim vectors
+        // (args(1), default 1M), 20 queries, k=10. The claims under
+        // test: the codes-only candidate pass beats the float
+        // brute-force wall (needs the STATIC popcount chain — the HOF
+        // form ran interpreted at 7x the brute-force wall), and the
+        // shortlist recall is usable ON DIRECTIONALLY CLUSTERED data:
+        // members of a cluster share a base direction (±1 per dim) plus
+        // small noise, so they agree on most SIGN bits — the structure
+        // 1-bit codes can see. (A magnitude-dominant corpus with random
+        // signs is adversarial by construction: sign quantization
+        // erases magnitude, recall measured 0.07 on that shape.)
+        import graft.operators.Similarity
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val shortlist = args.lift(2).map(_.toInt).getOrElse(100)
+        val cluster = pmod(col("id"), lit(256L)) // 256 directions
+        val vecs = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (when(pmod(xxhash64(cluster, i), lit(2L)) === 0L, 1.0)
+              .otherwise(-1.0) +
+              lit(1.3) * (pmod(xxhash64(col("id"), i), lit(20001L)) - 10000L)
+                .cast("double") / 10000.0).cast("float")).as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"  corpus: ${vecs.count()} vectors")
+        val queries = vecs.filter(col("id") < 20)
+        val exact = t(s"bruteForceTopK @$n")(
+          Similarity.bruteForceTopK(vecs, queries, "id", "embedding", k = 10)
+            .collect())
+        // sub-stage diagnosis: codes scan alone, then the full path
+        t(s"signBits scan @$n")(
+          vecs.select(Similarity.signBits(col("embedding"), 64).as("c"))
+            .agg(sum(bit_count(element_at(col("c"), 1)))).head())
+        val pairPass =
+          vecs.select(col("id"), Similarity.signBits(col("embedding"), 64).as("c"))
+            .join(broadcast(queries.select(col("id").as("qid"),
+              Similarity.signBits(col("embedding"), 64).as("qc"))),
+              col("qid") =!= col("id"))
+            .select(Similarity.hammingDist(col("qc"), col("c"), 1).as("h"))
+            .agg(sum(col("h")))
+        t(s"hamming pair pass @$n")(pairPass.head())
+        // variant: codes MATERIALIZED before the join — separates
+        // per-left-row projection cost from per-pair cost
+        val codesMat = vecs.select(col("id"),
+          Similarity.signBits(col("embedding"), 64).as("c")).localCheckpoint()
+        val pairPass2 = codesMat
+          .join(broadcast(queries.select(col("id").as("qid"),
+            Similarity.signBits(col("embedding"), 64).as("qc"))),
+            col("qid") =!= col("id"))
+          .select(Similarity.hammingDist(col("qc"), col("c"), 1).as("h"))
+          .agg(sum(col("h")))
+        t(s"hamming pair pass, materialized codes @$n")(pairPass2.head())
+        operators.Lifecycle.releaseLocalCheckpoint(codesMat)
+        val ham = t(s"hammingTopK @$n shortlist=$shortlist")(
+          Similarity.hammingTopK(vecs, queries, "id", "embedding",
+            dim = 64, k = 10, shortlist = shortlist).collect())
+        val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val overlap = ham.count(r => exactSet.contains((r.getLong(0), r.getLong(1))))
+        println(f"  recall@10 vs exact: ${overlap / (20.0 * 10)}%.3f " +
+          f"(shortlist scans 1/32 of the vector bytes)")
+        vecs.unpersist()
+
       case "pcascale" =>
         // PCA Gram pass at corpus scale: N 64-dim vectors (args(1),
         // default 1M). The claims under test: fit is ONE aggregation

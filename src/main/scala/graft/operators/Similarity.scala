@@ -396,8 +396,22 @@ object Similarity {
     array(words: _*)
   }
 
-  /** Hamming distance between two packed sign-bit codes. */
-  def hammingDist(a: Column, b: Column): Column =
+  /** Hamming distance between two packed sign-bit codes: a STATIC
+    * xor/popcount chain over the fixed word count — stays inside
+    * whole-stage codegen (the zip_with/aggregate HOF form runs
+    * interpreted and measured 7× slower than the float brute force it
+    * is supposed to beat; hamscale). */
+  def hammingDist(a: Column, b: Column, words: Int): Column = {
+    require(words >= 1, s"words $words")
+    (0 until words).map(w =>
+      bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1)))
+        .cast("long"))
+      .reduce[Column](_ + _)
+  }
+
+  /** Builtin-HOF twin of [[hammingDist]] (interpreted — the semantic
+    * reference for tests, same contract as [[dotHof]]). */
+  def hammingDistHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)
@@ -421,14 +435,23 @@ object Similarity {
       s"shortlist ($shortlist) must be >= k ($k) or the rerank starves")
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     // Pass 1 — codes only. The join output is narrow integers; the
-    // per-query shortlist window never sees a vector.
+    // per-query shortlist window never sees a vector. The code table is
+    // MATERIALIZED (scratch parquet, zero pinned storage): under the
+    // broadcast nested-loop join, whole-stage codegen re-evaluates the
+    // streamed side's projection PER EMITTED PAIR, so an unmaterialized
+    // 64-term signBits chain costs |queries|× the scan it should
+    // (measured 31.6s vs 0.86s on 1M×20 — hamscale). At 100 TB the
+    // codes are a stored index anyway; this is the 1/32-size artifact
+    // the scan reads.
     val qCodes = broadcast(queries.select(
       col(idCol).as(queryIdCol), signBits(col(vecCol), dim).as("__qcode")))
-    val cCodes = corpus.select(col(idCol), signBits(col(vecCol), dim).as("__ccode"))
+    val cCodes = Lifecycle.materializeToScratch(
+      corpus.select(col(idCol), signBits(col(vecCol), dim).as("__ccode")))
+    val words = (dim + 63) / 64
     val wH = Window.partitionBy(col(queryIdCol))
       .orderBy(col("hamming"), col(idCol))
     val cand = cCodes.join(qCodes, col(queryIdCol) =!= col(idCol))
-      .withColumn("hamming", hammingDist(col("__qcode"), col("__ccode")))
+      .withColumn("hamming", hammingDist(col("__qcode"), col("__ccode"), words))
       .withColumn("__hrank", row_number().over(wH))
       .filter(col("__hrank") <= shortlist)
       .select(col(queryIdCol), col(idCol), col("hamming"))

@@ -30,7 +30,7 @@ class HammingAnnSpec extends SparkSpec {
     assert(out === Seq(Long.MinValue)) // 1L << 63
   }
 
-  test("hammingDist equals the count of dimensions whose signs differ") {
+  test("hammingDist equals the count of dimensions whose signs differ; codegen chain == HOF form") {
     val rnd = new scala.util.Random(7)
     val dim = 130 // 3 words, last partial
     val pairs = (0 until 20).map { i =>
@@ -43,9 +43,15 @@ class HammingAnnSpec extends SparkSpec {
       .select(col("expected"),
         Similarity.hammingDist(
           Similarity.signBits(col("a"), dim),
-          Similarity.signBits(col("b"), dim)).as("got"))
+          Similarity.signBits(col("b"), dim), words = 3).as("got"),
+        Similarity.hammingDistHof(
+          Similarity.signBits(col("a"), dim),
+          Similarity.signBits(col("b"), dim)).as("hof"))
       .collect()
-    got.foreach(r => assert(r.getLong(1) === r.getLong(0)))
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0))
+      assert(r.getLong(2) === r.getLong(0))
+    }
   }
 
   test("hammingTopK with a full-corpus shortlist matches bruteForceTopK") {
