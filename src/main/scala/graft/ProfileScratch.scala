@@ -731,6 +731,34 @@ object ProfileScratch {
           f"(shortlist scans 1/32 of the vector bytes)")
         vecs.unpersist()
 
+      case "normdefer" =>
+        // Does the BNLJ per-pair deferral (hamscale finding) also tax
+        // bruteForceTopK's per-row norms? Pass A: norms projected below
+        // the join (the operator's shape). Pass B: norms materialized.
+        import graft.operators.{Lifecycle, Similarity}
+        graft.functions.VectorFunctions.register(spark)
+        val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
+        val vecs = spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            ((pmod(xxhash64(col("id"), i), lit(20001L)) - 10000L)
+              .cast("double") / 10000.0).cast("float")).as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"  corpus: ${vecs.count()} vectors")
+        val qs = broadcast(vecs.filter(col("id") < 20).select(
+          col("id").as("qid"), col("embedding").as("qv"),
+          Similarity.norm(col("embedding")).as("qn")))
+        def score(c: org.apache.spark.sql.DataFrame) = c
+          .join(qs, col("qid") =!= col("id"))
+          .select((Similarity.dot(col("qv"), col("embedding")) /
+            (col("qn") * col("cn"))).as("s"))
+          .agg(sum(col("s"))).head()
+        val plain = vecs.select(col("id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("cn"))
+        t(s"pair scoring, norms below join @$n")(score(plain))
+        val mat = Lifecycle.materializeToScratch(plain)
+        t(s"pair scoring, norms materialized @$n")(score(mat))
+        vecs.unpersist()
+
       case "pcascale" =>
         // PCA Gram pass at corpus scale: N 64-dim vectors (args(1),
         // default 1M). The claims under test: fit is ONE aggregation

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{KmvOps, KmvSketch}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cross-corpus overlap estimation from KMV sketches (Beyer et al.,
@@ -52,7 +52,17 @@ object Overlap {
       .agg(KmvSketch.minima(col(hashCol), k).as("__ska"))
     val skb = b.groupBy(col(groupCol))
       .agg(KmvSketch.minima(col(hashCol), k).as("__skb"))
-    ska.join(skb, Seq(groupCol))
+    kmvOverlapSketches(ska, skb, groupCol, k)
+  }
+
+  /** The estimator over PRE-BUILT sketches: `a` carries
+    * (groupCol, __ska), `b` (groupCol, __skb) — the entry point for
+    * incrementally-maintained sketches
+    * ([[graft.streaming.KmvRollupTable]]), where the aggregation
+    * happened batch-by-batch long before the question is asked. */
+  def kmvOverlapSketches(a: DataFrame, b: DataFrame, groupCol: String,
+      k: Int): DataFrame =
+    a.join(b, Seq(groupCol))
       .withColumn("__um",
         slice(array_sort(array_union(col("__ska"), col("__skb"))), 1, k))
       .withColumn("__keff", size(col("__um")))
@@ -68,5 +78,14 @@ object Overlap {
       .withColumn("est_intersection", col("jaccard_est") * col("est_union"))
       .select(col(groupCol), col("est_union"), col("est_intersection"),
         col("jaccard_est"), col("n_match"))
-  }
+
+  /** Merge two k-minima sketches: the k smallest of their union —
+    * associative, commutative, idempotent, and EXACTLY the sketch of
+    * the underlying set union (each sketch contains its set's bottom-k,
+    * so the union's bottom-k is present). Null-tolerant for outer-join
+    * maintenance (a group new to one side merges against empty). */
+  def mergeSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(
+      coalesce(a, array().cast("array<long>")),
+      coalesce(b, array().cast("array<long>")))), 1, k)
 }

@@ -509,14 +509,22 @@ object SketchQueries {
     * replays the SKETCH (per-side k smallest distinct hashes) and the
     * whole Beyer et al. estimator in list algebra — deterministic at
     * any sf because the hash is fixed, not seeded. */
-  def corpusOverlap(s: SparkSession, d: String): DataFrame = {
+  /** Shared item frame for the overlap family: one row per distinct
+    * (doc, 3-gram shingle) with lang, eval membership (doc_id%5=0) and
+    * ingest batch (doc_id%4) labels + the portable 60-bit hash. */
+  private def overlapItems(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+    Dedup.shingles(docs, "doc_id", "text", n = 3)
       .filter(col("shingle").isNotNull)
       .join(docs.select(col("doc_id"), col("lang"),
-        (col("doc_id") % 5 === 0).as("__iseval")), Seq("doc_id"))
-      .select(col("lang"), col("__iseval"),
+        (col("doc_id") % 5 === 0).as("__iseval"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("__batch")), Seq("doc_id"))
+      .select(col("lang"), col("__iseval"), col("__batch"),
         Dedup.stringHash(col("shingle"), portable = true).as("__h"))
+  }
+
+  def corpusOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = overlapItems(s, d)
     graft.operators.Overlap.kmvOverlap(
       sh.filter(!col("__iseval")), sh.filter(col("__iseval")),
       groupCol = "lang", hashCol = "__h", k = OverlapK)
@@ -556,8 +564,79 @@ object SketchQueries {
        |  n_match
        |FROM e""".stripMargin
 
+  private val RollupK = 128
+
+  /** q173: the q169 overlap question asked INCREMENTALLY — the train
+    * corpus arrives in 4 ingest batches (doc_id % 4), each folded into
+    * a persisted [[graft.streaming.KmvRollupTable]]; after every batch
+    * the rollup's "contamination so far" vs the fixed eval sketch is
+    * emitted. KMV merge is exactly the sketch of the set union, so
+    * generation g's sketch is BIT-IDENTICAL to a one-shot sketch of
+    * batches 0..g — the oracle replays each generation as a fresh
+    * prefix sketch and the whole timeline must hash-match. */
+  def overlapRollup(s: SparkSession, d: String): DataFrame = {
+    val items = overlapItems(s, d)
+    val evalSk = items.filter(col("__iseval"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.KmvSketch.minima(col("__h"), RollupK).as("sketch"))
+    val train = items.filter(!col("__iseval"))
+    val dir = tempWorkDir("graft_kmvroll") + "/t"
+    val tbl = new graft.streaming.KmvRollupTable(s, dir, "lang", RollupK)
+    val gens = (0 to 3).map { g =>
+      tbl.maintain(train.filter(col("__batch") === g), col("__h"))
+      tbl.overlapWith(evalSk, g).withColumn("gen", lit(g))
+    }
+    gens.reduce(_.unionByName(_))
+      .select(col("gen"), col("lang"), col("est_union"),
+        col("est_intersection"), col("jaccard_est"), col("n_match"))
+  }
+
+  private def rollupGenSql(g: Int): String =
+    s"""ha_$g AS (SELECT DISTINCT lang, h FROM lab
+       |  WHERE NOT iseval AND batch <= $g),
+       |ra_$g AS (SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM ha_$g),
+       |ska_$g AS (SELECT lang, array_agg(h ORDER BY h) AS a FROM ra_$g
+       |  WHERE rn <= $RollupK GROUP BY 1),
+       |m_$g AS (SELECT lang, a, b,
+       |    list_slice(list_sort(list_distinct(list_concat(a, b))), 1,
+       |      $RollupK) AS um
+       |  FROM ska_$g JOIN skb USING (lang)),
+       |e_$g AS (SELECT $g AS gen, lang, len(um) AS keff,
+       |    CASE WHEN len(um) < $RollupK THEN len(um)::DOUBLE
+       |         ELSE ${RollupK - 1}::DOUBLE *
+       |           1152921504606846976::BIGINT::DOUBLE / um[$RollupK]::DOUBLE
+       |    END AS est_union,
+       |    len(list_intersect(list_intersect(um, a), b))::BIGINT AS n_match
+       |  FROM m_$g)""".stripMargin
+
+  val overlapRollupSql: String = {
+    val genBlocks = (0 to 3).map(rollupGenSql).mkString(",\n")
+    val genUnion = (0 to 3).map(g => s"SELECT * FROM e_$g")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${DedupQueries.shingleCtes(3)},
+       |lab AS MATERIALIZED (
+       |  SELECT d.lang, (d.doc_id % 5 = 0) AS iseval,
+       |    (d.doc_id % 4)::INT AS batch,
+       |    ('0x'||substr(md5(s.shingle),1,15))::BIGINT AS h
+       |  FROM sh s JOIN documents d USING (doc_id)
+       |  WHERE s.shingle IS NOT NULL),
+       |hb AS (SELECT DISTINCT lang, h FROM lab WHERE iseval),
+       |rb AS (SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hb),
+       |skb AS MATERIALIZED (SELECT lang, array_agg(h ORDER BY h) AS b FROM rb
+       |  WHERE rn <= $RollupK GROUP BY 1),
+       |$genBlocks
+       |SELECT gen, lang, est_union,
+       |  (n_match::DOUBLE / keff::DOUBLE) * est_union AS est_intersection,
+       |  n_match::DOUBLE / keff::DOUBLE AS jaccard_est,
+       |  n_match
+       |FROM ($genUnion)""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q169_corpus_overlap", corpusOverlap, Some(corpusOverlapSql)),
+    Q("q173_overlap_rollup", overlapRollup, Some(overlapRollupSql)),
     Q("q152_hll_registers", hllRegisters, Some(hllRegistersSql)),
     Q("q153_hll_estimate", hllEstimate, Some(hllEstimateSql)),
     Q("q156_hll_rollup", hllRollup, Some(hllRollupSql)),

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.functions.KmvSketch
+import graft.operators.Overlap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** An incrementally-maintained cross-corpus overlap sketch: a persisted
+  * KMV k-minima file folded forward one ingest batch at a time — the
+  * [[HllRollupTable]] pattern applied to the question HLL can't answer:
+  * not "how many distinct items so far" but "HOW MUCH OF THE EVAL SET
+  * is in the corpus so far".
+  *
+  * Why this is the only shape that scales: exact overlap against a
+  * growing corpus needs the corpus's full key set (state ∝ history).
+  * The KMV sketch replaces it with ≤ k longs per group whose merge —
+  * k smallest of the union ([[Overlap.mergeSketch]]) — is EXACTLY the
+  * sketch of the underlying set union, so maintain cost is
+  * ∝ batch + sketch, never ∝ history, and the maintained sketch is
+  * BIT-IDENTICAL to the one-shot sketch of everything seen (maintain ≡
+  * recompute is an equality, not an approximation — the estimator's
+  * error budget is spent once, on the sketch itself). Insert-only,
+  * like every minimum-based sketch: deletions mean rebuild.
+  *
+  * Storage follows the [[CdcTable]] generation protocol
+  * (write-new-then-flip, `_SUCCESS`-gated), so each generation is the
+  * complete sketch as of its batch — "benchmark contamination so far"
+  * is readable at every point of the ingest timeline (q173).
+  */
+final class KmvRollupTable(
+    spark: SparkSession, dir: String, groupCol: String, k: Int) {
+  require(k >= 2, s"sketch size k must be >= 2, got $k")
+
+  private def fs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  @volatile private var gen: Int = CdcCommits.maxCommittedGen(fs, dir)
+
+  def generation: Int = gen
+
+  /** The sketch table as of generation `g` (default: latest):
+    * one row per group, columns (groupCol, sketch). */
+  def sketches(g: Int = gen): DataFrame = {
+    require(g >= 0 && g <= gen, s"no committed generation $g (latest $gen)")
+    spark.read.parquet(s"$dir/gen=$g")
+  }
+
+  /** Fold one batch of raw rows into the sketch: k-minima on the batch
+    * only, union-merge with the stored file (full outer — groups may be
+    * born in any batch), publish as the next generation. */
+  def maintain(batch: DataFrame, hash: Column): Unit = {
+    val fresh = batch.groupBy(col(groupCol))
+      .agg(KmvSketch.minima(hash, k).as("sketch"))
+    val merged =
+      if (gen < 0) fresh
+      else sketches().withColumnRenamed("sketch", "__old")
+        .join(fresh.withColumnRenamed("sketch", "__new"),
+          Seq(groupCol), "full_outer")
+        .select(col(groupCol),
+          Overlap.mergeSketch(col("__old"), col("__new"), k).as("sketch"))
+    val next = gen + 1
+    merged.write.mode("overwrite").parquet(s"$dir/gen=$next")
+    gen = next
+  }
+
+  /** Overlap estimate of the corpus-so-far (generation `g`) against a
+    * fixed reference sketch table (groupCol, `sketch`) built with the
+    * SAME k and hash — est_union / est_intersection / jaccard_est /
+    * n_match per group ([[Overlap.kmvOverlapSketches]]). */
+  def overlapWith(reference: DataFrame, g: Int = gen): DataFrame =
+    Overlap.kmvOverlapSketches(
+      sketches(g).withColumnRenamed("sketch", "__ska"),
+      reference.withColumnRenamed("sketch", "__skb"),
+      groupCol, k)
+}
