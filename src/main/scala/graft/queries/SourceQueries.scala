@@ -42,6 +42,38 @@ object SourceQueries {
       |  count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** q174: the connector's WRITE path under the gate — documents
+    * exported through the graft-tsv DSv2 writer (task-temp +
+    * driver-commit, QUOTE_MINIMAL encoding), read back through its
+    * reader, and checksummed per lang INCLUDING a portable text hash
+    * sum, so any byte lost or altered in the encode/decode roundtrip
+    * breaks the hash against the parquet oracle. */
+  def tsvWriteRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tempWorkDir("graft_tsv_w") + "/docs"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .write.format("graft-tsv").mode("overwrite")
+      .option("charset", "UTF-8").save(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType), StructField("n_chars", LongType)))
+    s.read.format("graft-tsv").schema(schema)
+      .option("charset", "UTF-8").load(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"),
+        sum(pmod(graft.operators.Dedup.stringHash(col("text"),
+          portable = true), lit(1000000007L))).as("text_hash_sum"))
+  }
+
+  val tsvWriteRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  (sum(n_chars))::BIGINT AS chars_sum,
+      |  (sum(('0x'||substr(md5(text),1,15))::BIGINT % 1000000007))::BIGINT
+      |    AS text_hash_sum
+      |FROM documents GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
-    Q("q172_dsv2_tsv_roundtrip", tsvRoundtrip, Some(tsvRoundtripSql)))
+    Q("q172_dsv2_tsv_roundtrip", tsvRoundtrip, Some(tsvRoundtripSql)),
+    Q("q174_dsv2_tsv_write", tsvWriteRoundtrip, Some(tsvWriteRoundtripSql)))
 }

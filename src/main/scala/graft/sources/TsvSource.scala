@@ -8,7 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
@@ -123,17 +123,26 @@ private[sources] object TsvSource {
 }
 
 private[sources] class TsvTable(tableSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-tsv(${options.get("path")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder = {
     // merge table properties with per-read options (read options win)
     val merged = new java.util.HashMap[String, String]()
     options.asCaseSensitiveMap().forEach((k, v) => merged.put(k, v))
     caseInsensitiveStringMap.asCaseSensitiveMap().forEach((k, v) => merged.put(k, v))
     new TsvScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
+  }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val merged = new java.util.HashMap[String, String]()
+    options.asCaseSensitiveMap().forEach((k, v) => merged.put(k, v))
+    info.options().asCaseSensitiveMap().forEach((k, v) => merged.put(k, v))
+    new TsvWriteBuilder(info.schema(), TsvOptions(new CaseInsensitiveStringMap(merged)))
   }
 }
 
@@ -199,6 +208,141 @@ private[sources] class TsvReaderFactory(full: StructType, required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TsvPartitionReader(partition.asInstanceOf[TsvFilePartition].file,
       full, required, pushed, opts)
+}
+
+// --- Write path: DSv2 BATCH_WRITE with a task-temp + driver-commit
+// protocol (no partial output on task failure; `mode("overwrite")` →
+// SupportsTruncate clears committed files inside the same commit) ---
+
+private[sources] class TsvWriteBuilder(schema: StructType, opts: TsvOptions)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true
+    this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new TsvWrite(schema, opts, truncateFirst)
+}
+
+private[sources] class TsvWrite(schema: StructType, opts: TsvOptions,
+    truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"graft-tsv write ${opts.path}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new TsvWriterFactory(schema, opts)
+
+  /** Driver-side commit: optionally clear the previous contents, then
+    * rename every task's temp file into place — a task that failed or
+    * was speculatively superseded never published anything. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(opts.path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (truncateFirst && fs.exists(dir))
+      fs.listStatus(dir)
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".") // keep _temporary + markers
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+    fs.mkdirs(dir)
+    messages.foreach { case TsvCommitMessage(temp, name) =>
+      val from = new Path(temp)
+      if (!fs.rename(from, new Path(dir, name)))
+        throw new java.io.IOException(s"graft-tsv: commit rename failed: $from")
+    }
+    // temp dir is working state, not table contents — clear it
+    fs.delete(new Path(dir, "_temporary"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(opts.path).getFileSystem(new Configuration())
+    messages.foreach {
+      case TsvCommitMessage(temp, _) =>
+        try fs.delete(new Path(temp), false)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+  }
+}
+
+private[sources] case class TsvCommitMessage(tempPath: String, fileName: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class TsvWriterFactory(schema: StructType, opts: TsvOptions)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TsvDataWriter(schema, opts, partitionId, taskId)
+}
+
+/** One temp file per task under `<path>/_temporary`; QUOTE_MINIMAL
+  * encoding (quote only when the value contains a tab, quote, CR or
+  * LF; doubled-quote escaping) — the exact dialect [[TsvPartitionReader]]
+  * and the reference's pandas reader parse. Nulls write as the
+  * configured nullValue (default empty). */
+private[sources] class TsvDataWriter(schema: StructType, opts: TsvOptions,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+  private val fileName = f"part-$partitionId%05d-$taskId.tsv"
+  private val tempPath = s"${opts.path}/_temporary/$fileName-${java.util.UUID.randomUUID()}"
+  private val fs = new Path(tempPath).getFileSystem(new Configuration())
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    fs.create(new Path(tempPath), true), Charset.forName(opts.charset)))
+  if (opts.header) {
+    out.write(schema.fieldNames.map(encode).mkString("\t"))
+    out.write("\n")
+  }
+
+  private def encode(s: String): String =
+    if (s.indexOf('\t') < 0 && s.indexOf('"') < 0 &&
+        s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+    else "\"" + s.replace("\"", "\"\"") + "\""
+
+  private val getters: Array[InternalRow => String] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val g: InternalRow => String = f.dataType match {
+        case StringType => r => encode(r.getUTF8String(i).toString)
+        case IntegerType => r => r.getInt(i).toString
+        case LongType => r => r.getLong(i).toString
+        case DoubleType => r => r.getDouble(i).toString
+        case BooleanType => r => r.getBoolean(i).toString
+        case other => throw new IllegalArgumentException(
+          s"graft-tsv: unsupported write type $other")
+      }
+      (r: InternalRow) => if (r.isNullAt(i)) opts.nullValue else g(r)
+    }
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < getters.length) {
+      if (i > 0) out.write('\t')
+      out.write(getters(i)(row))
+      i += 1
+    }
+    out.write("\n")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    TsvCommitMessage(tempPath, fileName)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () }
+    try fs.delete(new Path(tempPath), false)
+    catch { case _: java.io.IOException => () }
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Parse-time predicate evaluation for pushed-down v1 filters.

@@ -163,6 +163,54 @@ class TsvSourceSpec extends SparkSpec {
     assert(df.count() === 2)
   }
 
+  test("write path: typed roundtrip through the connector's own writer") {
+    val df = (1L to 300L).map(i =>
+      (i, if (i % 7 == 0) null else s"v_$i", i * 1.5, i % 2 == 0))
+      .toDF("id", "name", "score", "flag")
+    val wschema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("flag", BooleanType)))
+    val dir = Files.createTempDirectory("tsvwr").toString + "/out"
+    df.write.format("graft-tsv").mode("overwrite")
+      .option("charset", "UTF-8").save(dir)
+    // no temp litter; data files only
+    assert(!Files.exists(Paths.get(dir, "_temporary")) ||
+      Files.list(Paths.get(dir, "_temporary")).count() === 0)
+    val back = spark.read.format("graft-tsv").schema(wschema)
+      .option("charset", "UTF-8").load(dir)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("write path: QUOTE_MINIMAL encoding survives its own reader and the builtin") {
+    val df = Seq(
+      (1L, "tab\there", 1.0), (2L, "say \"hi\"", 2.0), (3L, "plain", 3.0))
+      .toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("tsvwq").toString + "/out"
+    df.write.format("graft-tsv").mode("overwrite")
+      .option("charset", "UTF-8").save(dir)
+    val back = spark.read.format("graft-tsv").schema(schema)
+      .option("charset", "UTF-8").load(dir)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    val builtin = spark.read.schema(schema)
+      .option("sep", "\t").option("header", "true").option("escape", "\"")
+      .csv(dir)
+    assert(builtin.exceptAll(df).isEmpty && df.exceptAll(builtin).isEmpty)
+  }
+
+  test("write path: overwrite truncates previous contents") {
+    val dir = Files.createTempDirectory("tsvow").toString + "/out"
+    def w(lo: Long, hi: Long) = (lo to hi).map(i => (i, s"n$i", 1.0))
+      .toDF("id", "name", "score")
+      .write.format("graft-tsv").mode("overwrite")
+      .option("charset", "UTF-8").save(dir)
+    w(1, 100)
+    w(200, 250)
+    val back = spark.read.format("graft-tsv").schema(schema)
+      .option("charset", "UTF-8").load(dir)
+    assert(back.count() === 51)
+    assert(back.agg(min(col("id"))).head.getLong(0) === 200L)
+  }
+
   test("empty directory is refused loudly") {
     val dir = Files.createTempDirectory("tsvempty").toString
     intercept[IllegalArgumentException] {
