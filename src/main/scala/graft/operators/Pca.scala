@@ -87,21 +87,38 @@ object Pca {
   }
 
   /** Exact fixed-point lift of a float vector column. */
-  def quantized(vec: Column, d: Int): Column =
+  def quantized(vec: Column): Column =
     transform(vec.cast("array<double>"),
       x => round(x * Scale).cast("long"))
 
-  /** Train: one distributed pass + driver-side eigensolve. */
+  /** Train: one distributed pass + driver-side eigensolve. The same
+    * pass also computes max|q|, and the int64 headroom of the Gram
+    * sums is CHECKED against it — embeddings outside the assumed ~unit
+    * range (or an enormous n·max² product) would overflow the
+    * outer-product accumulators silently and train a wrong model; now
+    * they fail loudly with the measured magnitude. max() is immune to
+    * the overflow it guards against, so the post-pass check is sound. */
   def fit(df: DataFrame, vecCol: String, d: Int, nComponents: Int,
       iters: Int = 100): PcaModel = {
     require(nComponents >= 1 && nComponents <= d)
     val agg = udaf(new GramAgg(d), ExpressionEncoder[Array[Long]]())
-    val stats = df
-      .select(quantized(col(vecCol), d).as("__q"))
-      .agg(agg(col("__q")).as("s"))
-      .head.getSeq[Long](0).toArray
+    val row = df
+      .select(quantized(col(vecCol)).as("__q"))
+      .agg(agg(col("__q")).as("s"),
+        max(array_max(transform(col("__q"), x => abs(x)))).as("qmax"))
+      .head
+    val stats = row.getSeq[Long](0).toArray
     val n = stats(0)
     require(n > 0, "Pca.fit on an empty input")
+    val qmax = if (row.isNullAt(1)) 0L else row.getLong(1)
+    // every tri-sum cell accumulates at most n·qmax² in magnitude;
+    // demand 4x headroom below Long.MaxValue so per-row adds can't
+    // tip a near-full accumulator either
+    if (qmax > 0)
+      require(qmax <= math.sqrt(Long.MaxValue.toDouble / 4.0 / n),
+        s"Pca.fit int64 headroom exceeded: max|quantized| = $qmax over " +
+          s"n = $n rows (limit ${math.sqrt(Long.MaxValue.toDouble / 4.0 / n).toLong}); " +
+          "rescale the embeddings (assumed ~unit range) or lower Pca.Scale")
     val s = Scale.toDouble
     val mean = Array.tabulate(d)(i => stats(1 + i).toDouble / n / s)
     // cov[i][j] = E[xy] − E[x]E[y] (population covariance), descaled

@@ -23,6 +23,10 @@ object SourceQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite")
       .option("sep", "\t").option("header", "true")
+      // doubled-quote dialect, not the csv default backslash escape:
+      // graft-tsv parses RFC 4180, so both sides must speak it if a
+      // future lang/source value ever carries a quote or tab
+      .option("quote", "\"").option("escape", "\"")
       .csv(dir)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),

@@ -5,7 +5,8 @@ import java.nio.charset.Charset
 import java.util.{Map => JMap}
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -62,9 +63,10 @@ class TsvTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = TsvOptions(options)
-    val files = TsvSource.listFiles(opts.path)
+    val conf = TsvSource.driverConf()
+    val files = TsvSource.listFiles(opts.path, conf)
     require(files.nonEmpty, s"graft-tsv: no input files under ${opts.path}")
-    val header = TsvSource.firstLine(files.head, opts.charset)
+    val header = TsvSource.firstLine(files.head, opts.charset, conf)
       .getOrElse(throw new IllegalArgumentException(
         s"graft-tsv: cannot infer schema from empty file ${files.head}"))
     val names =
@@ -94,30 +96,45 @@ private[sources] object TsvOptions {
 }
 
 private[sources] object TsvSource {
-  /** Non-hidden regular files under `path` (or `path` itself), sorted
-    * for deterministic partition numbering. Fresh default Configuration:
-    * resolves any registered scheme (hdfs/s3a/file). */
-  def listFiles(path: String): Seq[String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val st = fs.getFileStatus(p)
-    val files =
+  /** The session's Hadoop configuration on the driver — fs settings
+    * from `spark.hadoopConfiguration` (s3a credentials, endpoints,
+    * tuning) must reach the connector or the scaladoc promise that
+    * `hdfs://`/`s3a://` URIs work unchanged is false. Falls back to a
+    * bare Configuration only when no session exists (never in a Spark
+    * job — `inferSchema`/`build`/`commit` all run inside one). */
+  def driverConf(): Configuration =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Non-hidden regular files under `path` (or `path` itself),
+    * RECURSING into non-hidden subdirectories (a partitioned layout
+    * like `lang=en/part-0.tsv` must read completely — the builtin file
+    * sources recurse too; dropping subdirectories silently would be
+    * row loss). Sorted for deterministic partition numbering. */
+  def listFiles(path: String, conf: Configuration): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    def hidden(p: Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
+    def walk(st: FileStatus): Seq[Path] =
       if (st.isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-      else Seq(p)
-    files.map(_.toString)
-      .filterNot(f => { val n = new Path(f).getName; n.startsWith("_") || n.startsWith(".") })
-      .sorted
+        fs.listStatus(st.getPath).toSeq.filterNot(s => hidden(s.getPath)).flatMap(walk)
+      else Seq(st.getPath)
+    val st = fs.getFileStatus(root)
+    val files = if (st.isDirectory) walk(st) else Seq(root)
+    files.map(_.toString).sorted
   }
 
-  def firstLine(file: String, charset: String): Option[String] = {
-    val r = open(file, charset)
+  def firstLine(file: String, charset: String, conf: Configuration): Option[String] = {
+    val r = open(file, charset, conf)
     try Option(r.readLine()) finally r.close()
   }
 
-  def open(file: String, charset: String): BufferedReader = {
+  def open(file: String, charset: String, conf: Configuration): BufferedReader = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     new BufferedReader(new InputStreamReader(fs.open(p), Charset.forName(charset)))
   }
 }
@@ -172,6 +189,10 @@ private[sources] class TsvScanBuilder(full: StructType,
 private[sources] class TsvScan(full: StructType, required: StructType,
     pushed: Array[sources.Filter], opts: TsvOptions)
     extends Scan with Batch with SupportsReportStatistics {
+  // session Hadoop conf, captured driver-side at plan time and shipped
+  // to executors inside the reader factory (s3a credentials etc.)
+  private val confSer =
+    new org.apache.spark.util.SerializableConfiguration(TsvSource.driverConf())
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -179,35 +200,78 @@ private[sources] class TsvScan(full: StructType, required: StructType,
       (if (pushed.nonEmpty) s" PushedFilters: ${pushed.mkString("[", ", ", "]")}"
        else "")
   override def planInputPartitions(): Array[InputPartition] =
-    TsvSource.listFiles(opts.path).map(TsvFilePartition).toArray
+    TsvSource.listFiles(opts.path, confSer.value).map(TsvFilePartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(full, required, pushed, opts)
-  /** Byte size from the file system (what the optimizer needs for the
-    * broadcast-vs-shuffle decision); row count unknown — text files
-    * carry no row metadata. */
+    new TsvReaderFactory(full, required, pushed, opts, confSer)
+  /** Byte size for the optimizer's broadcast-vs-shuffle call. A table
+    * written by [[TsvWrite]] carries a `_graft_stats` sidecar with the
+    * committed row/byte totals — served directly (including numRows,
+    * which a raw text listing can never know) when its file count
+    * still matches the directory; otherwise the file system is
+    * re-scanned for byte size and numRows stays unknown. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = {
-      val conf = new Configuration()
-      TsvSource.listFiles(opts.path).map { f =>
-        val p = new Path(f)
-        p.getFileSystem(conf).getFileStatus(p).getLen
-      }.sum
+    private val (bytes, rows) = {
+      val conf = confSer.value
+      val files = TsvSource.listFiles(opts.path, conf)
+      TsvStatsSidecar.read(opts.path, conf) match {
+        case Some(s) if s.files == files.length => (s.bytes, Some(s.rows))
+        case _ =>
+          (files.map { f =>
+            val p = new Path(f)
+            p.getFileSystem(conf).getFileStatus(p).getLen
+          }.sum, None)
+      }
     }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+      rows.map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
+  }
+}
+
+/** The `_graft_stats` sidecar: one line `files=N rows=R bytes=B`,
+  * written by the commit that published those files (name starts with
+  * `_` so readers never parse it as data). `files` is the staleness
+  * guard — anything else writing into the directory changes the file
+  * count and invalidates the sidecar back to a plain fs scan. */
+private[sources] object TsvStatsSidecar {
+  final case class Stats(files: Long, rows: Long, bytes: Long)
+  val Name = "_graft_stats"
+
+  def write(dir: String, s: Stats, conf: Configuration): Unit = {
+    val p = new Path(dir, Name)
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(s"files=${s.files} rows=${s.rows} bytes=${s.bytes}\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def read(dir: String, conf: Configuration): Option[Stats] = {
+    val p = new Path(dir, Name)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = new BufferedReader(new InputStreamReader(fs.open(p),
+        Charset.forName("UTF-8")))
+      val line = try in.readLine() finally in.close()
+      val kv = line.trim.split(" ").map { t =>
+        val Array(k, v) = t.split("=", 2); k -> v.toLong
+      }.toMap
+      Stats(kv("files"), kv("rows"), kv("bytes"))
+    }.toOption
   }
 }
 
 private[sources] case class TsvFilePartition(file: String) extends InputPartition
 
 private[sources] class TsvReaderFactory(full: StructType, required: StructType,
-    pushed: Array[sources.Filter], opts: TsvOptions)
+    pushed: Array[sources.Filter], opts: TsvOptions,
+    confSer: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TsvPartitionReader(partition.asInstanceOf[TsvFilePartition].file,
-      full, required, pushed, opts)
+      full, required, pushed, opts, confSer.value)
 }
 
 // --- Write path: DSv2 BATCH_WRITE with a task-temp + driver-commit
@@ -232,18 +296,27 @@ private[sources] class TsvWrite(schema: StructType, opts: TsvOptions,
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
+  private val confSer =
+    new org.apache.spark.util.SerializableConfiguration(TsvSource.driverConf())
+
   override def toBatch: BatchWrite = this
   override def description(): String = s"graft-tsv write ${opts.path}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new TsvWriterFactory(schema, opts)
+    new TsvWriterFactory(schema, opts, confSer)
 
   /** Driver-side commit: optionally clear the previous contents, then
     * rename every task's temp file into place — a task that failed or
-    * was speculatively superseded never published anything. */
+    * was speculatively superseded never published anything. Renames run
+    * on a bounded thread pool (a serial loop is O(files) of driver
+    * round-trips — on an object store at real shard counts that IS the
+    * commit wall time); any failed rename fails the whole commit
+    * loudly. The committed row/byte totals land in the
+    * [[TsvStatsSidecar]] so the scan's `SupportsReportStatistics` can
+    * serve this table without re-listing file lengths. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(opts.path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(confSer.value)
     if (truncateFirst && fs.exists(dir))
       fs.listStatus(dir)
         .filterNot { st =>
@@ -252,65 +325,104 @@ private[sources] class TsvWrite(schema: StructType, opts: TsvOptions,
         }
         .foreach(st => fs.delete(st.getPath, true))
     fs.mkdirs(dir)
-    messages.foreach { case TsvCommitMessage(temp, name) =>
-      val from = new Path(temp)
-      if (!fs.rename(from, new Path(dir, name)))
-        throw new java.io.IOException(s"graft-tsv: commit rename failed: $from")
-    }
+    val msgs = messages.collect { case m: TsvCommitMessage => m }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, msgs.length)))
+    try {
+      val futures = msgs.map { m =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val from = new Path(m.tempPath)
+            if (!fs.rename(from, new Path(dir, m.fileName)))
+              throw new java.io.IOException(
+                s"graft-tsv: commit rename failed: $from")
+          }
+        })
+      }
+      // surface the FIRST failure (unwrapped) after all tasks settle —
+      // a half-committed set plus a clear error beats a hung pool
+      var failure: Option[Throwable] = None
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (failure.isEmpty) failure = Some(e.getCause)
+        }
+      }
+      failure.foreach(throw _)
+    } finally pool.shutdown()
+    TsvStatsSidecar.write(opts.path,
+      TsvStatsSidecar.Stats(msgs.length.toLong,
+        msgs.map(_.rows).sum, msgs.map(_.bytes).sum),
+      confSer.value)
     // temp dir is working state, not table contents — clear it
     fs.delete(new Path(dir, "_temporary"), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(opts.path).getFileSystem(new Configuration())
+    val fs = new Path(opts.path).getFileSystem(confSer.value)
     messages.foreach {
-      case TsvCommitMessage(temp, _) =>
-        try fs.delete(new Path(temp), false)
+      case m: TsvCommitMessage =>
+        try fs.delete(new Path(m.tempPath), false)
         catch { case _: java.io.IOException => () }
       case _ => ()
     }
   }
 }
 
-private[sources] case class TsvCommitMessage(tempPath: String, fileName: String)
+private[sources] case class TsvCommitMessage(tempPath: String,
+    fileName: String, rows: Long, bytes: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-private[sources] class TsvWriterFactory(schema: StructType, opts: TsvOptions)
+private[sources] class TsvWriterFactory(schema: StructType, opts: TsvOptions,
+    confSer: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new TsvDataWriter(schema, opts, partitionId, taskId)
+    new TsvDataWriter(schema, opts, partitionId, taskId, confSer.value)
 }
 
 /** One temp file per task under `<path>/_temporary`; QUOTE_MINIMAL
   * encoding (quote only when the value contains a tab, quote, CR or
   * LF; doubled-quote escaping) — the exact dialect [[TsvPartitionReader]]
   * and the reference's pandas reader parse. Nulls write as the
-  * configured nullValue (default empty). */
+  * configured nullValue (default empty), UNQUOTED; a genuinely
+  * non-null string equal to the nullValue (the empty string, usually)
+  * is QUOTED, and the reader keeps a quoted field non-null — so
+  * `'' ≠ NULL` survives the write→read roundtrip instead of silently
+  * conflating (a data-dependent hash break at other scale factors). */
 private[sources] class TsvDataWriter(schema: StructType, opts: TsvOptions,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, conf: Configuration)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.connector.write.WriterCommitMessage
 
   private val fileName = f"part-$partitionId%05d-$taskId.tsv"
   private val tempPath = s"${opts.path}/_temporary/$fileName-${java.util.UUID.randomUUID()}"
-  private val fs = new Path(tempPath).getFileSystem(new Configuration())
+  private val fs = new Path(tempPath).getFileSystem(conf)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     fs.create(new Path(tempPath), true), Charset.forName(opts.charset)))
+  private var rowCount = 0L
   if (opts.header) {
     out.write(schema.fieldNames.map(encode).mkString("\t"))
     out.write("\n")
   }
 
+  private def quoted(s: String): String =
+    "\"" + s.replace("\"", "\"\"") + "\""
+
   private def encode(s: String): String =
     if (s.indexOf('\t') < 0 && s.indexOf('"') < 0 &&
         s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
-    else "\"" + s.replace("\"", "\"\"") + "\""
+    else quoted(s)
 
   private val getters: Array[InternalRow => String] =
     schema.fields.zipWithIndex.map { case (f, i) =>
       val g: InternalRow => String = f.dataType match {
-        case StringType => r => encode(r.getUTF8String(i).toString)
+        case StringType => r => {
+          val s = r.getUTF8String(i).toString
+          // non-null value that READS as the null sentinel -> quote it
+          if (s == opts.nullValue) quoted(s) else encode(s)
+        }
         case IntegerType => r => r.getInt(i).toString
         case LongType => r => r.getLong(i).toString
         case DoubleType => r => r.getDouble(i).toString
@@ -329,11 +441,13 @@ private[sources] class TsvDataWriter(schema: StructType, opts: TsvOptions,
       i += 1
     }
     out.write("\n")
+    rowCount += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    TsvCommitMessage(tempPath, fileName)
+    TsvCommitMessage(tempPath, fileName, rowCount,
+      fs.getFileStatus(new Path(tempPath)).getLen)
   }
 
   override def abort(): Unit = {
@@ -435,10 +549,11 @@ private[sources] object TsvFilters {
   * by the writer) read as nulls — PERMISSIVE, matching the reference
   * reader's tolerance. */
 private[sources] class TsvPartitionReader(file: String, full: StructType,
-    required: StructType, pushed: Array[sources.Filter], opts: TsvOptions)
+    required: StructType, pushed: Array[sources.Filter], opts: TsvOptions,
+    conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val reader = TsvSource.open(file, opts.charset)
+  private val reader = TsvSource.open(file, opts.charset, conf)
   if (opts.header) reader.readLine() // discard header
   // required column -> index in the full row, resolved once
   private val fieldIdx: Array[Int] = required.fields.map { f =>
@@ -466,9 +581,18 @@ private[sources] class TsvPartitionReader(file: String, full: StructType,
       s"graft-tsv: unsupported column type $other (string/int/long/double/boolean)")
   }
 
+  // quoted-ness of the CURRENT line's fields (null on the quote-free
+  // fast path = nothing quoted): a QUOTED field equal to the nullValue
+  // is a real value (the writer quotes non-null empties), an unquoted
+  // one is null
+  private var curQuoted: Array[Boolean] = _
+
   private def cell(cells: Array[String], idx: Int): String = {
     val raw = if (idx < cells.length) cells(idx) else null
-    if (raw == null || raw == opts.nullValue) null else raw
+    if (raw == null) null
+    else if (raw == opts.nullValue &&
+      (curQuoted == null || idx >= curQuoted.length || !curQuoted(idx))) null
+    else raw
   }
 
   /** Quote-aware field split (pandas QUOTE_MINIMAL / RFC 4180 on a tab
@@ -477,17 +601,21 @@ private[sources] class TsvPartitionReader(file: String, full: StructType,
     * the reference export can legally contain (the adversarial USNVC
     * fixture row pins it). Quote-free lines take the zero-allocation
     * split fast path. Like the builtin line-mode csv reader, embedded
-    * NEWLINES in quoted fields are out of scope (multiLine=false). */
+    * NEWLINES in quoted fields are out of scope (multiLine=false).
+    * Sets [[curQuoted]] as a side effect. */
   private def splitLine(line: String): Array[String] = {
-    if (line.indexOf('"') < 0) line.split("\t", -1)
+    if (line.indexOf('"') < 0) { curQuoted = null; line.split("\t", -1) }
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val qs = scala.collection.mutable.ArrayBuffer.empty[Boolean]
       val n = line.length
       var i = 0
       var done = false
       while (!done) {
         val sb = new java.lang.StringBuilder
+        var q = false
         if (i < n && line.charAt(i) == '"') {
+          q = true
           i += 1
           var closed = false
           while (!closed && i < n) {
@@ -503,9 +631,11 @@ private[sources] class TsvPartitionReader(file: String, full: StructType,
           while (i < n && line.charAt(i) != '\t') { sb.append(line.charAt(i)); i += 1 }
         }
         out += sb.toString
+        qs += q
         if (i < n) i += 1 // consume the tab; EOL-after-tab yields a final empty field
         else done = true
       }
+      curQuoted = qs.toArray
       out.toArray
     }
   }

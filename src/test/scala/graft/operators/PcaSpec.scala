@@ -76,4 +76,19 @@ class PcaSpec extends SparkSpec {
       Pca.fit(empty, "embedding", 4, 1)
     }
   }
+
+  test("int64 headroom guard: out-of-range magnitudes fail loudly, not wrongly") {
+    // |x| = 1e6 quantizes to 1e10; squared products blow int64 within
+    // a handful of rows -- the old code trained a silently-wrong model
+    val big = cloud(50, 4, seed = 5)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * 1e6f).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Pca.fit(big, "embedding", 4, 1, iters = 10)
+    }
+    assert(e.getMessage.contains("headroom"))
+    // in-range magnitudes still train fine (the guard has no false fire)
+    val m = Pca.fit(cloud(50, 4, seed = 5), "embedding", 4, 1, iters = 10)
+    assert(m.n === 50)
+  }
 }

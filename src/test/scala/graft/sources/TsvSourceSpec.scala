@@ -217,4 +217,88 @@ class TsvSourceSpec extends SparkSpec {
       spark.read.format("graft-tsv").load(dir)
     }
   }
+
+  test("recursive listing: partitioned subdirectories read completely") {
+    val root = Files.createTempDirectory("tsvrec")
+    Files.createDirectories(root.resolve("lang=en"))
+    Files.createDirectories(root.resolve("lang=de/deep"))
+    Files.createDirectories(root.resolve("_hidden")) // must be skipped
+    Files.write(root.resolve("lang=en/part-0.tsv"),
+      "id\tname\tscore\n1\ta\t0.5\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("lang=de/deep/part-0.tsv"),
+      "id\tname\tscore\n2\tb\t1.5\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("_hidden/part-0.tsv"),
+      "id\tname\tscore\n99\tx\t9.9\n".getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("graft-tsv").schema(schema)
+      .option("charset", "UTF-8").load(root.toString)
+    assert(df.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L))
+  }
+
+  test("write->read keeps empty string distinct from null") {
+    val df = Seq((1L, ""), (2L, null: String), (3L, "v"))
+      .toDF("id", "name")
+    val wschema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val dir = Files.createTempDirectory("tsvnull").toString + "/out"
+    df.write.format("graft-tsv").mode("overwrite")
+      .option("charset", "UTF-8").save(dir)
+    val back = spark.read.format("graft-tsv").schema(wschema)
+      .option("charset", "UTF-8").load(dir)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) "<null>" else r.getString(1)))
+      .toMap
+    assert(back === Map(1L -> "", 2L -> "<null>", 3L -> "v"))
+  }
+
+  test("custom nullValue: a real cell equal to it survives the roundtrip") {
+    val df = Seq((1L, "NA"), (2L, null: String)).toDF("id", "name")
+    val wschema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val dir = Files.createTempDirectory("tsvna").toString + "/out"
+    df.write.format("graft-tsv").mode("overwrite")
+      .option("charset", "UTF-8").option("nullValue", "NA").save(dir)
+    val back = spark.read.format("graft-tsv").schema(wschema)
+      .option("charset", "UTF-8").option("nullValue", "NA").load(dir)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) "<null>" else r.getString(1)))
+      .toMap
+    assert(back === Map(1L -> "NA", 2L -> "<null>"))
+  }
+
+  test("commit writes the stats sidecar; scan serves rows+bytes from it") {
+    val df = (1L to 500L).map(i => (i, s"n$i", i * 0.5))
+      .toDF("id", "name", "score").repartition(8) // many-file commit
+    val dir = Files.createTempDirectory("tsvstats").toString + "/out"
+    df.write.format("graft-tsv").mode("overwrite")
+      .option("charset", "UTF-8").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val stats = TsvStatsSidecar.read(dir, conf)
+    assert(stats.isDefined)
+    assert(stats.get.rows === 500L)
+    assert(stats.get.files === TsvSource.listFiles(dir, conf).length)
+    assert(stats.get.bytes > 0)
+    // the scan's reported statistics carry the committed numRows
+    val scan = new TsvScan(schema, schema, Array.empty,
+      TsvOptions(dir, "UTF-8", header = true, ""))
+    val est = scan.estimateStatistics()
+    assert(est.numRows().getAsLong === 500L)
+    assert(est.sizeInBytes().getAsLong === stats.get.bytes)
+    // staleness guard: an extra file invalidates the sidecar
+    Files.write(Paths.get(dir, "extra.tsv"),
+      "id\tname\tscore\n9\tx\t0.1\n".getBytes(StandardCharsets.UTF_8))
+    val est2 = new TsvScan(schema, schema, Array.empty,
+      TsvOptions(dir, "UTF-8", header = true, "")).estimateStatistics()
+    assert(!est2.numRows().isPresent)
+  }
+
+  test("commit with an unrenameable temp file fails loudly") {
+    val dir = Files.createTempDirectory("tsvfail").toString + "/out"
+    Files.createDirectories(Paths.get(dir))
+    val write = new TsvWrite(schema,
+      TsvOptions(dir, "UTF-8", header = true, ""), truncateFirst = false)
+    intercept[java.io.IOException] {
+      write.commit(Array(
+        TsvCommitMessage(s"$dir/_temporary/nonexistent.tsv-x",
+          "part-00000-0.tsv", 1L, 10L)))
+    }
+  }
 }
