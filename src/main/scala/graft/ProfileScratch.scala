@@ -1259,6 +1259,43 @@ object ProfileScratch {
         }
         println(s"bucketed snapshot rows: ${bkt.snapshot.count()}")
 
+      case "q86prof" =>
+        // Stage-level timing of q86_retracted_dedup (the r10->r11
+        // regression hunt): same code as DedupQueries.retractedDedupQ,
+        // t() around every stage.
+        import graft.streaming.StreamingDedup
+        val docs = Tables.documents(spark, d)
+        docs.count() // warm scan
+        val root = java.nio.file.Files.createTempDirectory("q86prof").toString
+        val ix = s"$root/ix"; val out = s"$root/out"
+        val blocks: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          StreamingDedup.minHashBlocks("doc_id", "text",
+            shingleN = 3, numHashes = 16, bands = 4, seed = 42L,
+            portable = true)
+        (0 until 4).foreach { k =>
+          if (k == 3) {
+            val takedown = t("readCorpus for takedown")(
+              StreamingDedup.readCorpus(spark, out).get
+                .filter(pmod(col("doc_id"), lit(10)) === 1)
+                .select(col("doc_id")))
+            t("retract ix")(StreamingDedup.retract(spark, ix, takedown, "doc_id"))
+            t("retract out")(StreamingDedup.retract(spark, out, takedown, "doc_id"))
+            t("compactIndex")(StreamingDedup.compactIndex(spark, ix))
+          }
+          val batch = docs.filter(pmod(col("doc_id"), lit(4)) === k)
+          val ixDf = t(s"readIndex b$k")(StreamingDedup.readIndex(spark, ix, k))
+          val (novel, novelBlocks) = StreamingDedup.processBatch(batch,
+            ixDf, "doc_id", blocks)
+          t(s"write novel b$k")(novel.write.mode("overwrite")
+            .parquet(s"$out/ingest_batch=$k"))
+          t(s"write blocks b$k")(novelBlocks.write.mode("overwrite")
+            .parquet(s"$ix/ingest_batch=$k"))
+          graft.operators.Lifecycle.release(novelBlocks)
+        }
+        t("compactOutput")(StreamingDedup.compactOutput(spark, out))
+        t("final readCorpus+count")(println(
+          StreamingDedup.readCorpus(spark, out).get.count()))
+
       case "query" =>
         // Generic single-query profiler: warmup at sf0.001, then two
         // timed noop-sink runs at $SPARK_GRAFT_SF_DIR.

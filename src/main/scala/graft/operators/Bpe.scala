@@ -87,7 +87,7 @@ object Bpe {
     * tree is deleted on completion when owned by this call; pass
     * `scratchDir` to keep generations (or to resume externally). */
   def trainMerges(corpus: DataFrame, textCol: String, nMerges: Int,
-      scratchDir: Option[String] = None): Seq[Merge] = {
+      scratchDir: Option[String] = None, maxVocab: Int = -1): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges $nMerges")
     val spark = corpus.sparkSession
     val owned = scratchDir.isEmpty
@@ -98,7 +98,10 @@ object Bpe {
     val dir = scratchDir.getOrElse(
       s"${Lifecycle.scratchRoot(spark)}/bpe${System.nanoTime()}")
     def gen(i: Int) = s"$dir/v$i"
-    wordCounts(corpus, textCol)
+    // default UNCAPPED (the q139/q140 pinned oracles replay the full
+    // vocab); pass maxVocab to train on the same deterministic cut as
+    // the capped local trainer
+    cappedWordCounts(corpus, textCol, maxVocab)
       .select(sepForm(col("word")).as("w"), col("cnt"))
       .write.mode("overwrite").parquet(gen(0))
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -250,11 +253,49 @@ object Bpe {
     * memory (rare: even a 10⁸-word web vocab is ~GBs) or when the
     * on-disk per-generation resume points matter. */
   def trainMergesLocal(corpus: DataFrame, textCol: String,
-      nMerges: Int): Seq[Merge] = {
+      nMerges: Int, maxVocab: Int = DefaultMaxVocab): Seq[Merge] =
+    trainMergesLocalMeta(corpus, textCol, nMerges, maxVocab).merges
+
+  /** Driver-vocab bound for [[trainMergesLocal]]: 4M distinct words ≈
+    * low hundreds of driver MBs — far above any curated corpus's
+    * vocabulary, far below the ~10⁸ distinct "words" of raw 100 TB web
+    * text, whose unbounded collect was the last unbounded driver
+    * collect on a production path. Rare words below the cut can't win
+    * merges anyway at production merge counts; the truncation is the
+    * standard BPE min-frequency cutoff expressed as a top-N. */
+  val DefaultMaxVocab: Int = 4 << 20
+
+  /** Top-`maxVocab` words by (cnt DESC, word ASC — Spark's binary
+    * string order, so the cut is deterministic and engine-replayable):
+    * plans as TakeOrderedAndProject, a BOUNDED per-task + driver heap,
+    * never a full-vocab global sort or an unbounded collect.
+    * `maxVocab <= 0` = uncapped (pinned replays of the full-vocab
+    * trainers). */
+  def cappedWordCounts(corpus: DataFrame, textCol: String,
+      maxVocab: Int): DataFrame = {
+    val wc = wordCounts(corpus, textCol)
+    if (maxVocab <= 0) wc
+    else wc.orderBy(col("cnt").desc, col("word")).limit(maxVocab)
+  }
+
+  /** Training provenance alongside the merges — persisted-model
+    * metadata so a capped vocabulary is auditable, never silent:
+    * `vocabSize` is the collected (post-cap) size and `capped` says
+    * whether the cap actually bit. */
+  final case class TrainResult(merges: Seq[Merge], maxVocab: Int,
+      vocabSize: Long, capped: Boolean)
+
+  /** [[trainMergesLocal]] with the meta: one corpus scan, one BOUNDED
+    * driver collect (≤ maxVocab rows via TakeOrderedAndProject), then
+    * the in-memory merge loop. Capped-local ≡ capped-distributed
+    * merges is spec-pinned (same vocabulary cut, same tie-breaks). */
+  def trainMergesLocalMeta(corpus: DataFrame, textCol: String,
+      nMerges: Int, maxVocab: Int = DefaultMaxVocab): TrainResult = {
     require(nMerges >= 1, s"nMerges $nMerges")
-    val wc = wordCounts(corpus, textCol).collect()
+    val wc = cappedWordCounts(corpus, textCol, maxVocab).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    trainMergesFromCounts(wc, nMerges)
+    TrainResult(trainMergesFromCounts(wc, nMerges), maxVocab,
+      wc.length.toLong, maxVocab > 0 && wc.length == maxVocab)
   }
 
   /** The in-memory merge loop over (word, count) rows. */

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted binary-code (sign-bit) ANN index — the steady-state
+  * serving form of [[Similarity.hammingTopK]], which rebuilds and
+  * scratch-materializes the packed codes on EVERY call: the measured
+  * codes-pass win (~6× float brute force at 1M, hamscale) only
+  * materializes when the codes are a stored artifact the query reads,
+  * not a per-query byproduct. This module stores them once — 1
+  * bit/dimension, 1/32 of the float32 corpus bytes — under the
+  * [[IvfIndex]] lifecycle contract (build / idempotent `ingest_batch=`
+  * appends / crash replay / meta), and serves two ladders off them:
+  *
+  *  - [[topK]]: whole-index Hamming shortlist → exact rerank (the
+  *    IVFADC+R shape with 3-instruction xor/popcount scoring);
+  *  - [[topKProbed]]: coarse-centroid routing FIRST — the codes are
+  *    partitioned by a cluster column, the probed set compiles into a
+  *    literal partition-pruning predicate, and the Hamming shortlist
+  *    runs only inside probed cells. Cluster pruning and bit pruning
+  *    compose multiplicatively (nprobe/kc of 1/32 of the bytes) — the
+  *    production "coarse quantizer + binary re-rank" ladder.
+  *
+  * Shortlist extraction is the bounded [[graft.functions.TopKAgg]]
+  * heap, never a global sort of the |corpus|×|queries| candidate
+  * volume (the q84 lesson; [[Similarity.hammingShortlist]]).
+  *
+  * Layout:
+  * {{{
+  *   path/codes/ingest_batch=N[/cluster=C]  (id, __code: array<long>)
+  *   path/meta                              (dim, words, cluster_col)
+  * }}}
+  * `dim`/`words` live in the meta so appends ENCODE UNDER THE INDEX'S
+  * SHAPE (a batch encoded at a different width would Hamming-compare
+  * garbage — refused, never silent), and the cluster column name
+  * records whether [[topKProbed]] is servable.
+  */
+object HammingIndex {
+
+  final case class Index(codes: DataFrame, dim: Int, words: Int,
+      idCol: String, clusterCol: Option[String])
+
+  private def words(dim: Int): Int = (dim + 63) / 64
+
+  /** Pack + persist the corpus codes as the base increment, plus the
+    * meta. `clusterCol` (pre-assigned coarse cluster — k-means label,
+    * [[IvfPq]] assignment) partitions the codes on disk for
+    * [[topKProbed]]'s scan pruning. A rebuild deletes the whole codes
+    * tree first — stale increments of a previous index must not
+    * survive. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      path: String, clusterCol: Option[String] = None): Unit = {
+    val spark = corpus.sparkSession
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(codesRoot)) fs.delete(codesRoot, true)
+    writeIncrement(corpus, idCol, vecCol, dim, path, 0L, clusterCol)
+    import spark.implicits._
+    Seq((dim, words(dim), clusterCol.orNull))
+      .toDF("dim", "words", "cluster_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def writeIncrement(batch: DataFrame, idCol: String,
+      vecCol: String, dim: Int, path: String, batchId: Long,
+      clusterCol: Option[String]): Unit = {
+    val codes = batch.select(
+      col(idCol) +: Similarity.signBits(col(vecCol), dim).as("__code") +:
+        clusterCol.map(col).toSeq: _*)
+    val w = codes.write.mode("overwrite")
+    clusterCol.fold(w)(c => w.partitionBy(c))
+      .parquet(s"$path/codes/ingest_batch=$batchId")
+  }
+
+  /** Append an increment WITHOUT rebuilding — encoded under the
+    * index's recorded dim (meta is authoritative; there is no caller
+    * dim to get wrong). Idempotent by construction: the increment
+    * overwrites its own `ingest_batch=` directory, so a
+    * crashed-then-replayed append replaces its torn output. A
+    * clustered index requires the batch to carry the same cluster
+    * column (route upstream — [[IvfIndex.routeToMedoids]] or the
+    * coarse model's assignment). */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, vecCol: String, batchId: Long): Unit = {
+    require(batchId > 0,
+      s"batchId must be > 0 (0 is the build's base increment), got $batchId")
+    val (dim, _, clusterCol) = readMeta(spark, path)
+    clusterCol.foreach(c => require(batch.columns.contains(c),
+      s"clustered index $path needs the batch to carry '$c'"))
+    writeIncrement(batch, idCol, vecCol, dim, path, batchId, clusterCol)
+  }
+
+  /** Next free increment id (1 right after [[build]]) — the
+    * resume-after-crash loop's cursor, re-derived from the directory
+    * names alone. */
+  def nextBatchId(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val name = s.getPath.getName
+        val suffix = name.stripPrefix("ingest_batch=")
+        if (name.startsWith("ingest_batch=") && suffix.nonEmpty &&
+          suffix.forall(_.isDigit))
+          scala.util.Try(suffix.toLong).toOption
+        else None
+      }.maxOption.map(_ + 1).getOrElse(0L)
+  }
+
+  private def readMeta(spark: SparkSession, path: String)
+      : (Int, Int, Option[String]) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1), Option(r.getString(2)))
+  }
+
+  def load(spark: SparkSession, path: String, idCol: String): Index = {
+    val (dim, w, clusterCol) = readMeta(spark, path)
+    Index(spark.read.parquet(s"$path/codes"), dim, w, idCol, clusterCol)
+  }
+
+  /** Serve top-k off the STORED codes: pass 1 scans ⌈dim/64⌉ longs per
+    * row (never a vector), shortlists per query through the bounded
+    * heap; pass 2 exact-reranks the |queries|·shortlist candidates
+    * against the raw corpus. Output = [[Similarity.hammingTopK]]'s
+    * (query_id, neighbor_id, rank, hamming, similarity) — and, for the
+    * same corpus and queries, the same ROWS: this is that operator
+    * with the code build amortized into the index. */
+  def topK(index: Index, corpus: DataFrame, queries: DataFrame,
+      vecCol: String, k: Int, shortlist: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or the rerank starves")
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val idCol = index.idCol
+    val qCodes = broadcast(queries.select(col(idCol).as(queryIdCol),
+      Similarity.signBits(col(vecCol), index.dim).as("__qcode")))
+    val cand = Similarity.hammingShortlist(
+      index.codes.join(qCodes, col(queryIdCol) =!= col(idCol))
+        .withColumn("hamming", Similarity.hammingDist(
+          col("__qcode"), col("__code"), index.words))
+        .select(col(queryIdCol), col(idCol), col("hamming")),
+      queryIdCol, idCol, shortlist)
+    Similarity.hammingRerank(corpus, queries, cand, idCol, vecCol, k,
+      queryIdCol)
+  }
+
+  /** The coarse∧binary ladder: route each query to its `nprobe`
+    * nearest literal `centroids` (the SAME ‖c‖²−2⟨q,c⟩ first-minimum
+    * argmin as [[IvfPq]] assignment/routing, so an index clustered by
+    * that model routes consistently), collect the probed set as a
+    * literal predicate — the partitioned codes scan prunes every
+    * unprobed cluster directory — then Hamming-shortlist WITHIN the
+    * probed cells and exact-rerank. Query cost:
+    * (nprobe/kc) · (bits/32) of the corpus bytes before the rerank. */
+  def topKProbed(index: Index, corpus: DataFrame, queries: DataFrame,
+      vecCol: String, centroids: Seq[Array[Double]], k: Int,
+      shortlist: Int, nprobe: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or the rerank starves")
+    val clusterCol = index.clusterCol.getOrElse(throw
+      new IllegalArgumentException(
+        "topKProbed needs an index built with a cluster column"))
+    val spark = corpus.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val idCol = index.idCol
+    val routeW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__s"), col("__probe"))
+    val routed = queries
+      .select(col(idCol).as(queryIdCol),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__rsc", ProductQuant.scoreArray(col("__qv"), centroids))
+      .select(col(queryIdCol) :: col("__qv") ::
+        posexplode(col("__rsc")).as(Seq("__probe", "__s")) :: Nil: _*)
+      .withColumn("__r", row_number().over(routeW))
+      .filter(col("__r") <= nprobe)
+      .select(col(queryIdCol), col("__qv"), col("__probe"))
+      .withColumn("__qcode",
+        Similarity.signBits(col("__qv"), index.dim))
+      .select(col(queryIdCol), col("__probe"), col("__qcode"))
+    val probeClusters = routed.select(col("__probe")).distinct()
+      .collect().map(_.get(0))
+    val cand = Similarity.hammingShortlist(
+      index.codes
+        .filter(col(clusterCol).isin(probeClusters.toIndexedSeq: _*))
+        .join(broadcast(routed),
+          col("__probe") === col(clusterCol) &&
+            col(queryIdCol) =!= col(idCol))
+        .withColumn("hamming", Similarity.hammingDist(
+          col("__qcode"), col("__code"), index.words))
+        .select(col(queryIdCol), col(idCol), col("hamming")),
+      queryIdCol, idCol, shortlist)
+    Similarity.hammingRerank(corpus, queries, cand, idCol, vecCol, k,
+      queryIdCol)
+  }
+}

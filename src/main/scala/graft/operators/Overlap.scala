@@ -62,7 +62,26 @@ object Overlap {
     * happened batch-by-batch long before the question is asked. */
   def kmvOverlapSketches(a: DataFrame, b: DataFrame, groupCol: String,
       k: Int): DataFrame =
-    a.join(b, Seq(groupCol))
+    estimate(a.join(b, Seq(groupCol)), Seq(groupCol), k)
+
+  /** ALL-PAIRS estimator: every `a` sketch (keyed `aKey`) against
+    * every `b` sketch (keyed `bKey`) — the registry/dashboard shape:
+    * one corpus (or a few corpus groups) × N benchmark eval sets. The
+    * registry side is a broadcast cross join of ≤k longs per set —
+    * |a|·|b| estimator rows of pure array algebra, never a corpus
+    * touch. Column names must differ (both keys are emitted). */
+  def kmvOverlapCross(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, k: Int): DataFrame = {
+    require(aKey != bKey,
+      s"aKey and bKey must differ, both were '$aKey'")
+    estimate(a.crossJoin(broadcast(b)), Seq(aKey, bKey), k)
+  }
+
+  /** The shared estimator body over a joined frame carrying
+    * `__ska`/`__skb`; emits `keyCols` + the four estimates. */
+  private def estimate(joined: DataFrame, keyCols: Seq[String],
+      k: Int): DataFrame =
+    joined
       .withColumn("__um",
         slice(array_sort(array_union(col("__ska"), col("__skb"))), 1, k))
       .withColumn("__keff", size(col("__um")))
@@ -76,8 +95,8 @@ object Overlap {
       .withColumn("jaccard_est",
         col("n_match").cast("double") / col("__keff").cast("double"))
       .withColumn("est_intersection", col("jaccard_est") * col("est_union"))
-      .select(col(groupCol), col("est_union"), col("est_intersection"),
-        col("jaccard_est"), col("n_match"))
+      .select(keyCols.map(col) ++ Seq(col("est_union"),
+        col("est_intersection"), col("jaccard_est"), col("n_match")): _*)
 
   /** Merge two k-minima sketches: the k smallest of their union —
     * associative, commutative, idempotent, and EXACTLY the sketch of

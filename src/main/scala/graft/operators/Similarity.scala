@@ -355,6 +355,17 @@ object Similarity {
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Assign every vector to its nearest LITERAL centroid — the same
+    * ‖c‖²−2⟨v,c⟩ first-minimum argmin as [[kmeansAssign]]/[[IvfPq]]
+    * assignment, for callers that already hold the trained centroids
+    * (a shared coarse model across several indexes). Adds `cluster`. */
+  def assignToCentroids(corpus: DataFrame, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    corpus.withColumn("cluster", ProductQuant.nearestCode(
+      col(vecCol).cast("array<double>"), centroids))
+  }
+
   /** Unsupervised coarse quantization: assign every vector to one of k
     * Lloyd-trained centroids — the missing front half of the IVF
     * lifecycle when no label column exists. Training is
@@ -416,6 +427,93 @@ object Similarity {
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** Per-query SMALLEST-hamming shortlist of `scored` rows
+    * (queryIdCol, idCol, "hamming") — the bounded [[graft.functions
+    * .TopKAgg]] heap for integral ids (value = −hamming, so the heap's
+    * value-DESC/id-ASC contract IS hamming ASC/id ASC; null hamming →
+    * Long.MinValue = the window's NULLS LAST), the `row_number` window
+    * otherwise. The heap form is the q84 medicine: the candidate
+    * volume is map-side-combined per query and NEVER globally sorted —
+    * the |corpus|×|queries| sort feeding WindowGroupLimit is the first
+    * thing to die at a 100× corpus with many queries. */
+  private[operators] def hammingShortlist(scored: DataFrame,
+      queryIdCol: String, idCol: String, shortlist: Int): DataFrame = {
+    val integralId = scored.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integralId) {
+      val negH = when(col("hamming").isNull, lit(Long.MinValue))
+        .otherwise(-col("hamming"))
+      scored.withColumn("__negh", negH)
+        .groupBy(col(queryIdCol))
+        .agg(graft.functions.TopKAgg.topK(
+          col(idCol).cast("long"), col("__negh"), shortlist).as("__tk"))
+        .select(col(queryIdCol), explode(col("__tk")).as("__e"))
+        .select(col(queryIdCol),
+          col("__e._2").cast(scored.schema(idCol).dataType).as(idCol),
+          when(col("__e._1") === Long.MinValue, lit(null))
+            .otherwise(-col("__e._1")).as("hamming"))
+    } else {
+      // nulls LAST to match the heap encoding (unreachable with
+      // signBits codes — a null vector packs to code 0 — but the two
+      // branches must agree on the full domain)
+      val wH = Window.partitionBy(col(queryIdCol))
+        .orderBy(col("hamming").asc_nulls_last, col(idCol))
+      scored.withColumn("__hrank", row_number().over(wH))
+        .filter(col("__hrank") <= shortlist)
+        .select(col(queryIdCol), col(idCol), col("hamming"))
+    }
+  }
+
+  /** Pass 2 of every Hamming-shortlist serving path: exact cosine
+    * rerank of the (queryIdCol, idCol, hamming) candidates against the
+    * raw corpus — one candidate-pruned scan (broadcast semi-join on
+    * id) fetching float vectors for |queries|·shortlist rows only. */
+  private[operators] def hammingRerank(corpus: DataFrame,
+      queries: DataFrame, cand: DataFrame, idCol: String, vecCol: String,
+      k: Int, queryIdCol: String): DataFrame = {
+    val qVecs = broadcast(queries.select(
+      col(idCol).as("__qid"), col(vecCol).as("__qvec"),
+      norm(col(vecCol)).as("__qnorm")))
+    val wS = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("similarity").desc, col(idCol))
+    corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__cnorm"))
+      .join(broadcast(cand), Seq(idCol))
+      .join(qVecs, col(queryIdCol) === col("__qid"))
+      .withColumn("similarity",
+        round6(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm"))))
+      .withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        col("rank"), col("hamming"), col("similarity"))
+  }
+
+  /** Deterministic block expansion of a `dim`-dim vector to
+    * `blocks`·dim dims via per-block ±1 sign patterns — the multi-word
+    * binary-code path when the base embedding is narrow (testdata is
+    * 64-dim, one code word): block j's element p is v[p]·m(j,p) with
+    * [[expandSign]] m, block 0 the identity. Each expanded sign bit is
+    * one more axis-aligned-after-flip hyperplane test, so Hamming over
+    * the expanded code is a finer angular estimator whose word 0
+    * equals the base [[signBits]] code. Engine-replayable: the
+    * pattern is a closed form, no RNG. */
+  def expandSignBlocks(vec: Column, dim: Int, blocks: Int): Column = {
+    require(dim >= 1 && blocks >= 1, s"dim $dim blocks $blocks")
+    array((0 until blocks * dim).map { i =>
+      element_at(vec, i % dim + 1).cast("double") *
+        lit(expandSign(i / dim, i % dim))
+    }: _*)
+  }
+
+  /** The ±1 pattern of [[expandSignBlocks]]: +1 iff (j·(p+1)) mod 4 < 2
+    * — block 0 all +1, blocks 1..3 three distinct flip patterns.
+    * Exposed so oracles/specs replay the exact expansion. */
+  def expandSign(j: Int, p: Int): Double =
+    if ((j * (p + 1)) % 4 < 2) 1.0 else -1.0
+
   /** Binary-shortlist top-k with exact rerank: Hamming distance on the
     * packed codes picks `shortlist` candidates per query (the cheap
     * pass — this scan touches 1/32 of the corpus vector bytes and the
@@ -448,29 +546,15 @@ object Similarity {
     val cCodes = Lifecycle.materializeToScratch(
       corpus.select(col(idCol), signBits(col(vecCol), dim).as("__ccode")))
     val words = (dim + 63) / 64
-    val wH = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("hamming"), col(idCol))
-    val cand = cCodes.join(qCodes, col(queryIdCol) =!= col(idCol))
-      .withColumn("hamming", hammingDist(col("__qcode"), col("__ccode"), words))
-      .withColumn("__hrank", row_number().over(wH))
-      .filter(col("__hrank") <= shortlist)
-      .select(col(queryIdCol), col(idCol), col("hamming"))
+    val cand = hammingShortlist(
+      cCodes.join(qCodes, col(queryIdCol) =!= col(idCol))
+        .withColumn("hamming",
+          hammingDist(col("__qcode"), col("__ccode"), words))
+        .select(col(queryIdCol), col(idCol), col("hamming")),
+      queryIdCol, idCol, shortlist)
     // Pass 2 — exact rerank of the tiny shortlist: one candidate-pruned
     // corpus scan (broadcast semi-join on id) fetches the float vectors
     // for |queries|·shortlist rows only.
-    val qVecs = broadcast(queries.select(
-      col(idCol).as("__qid"), col(vecCol).as("__qvec"),
-      norm(col(vecCol)).as("__qnorm")))
-    val wS = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("similarity").desc, col(idCol))
-    corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__cnorm"))
-      .join(broadcast(cand), Seq(idCol))
-      .join(qVecs, col(queryIdCol) === col("__qid"))
-      .withColumn("similarity",
-        round6(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm"))))
-      .withColumn("rank", row_number().over(wS))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
-        col("rank"), col("hamming"), col("similarity"))
+    hammingRerank(corpus, queries, cand, idCol, vecCol, k, queryIdCol)
   }
 }

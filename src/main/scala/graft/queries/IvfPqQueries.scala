@@ -61,16 +61,14 @@ object IvfPqQueries {
     * replaces the shortlist bound with an arbitrary SQL scalar (the
     * q165 self-sizing oracle computes it from cell stats); `extraCtes`
     * are appended after `enc`/`gassign` are in scope. */
-  private[queries] def ivfPqSqlFor(maxQuery: Int, nprobe: Int,
-      topK: Int = 5, topKSqlOverride: Option[String] = None,
-      extraCtes: String = ""): String = {
-    val topKSql = topKSqlOverride.getOrElse(topK.toString)
-    val extra = if (extraCtes.isEmpty) "" else extraCtes + "\n"
+  /** The coarse-model CTE prefix — corpus `c`, the seeded/unrolled
+    * Lloyd chain, final centroid table `cent`, assignment `gassign` —
+    * shared verbatim by [[ivfPqSqlFor]] and the q177 ladder oracle so
+    * both replay the IDENTICAL q127-pinned coarse trainer. */
+  private def coarseChainSql: String = {
     val coarse = (1 to CoarseIters).map(lloydStep("g", _, Dims))
       .mkString("", ",\n", ",\n")
-    val pq = (1 to PqIters).map(lloydStep("p", _, Sub))
-      .mkString("", ",\n", ",\n")
-    s"""WITH c AS MATERIALIZED (
+    s"""c AS MATERIALIZED (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |gseeds AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
       |           FROM (SELECT * FROM c ORDER BY vec_id LIMIT $Kc)),
@@ -83,7 +81,17 @@ object IvfPqQueries {
       |  FROM gsv sv JOIN gcb$CoarseIters cb ON cb.s = sv.s),
       |gassign AS MATERIALIZED (SELECT vec_id, code AS cluster FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY score, code) AS r FROM gd) WHERE r = 1),
+      |      ORDER BY score, code) AS r FROM gd) WHERE r = 1)""".stripMargin
+  }
+
+  private[queries] def ivfPqSqlFor(maxQuery: Int, nprobe: Int,
+      topK: Int = 5, topKSqlOverride: Option[String] = None,
+      extraCtes: String = ""): String = {
+    val topKSql = topKSqlOverride.getOrElse(topK.toString)
+    val extra = if (extraCtes.isEmpty) "" else extraCtes + "\n"
+    val pq = (1 to PqIters).map(lloydStep("p", _, Sub))
+      .mkString("", ",\n", ",\n")
+    s"""WITH $coarseChainSql,
       |rv AS MATERIALIZED (
       |  SELECT c.vec_id, list(c.v[t.d] - ct.cw[t.d] ORDER BY t.d) AS v
       |  FROM c JOIN gassign a ON a.vec_id = c.vec_id
@@ -287,9 +295,71 @@ object IvfPqQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  private val LadderShortlist = 15
+
+  /** q177: the coarse∧binary serving ladder — the production "coarse
+    * quantizer + binary re-rank" composition ([[graft.operators
+    * .HammingIndex.topKProbed]]): the q127-pinned coarse k-means
+    * assigns clusters, the 1-bit sign codes are PERSISTED partitioned
+    * by cluster, and a query (a) routes to its 4 nearest centroids —
+    * pruning the codes scan to 4/16 partitions, (b) Hamming-shortlists
+    * 15 within the probed cells off the stored codes, (c) exact-reranks
+    * top-5. Cluster pruning × bit pruning = (nprobe/kc)·(1/32) of the
+    * corpus bytes before the rerank. The oracle replays ALL THREE
+    * stages: the coarse chain (shared verbatim with q137's), the
+    * routing argmin, the per-dim sign tests inside probed clusters,
+    * and the exact rerank. */
+  def ivfHammingLadder(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{HammingIndex, ProductQuant, Similarity}
+    val emb = Tables.embeddings(s, d)
+    graft.functions.VectorFunctions.register(s)
+    val centroids = ProductQuant.trainCodebooksLloyd(
+      emb, "vec_id", "embedding", m = 1, k = Kc, iters = CoarseIters).head
+    val assigned = Similarity.assignToCentroids(emb, "embedding", centroids)
+    val path = tempWorkDir("graft_q177_")
+    HammingIndex.build(assigned, "vec_id", "embedding", dim = Dims,
+      path, clusterCol = Some("cluster"))
+    HammingIndex.topKProbed(HammingIndex.load(s, path, "vec_id"),
+      emb, emb.filter(col("vec_id") < 10), "embedding", centroids,
+      k = 5, shortlist = LadderShortlist, nprobe = 4)
+  }
+
+  val ivfHammingLadderSql: String = {
+    val hammingTerms = (1 to Dims)
+      .map(i => s"(CASE WHEN (r.qv[$i]>0)<>(cv.v[$i]>0) THEN 1 ELSE 0 END)")
+      .mkString("+")
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
+    s"""WITH $coarseChainSql,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c
+       |      WHERE vec_id < 10),
+       |qroute AS (SELECT query_id, qv, cluster FROM (
+       |    SELECT q.query_id, q.qv, ct.cluster,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_dot_product(ct.cw, ct.cw) - 2*list_dot_product(q.qv, ct.cw),
+       |        ct.cluster) AS r
+       |    FROM q CROSS JOIN cent ct) WHERE r <= 4),
+       |ham AS (SELECT r.query_id, a.vec_id, r.qv, cv.v AS cv,
+       |    ($hammingTerms)::BIGINT AS hamming
+       |  FROM qroute r
+       |  JOIN gassign a ON a.cluster = r.cluster
+       |  JOIN c cv ON cv.vec_id = a.vec_id
+       |  WHERE r.query_id <> a.vec_id),
+       |short AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, vec_id) AS hrank FROM ham),
+       |rer AS (SELECT query_id, vec_id AS neighbor_id, hamming,
+       |    ${cos("qv", "cv")} AS similarity
+       |  FROM short WHERE hrank <= $LadderShortlist),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY similarity DESC, neighbor_id) AS rank FROM rer)
+       |SELECT query_id, neighbor_id, rank, hamming, similarity FROM rk
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q137_ivfpq_ann", ivfPqAnn, Some(ivfPqAnnSql)),
     Q("q138_ivfpq_recall", ivfPqRecall, Some(ivfPqRecallSql)),
     Q("q146_ivfpq_refined", ivfPqRefined, Some(ivfPqRefinedSql)),
-    Q("q165_ivfpq_auto_refined", ivfPqAutoRefined, Some(ivfPqAutoRefinedSql)))
+    Q("q165_ivfpq_auto_refined", ivfPqAutoRefined, Some(ivfPqAutoRefinedSql)),
+    Q("q177_ivf_hamming_ladder", ivfHammingLadder, Some(ivfHammingLadderSql)))
 }

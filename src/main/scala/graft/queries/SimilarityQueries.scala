@@ -709,9 +709,100 @@ object SimilarityQueries {
        |  GROUP BY 1)
        |SELECT n_common, count(*) AS n_queries FROM per_q GROUP BY 1""".stripMargin
 
+  /** q175: q167's binary ANN served off a PERSISTED
+    * [[graft.operators.HammingIndex]] — codes built + appended through
+    * the index lifecycle (build holds vec_id % 3 == 0, two appends add
+    * the other classes, exercising the increment path under the gate), then
+    * topK reads the STORED 1-bit codes with the bounded-heap shortlist.
+    * Same algorithm as q167 off stored artifacts ⇒ same oracle: the
+    * full per-dim sign replay must hash-match, proving the persisted
+    * codes are byte-equivalent to freshly-packed ones across the
+    * build/append seams. */
+  def hammingIndexAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val path = tempWorkDir("graft_q175_")
+    graft.operators.HammingIndex.build(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+      "vec_id", "embedding", dim = 64, path)
+    (1 to 2).foreach { b =>
+      graft.operators.HammingIndex.append(s, path,
+        emb.filter(pmod(col("vec_id"), lit(3)) === b),
+        "vec_id", "embedding", batchId = b.toLong)
+    }
+    val index = graft.operators.HammingIndex.load(s, path, "vec_id")
+    graft.operators.HammingIndex.topK(index, emb,
+      emb.filter(col("vec_id") < 20), "embedding", k = 5,
+      shortlist = HamShortlist)
+  }
+
+  private val MultiWordBlocks = 4 // 4 x 64 dims = 256 bits = 4 code words
+
+  /** The 256-dim deterministic expansion both engines replay:
+    * block j element p = v[p] · expandSign(j, p). */
+  private def expandedSql(v: String): String =
+    (0 until MultiWordBlocks).flatMap(j => (0 until 64).map { p =>
+      if (Similarity.expandSign(j, p) > 0) s"$v[${p + 1}]"
+      else s"-$v[${p + 1}]"
+    }).mkString("[", ",", "]")
+
+  /** q176: the MULTI-WORD binary-code path — the 64-dim embeddings are
+    * deterministically expanded to 256 dims
+    * ([[Similarity.expandSignBlocks]]: per-block ±1 sign patterns, so
+    * each extra word is another 64 hyperplane tests), packed to 4 code
+    * words, persisted as a [[graft.operators.HammingIndex]], and
+    * served with the 4-word xor/popcount chain. The oracle replays the
+    * expansion, all 256 per-dim sign tests, and both ranking stages
+    * (rerank cosine over the expanded vectors — exactly 4·dot/2·norms
+    * of the originals, same similarity by construction). */
+  def hammingMultiword(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        Similarity.expandSignBlocks(col("embedding"), 64,
+          MultiWordBlocks).as("emb256"))
+    val path = tempWorkDir("graft_q176_")
+    graft.operators.HammingIndex.build(emb, "vec_id", "emb256",
+      dim = 64 * MultiWordBlocks, path)
+    val index = graft.operators.HammingIndex.load(s, path, "vec_id")
+    graft.operators.HammingIndex.topK(index, emb,
+      emb.filter(col("vec_id") < 20), "emb256", k = 5,
+      shortlist = HamShortlist)
+  }
+
+  val hammingMultiwordSql: String = {
+    // per-64-term parenthesized block sums: one flat 256-term chain
+    // exceeds DuckDB's 128 binder recursion depth; 4 blocks of 64 keep
+    // the tree at ~68 (and mirror the 4 code words)
+    val hammingTerms = (0 until MultiWordBlocks).map { b =>
+      (b * 64 + 1 to b * 64 + 64)
+        .map(i => s"(CASE WHEN (qe[$i]>0)<>(ce[$i]>0) THEN 1 ELSE 0 END)")
+        .mkString("(", "+", ")")
+    }.mkString("+")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |              FROM embeddings),
+       |exp AS MATERIALIZED (SELECT vec_id, ${expandedSql("v")} AS e
+       |       FROM base),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM exp
+       |      WHERE vec_id < 20),
+       |ham AS (SELECT query_id, vec_id, qe, ce,
+       |    ($hammingTerms)::BIGINT AS hamming
+       |  FROM q JOIN (SELECT vec_id, e AS ce FROM exp) c
+       |    ON query_id <> vec_id),
+       |short AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, vec_id) AS hrank FROM ham),
+       |rer AS (SELECT query_id, vec_id AS neighbor_id, hamming,
+       |    ${sqlCos("qe", "ce")} AS similarity
+       |  FROM short WHERE hrank <= $HamShortlist),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY similarity DESC, neighbor_id) AS rank FROM rer)
+       |SELECT query_id, neighbor_id, rank, hamming, similarity FROM r
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q167_hamming_ann", hammingAnn, Some(hammingAnnSql)),
     Q("q168_hamming_recall", hammingRecall, Some(hammingRecallSql)),
+    Q("q175_hamming_index", hammingIndexAnn, Some(hammingAnnSql)),
+    Q("q176_hamming_multiword", hammingMultiword, Some(hammingMultiwordSql)),
     Q("q144_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q162_retrieval_metrics", retrievalMetrics, Some(retrievalMetricsSql)),
     Q("q164_truncation_recall", truncationRecall, Some(truncationRecallSql)),

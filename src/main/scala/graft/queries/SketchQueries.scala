@@ -518,8 +518,9 @@ object SketchQueries {
       .filter(col("shingle").isNotNull)
       .join(docs.select(col("doc_id"), col("lang"),
         (col("doc_id") % 5 === 0).as("__iseval"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("__set"),
         pmod(col("doc_id"), lit(4)).cast("int").as("__batch")), Seq("doc_id"))
-      .select(col("lang"), col("__iseval"), col("__batch"),
+      .select(col("lang"), col("__iseval"), col("__set"), col("__batch"),
         Dedup.stringHash(col("shingle"), portable = true).as("__h"))
   }
 
@@ -634,9 +635,81 @@ object SketchQueries {
        |FROM ($genUnion)""".stripMargin
   }
 
+  /** q178: the q173 timeline against a REGISTRY of eval sets — the
+    * real decontamination dashboard: N benchmarks × the ingest
+    * timeline, every (corpus group × eval set × generation) cell one
+    * KMV estimate ([[graft.streaming.KmvRollupTable.overlapTimeline]],
+    * an all-pairs broadcast cross of ≤k-long sketches — never a corpus
+    * touch at question time). Eval docs (doc_id%5=0) split into three
+    * benchmark sets by doc_id%3; the corpus rolls up per lang over 4
+    * ingest batches. The oracle replays EVERY cell: each generation as
+    * a fresh per-lang prefix sketch crossed with each set's sketch. */
+  def overlapRegistry(s: SparkSession, d: String): DataFrame = {
+    val items = overlapItems(s, d)
+    val registry = items.filter(col("__iseval"))
+      .withColumn("eval_set", concat(lit("bench_"), col("__set")))
+      .groupBy(col("eval_set"))
+      .agg(graft.functions.KmvSketch.minima(col("__h"), RollupK)
+        .as("sketch"))
+    val train = items.filter(!col("__iseval"))
+    val dir = tempWorkDir("graft_kmvreg") + "/t"
+    val tbl = new graft.streaming.KmvRollupTable(s, dir, "lang", RollupK)
+    (0 to 3).foreach(g =>
+      tbl.maintain(train.filter(col("__batch") === g), col("__h")))
+    tbl.overlapTimeline(registry, "eval_set")
+      .select(col("gen"), col("lang"), col("eval_set"), col("est_union"),
+        col("est_intersection"), col("jaccard_est"), col("n_match"))
+  }
+
+  private def registryGenSql(g: Int): String =
+    s"""hr_$g AS (SELECT DISTINCT lang, h FROM lab
+       |  WHERE NOT iseval AND batch <= $g),
+       |rr_$g AS (SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hr_$g),
+       |skr_$g AS (SELECT lang, array_agg(h ORDER BY h) AS a FROM rr_$g
+       |  WHERE rn <= $RollupK GROUP BY 1),
+       |mr_$g AS (SELECT lang, eval_set, a, b,
+       |    list_slice(list_sort(list_distinct(list_concat(a, b))), 1,
+       |      $RollupK) AS um
+       |  FROM skr_$g CROSS JOIN skreg),
+       |er_$g AS (SELECT $g AS gen, lang, eval_set, len(um) AS keff,
+       |    CASE WHEN len(um) < $RollupK THEN len(um)::DOUBLE
+       |         ELSE ${RollupK - 1}::DOUBLE *
+       |           1152921504606846976::BIGINT::DOUBLE / um[$RollupK]::DOUBLE
+       |    END AS est_union,
+       |    len(list_intersect(list_intersect(um, a), b))::BIGINT AS n_match
+       |  FROM mr_$g)""".stripMargin
+
+  val overlapRegistrySql: String = {
+    val genBlocks = (0 to 3).map(registryGenSql).mkString(",\n")
+    val genUnion = (0 to 3).map(g => s"SELECT * FROM er_$g")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${DedupQueries.shingleCtes(3)},
+       |lab AS MATERIALIZED (
+       |  SELECT d.lang, (d.doc_id % 5 = 0) AS iseval,
+       |    'bench_' || (d.doc_id % 3) AS eval_set,
+       |    (d.doc_id % 4)::INT AS batch,
+       |    ('0x'||substr(md5(s.shingle),1,15))::BIGINT AS h
+       |  FROM sh s JOIN documents d USING (doc_id)
+       |  WHERE s.shingle IS NOT NULL),
+       |hreg AS (SELECT DISTINCT eval_set, h FROM lab WHERE iseval),
+       |rreg AS (SELECT eval_set, h,
+       |    row_number() OVER (PARTITION BY eval_set ORDER BY h) AS rn
+       |  FROM hreg),
+       |skreg AS MATERIALIZED (SELECT eval_set, array_agg(h ORDER BY h) AS b
+       |  FROM rreg WHERE rn <= $RollupK GROUP BY 1),
+       |$genBlocks
+       |SELECT gen, lang, eval_set, est_union,
+       |  (n_match::DOUBLE / keff::DOUBLE) * est_union AS est_intersection,
+       |  n_match::DOUBLE / keff::DOUBLE AS jaccard_est,
+       |  n_match
+       |FROM ($genUnion)""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q169_corpus_overlap", corpusOverlap, Some(corpusOverlapSql)),
     Q("q173_overlap_rollup", overlapRollup, Some(overlapRollupSql)),
+    Q("q178_overlap_registry", overlapRegistry, Some(overlapRegistrySql)),
     Q("q152_hll_registers", hllRegisters, Some(hllRegistersSql)),
     Q("q153_hll_estimate", hllEstimate, Some(hllEstimateSql)),
     Q("q156_hll_rollup", hllRollup, Some(hllRollupSql)),

@@ -72,4 +72,29 @@ final class KmvRollupTable(
       sketches(g).withColumnRenamed("sketch", "__ska"),
       reference.withColumnRenamed("sketch", "__skb"),
       groupCol, k)
+
+  /** Overlap of EVERY registry set against EVERY corpus group at
+    * generation `g` — the decontamination-dashboard cell for one
+    * timeline point: `registry` carries (`setCol`, sketch) for N
+    * benchmark eval sets (same k and hash), output one row per
+    * (corpus group × set). `setCol` must differ from the table's
+    * group column ([[Overlap.kmvOverlapCross]]). */
+  def overlapWithRegistry(registry: DataFrame, setCol: String,
+      g: Int = gen): DataFrame =
+    Overlap.kmvOverlapCross(
+      sketches(g).withColumnRenamed("sketch", "__ska"), groupCol,
+      registry.withColumnRenamed("sketch", "__skb"), setCol, k)
+
+  /** The full dashboard: [[overlapWithRegistry]] at EVERY committed
+    * generation — (group × set × generation) rows, the "contamination
+    * by benchmark over the ingest timeline" matrix. Generation count
+    * is bounded (one per ingest batch), so the union is a bounded plan
+    * over ≤k-long arrays. */
+  def overlapTimeline(registry: DataFrame, setCol: String): DataFrame = {
+    require(gen >= 0, s"no committed generations under $dir")
+    (0 to gen).map { g =>
+      overlapWithRegistry(registry, setCol, g)
+        .withColumn("gen", org.apache.spark.sql.functions.lit(g))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -45,6 +45,177 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingDedup {
 
+  // --- Index-recorded blocking shape ---
+  //
+  // A FIXED band shape is the text-LSH scale cliff (the q79 class:
+  // noise candidates grow ~n² at fixed rows — see
+  // Dedup.adaptiveBandShape), and for an INCREMENTAL index the shape
+  // must also never drift between creation and appends: keys from two
+  // shapes don't collide, so a mismatched append silently misses every
+  // cross-shape duplicate. The shape is therefore sized ONCE at index
+  // creation (from the expected corpus size), persisted under
+  // `<indexPath>/_shape`, inherited by every later blocking pass, and
+  // a conflicting re-declaration is refused loudly.
+
+  /** The blocking shape an index was created with. */
+  final case class TextShape(shingleN: Int, numHashes: Int, bands: Int,
+      seed: Long, portable: Boolean)
+
+  /** The pre-adaptive fixed default (16 hashes × 4 bands): what a
+    * legacy no-hint [[start]] records — recorded, never silent. */
+  val LegacyShape: TextShape = TextShape(3, 16, 4, 42L, portable = false)
+
+  /** Adaptive shape for an index expected to hold ~`corpusSizeHint`
+    * docs: [[Dedup.adaptiveBandShape]]'s (rows ∝ log n, threshold held
+    * at ~0.707) — 10× corpus → wider bands, spec-pinned there. */
+  def adaptiveTextShape(corpusSizeHint: Long, shingleN: Int = 3,
+      seed: Long = 42L, portable: Boolean = false): TextShape = {
+    val (numHashes, bands, _) = Dedup.adaptiveBandShape(corpusSizeHint)
+    TextShape(shingleN, numHashes, bands, seed, portable)
+  }
+
+  private def shapeDir(indexPath: String) = s"$indexPath/_shape"
+
+  /** The shape recorded under `indexPath`, if any. (`_shape` is
+    * invisible to the gen=/ingest_batch=/tombstone= listings, so
+    * compaction never touches it.) */
+  def readShape(spark: SparkSession, indexPath: String): Option[TextShape] = {
+    val p = new org.apache.hadoop.fs.Path(shapeDir(indexPath))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).head()
+      Some(TextShape(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    }
+  }
+
+  /** Record `shape` as `indexPath`'s blocking shape. Idempotent for an
+    * equal shape; REFUSES a different one — appends under a different
+    * shape would silently admit every cross-shape duplicate. */
+  def recordShape(spark: SparkSession, indexPath: String,
+      shape: TextShape): TextShape = {
+    readShape(spark, indexPath) match {
+      case Some(existing) =>
+        require(existing == shape,
+          s"index $indexPath was created with blocking shape $existing; " +
+            s"refusing to operate with $shape — rebuild the index to " +
+            "change its shape")
+        existing
+      case None =>
+        import spark.implicits._
+        Seq((shape.shingleN, shape.numHashes, shape.bands, shape.seed,
+          shape.portable))
+          .toDF("shingle_n", "num_hashes", "bands", "seed", "portable")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(shapeDir(indexPath))
+        shape
+    }
+  }
+
+  /** Size the index's blocking shape adaptively from the expected
+    * corpus size and record it — call ONCE before the first ingest;
+    * every later [[textBlocks]]/no-shape [[start]] inherits it. */
+  def createTextIndex(spark: SparkSession, indexPath: String,
+      corpusSizeHint: Long, shingleN: Int = 3, seed: Long = 42L,
+      portable: Boolean = false): TextShape =
+    recordShape(spark, indexPath,
+      adaptiveTextShape(corpusSizeHint, shingleN, seed, portable))
+
+  /** The blocking function of an index's RECORDED shape — the append
+    * path: whatever the index was created with is what every later
+    * batch blocks with. */
+  def textBlocks(spark: SparkSession, indexPath: String, idCol: String,
+      textCol: String): DataFrame => DataFrame = {
+    val s = readShape(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no blocking shape recorded under $indexPath — run " +
+          "createTextIndex (or one ingest) first"))
+    minHashBlocks(idCol, textCol, s.shingleN, s.numHashes, s.bands,
+      s.seed, s.portable)
+  }
+
+  /** The fused (text ∪ image) blocking shape — text bands plus the
+    * image hyperplane bit-width, both of which cliff at a fixed size
+    * (the q79 pair of causes). Recorded/inherited/refused exactly like
+    * [[TextShape]], under its own `_shape_fused` table. */
+  final case class FusedShape(shingleN: Int, numHashes: Int, bands: Int,
+      nBits: Int, seed: Long, planeSeed: Long, portable: Boolean)
+
+  /** The pre-adaptive fused default (16×4 text bands, 8 image bits). */
+  val LegacyFusedShape: FusedShape =
+    FusedShape(3, 16, 4, 8, 42L, 7L, portable = false)
+
+  /** Adaptive fused shape: text bands from [[Dedup.adaptiveBandShape]],
+    * image bits from [[Similarity.adaptiveHyperplaneBits]] — both
+    * sized from the EXPECTED corpus, because an incremental index must
+    * fix them at creation (per-batch sizing would change the key
+    * space batch to batch). */
+  def adaptiveFusedShape(corpusSizeHint: Long, shingleN: Int = 3,
+      seed: Long = 42L, planeSeed: Long = 7L,
+      portable: Boolean = false): FusedShape = {
+    val (numHashes, bands, _) = Dedup.adaptiveBandShape(corpusSizeHint)
+    FusedShape(shingleN, numHashes, bands,
+      Similarity.adaptiveHyperplaneBits(corpusSizeHint), seed, planeSeed,
+      portable)
+  }
+
+  private def fusedShapeDir(indexPath: String) = s"$indexPath/_shape_fused"
+
+  def readFusedShape(spark: SparkSession, indexPath: String)
+      : Option[FusedShape] = {
+    val p = new org.apache.hadoop.fs.Path(fusedShapeDir(indexPath))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).head()
+      Some(FusedShape(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    }
+  }
+
+  /** Record-or-validate, the [[recordShape]] contract for fused
+    * indexes. */
+  def recordFusedShape(spark: SparkSession, indexPath: String,
+      shape: FusedShape): FusedShape =
+    readFusedShape(spark, indexPath) match {
+      case Some(existing) =>
+        require(existing == shape,
+          s"index $indexPath was created with fused shape $existing; " +
+            s"refusing to operate with $shape — rebuild the index to " +
+            "change its shape")
+        existing
+      case None =>
+        import spark.implicits._
+        Seq((shape.shingleN, shape.numHashes, shape.bands, shape.nBits,
+          shape.seed, shape.planeSeed, shape.portable))
+          .toDF("shingle_n", "num_hashes", "bands", "n_bits", "seed",
+            "plane_seed", "portable")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(fusedShapeDir(indexPath))
+        shape
+    }
+
+  /** Size + record a fused index's shape from the expected corpus. */
+  def createFusedIndex(spark: SparkSession, indexPath: String,
+      corpusSizeHint: Long, shingleN: Int = 3, seed: Long = 42L,
+      planeSeed: Long = 7L, portable: Boolean = false): FusedShape =
+    recordFusedShape(spark, indexPath,
+      adaptiveFusedShape(corpusSizeHint, shingleN, seed, planeSeed,
+        portable))
+
+  /** [[fusedBlocks]] in the index's RECORDED shape (legacy default
+    * recorded when absent — same contract as the no-shape text
+    * [[start]]). */
+  def fusedBlocksFor(spark: SparkSession, indexPath: String,
+      idCol: String, textCol: String, binCol: String, dim: Int)
+      : DataFrame => DataFrame = {
+    val s = readFusedShape(spark, indexPath)
+      .getOrElse(recordFusedShape(spark, indexPath, LegacyFusedShape))
+    fusedBlocks(idCol, textCol, binCol, dim, s.shingleN, s.numHashes,
+      s.bands, s.nBits, s.seed, s.planeSeed, s.portable)
+  }
+
   /** MinHash+LSH text blocking: one key per band,
     * `t:<band_idx>:<band_hash>`. */
   def minHashBlocks(idCol: String, textCol: String, shingleN: Int = 3,
@@ -116,31 +287,53 @@ object StreamingDedup {
   def processBlockedBatch(batch: DataFrame, blocks: DataFrame,
       index: Option[DataFrame], idCol: String)
       : (DataFrame, DataFrame) = {
+    val dupIds = dupIdsOf(blocks, index, idCol)
+    val novel = batch.join(dupIds, Seq(idCol), "left_anti")
+    (novel, blocks.join(dupIds, Seq(idCol), "left_anti"))
+  }
+
+  /** The duplicate-id set of an already-blocked batch: ids sharing a
+    * block key with a smaller-id batch doc or with any indexed doc.
+    * Lazy — callers that consume it more than once should materialize
+    * it first. */
+  private def dupIdsOf(blocks: DataFrame, index: Option[DataFrame],
+      idCol: String): DataFrame = {
     val withinDup = blocks.alias("x").join(blocks.alias("y"),
         col("x.block_key") === col("y.block_key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"y.$idCol").as(idCol))
-    val dupIds = (index match {
+    (index match {
       case Some(ix) =>
         withinDup.union(
           blocks.alias("n").join(ix.alias("ix"), Seq("block_key"))
             .select(col(s"n.$idCol").as(idCol)))
       case None => withinDup
     }).distinct()
-    val novel = batch.join(dupIds, Seq(idCol), "left_anti")
-    (novel, blocks.join(dupIds, Seq(idCol), "left_anti"))
   }
 
   /** One ingest step: deduplicate `batch` within itself and against
     * `index` ((id, block_key) rows of all previously admitted docs;
     * None on the first batch). Returns (novel docs, their block keys)
     * — both lazy scans over a scratch-materialized blocking of the
-    * batch, nothing left pinned. */
+    * batch, nothing left pinned.
+    *
+    * The duplicate-id set is scratch-materialized too: the ingest call
+    * sites WRITE both returned frames, and a lazy dup set would re-run
+    * the batch self-join + index probe — the expensive part, corpus-
+    * keyed at scale — once per write instead of once per batch
+    * (measured ~0.3 s/batch of pure recompute at sf0.1; at a real
+    * index size it is the dominant cost, doubled). The tiny id table
+    * is freed by the same per-batch `Lifecycle.release(novelBlocks)`
+    * the call sites already run (both outputs scan it). */
   def processBatch(batch: DataFrame, index: Option[DataFrame],
       idCol: String, blockRows: DataFrame => DataFrame)
-      : (DataFrame, DataFrame) =
-    processBlockedBatch(batch,
-      Lifecycle.materializeToScratch(blockRows(batch)), index, idCol)
+      : (DataFrame, DataFrame) = {
+    val blocks = Lifecycle.materializeToScratch(blockRows(batch))
+    val dupIds = Lifecycle.materializeToScratch(
+      dupIdsOf(blocks, index, idCol))
+    (batch.join(dupIds, Seq(idCol), "left_anti"),
+      blocks.join(dupIds, Seq(idCol), "left_anti"))
+  }
 
   /** Index child directories by prefix, via the Hadoop FileSystem of
     * `indexPath` — NOT java.io.File, so the index works on any scheme
@@ -233,11 +426,21 @@ object StreamingDedup {
   /** All committed tombstoned ids under `path` (single id column named
     * as at [[retract]] time); None when nothing was ever retracted. */
   def readTombstones(spark: SparkSession, path: String)
+      : Option[DataFrame] =
+    readTombstonesRaw(spark, path).map(_.distinct())
+
+  /** [[readTombstones]] without the distinct: each tombstone partition
+    * is already distinct at [[retract]] time, so only CROSS-partition
+    * repeats (the same id retracted twice) survive here — harmless to
+    * every internal consumer (LEFT ANTI ignores right-side duplicates)
+    * and skipping the distinct keeps a shuffle out of every
+    * tombstone-filtered read plan. */
+  private def readTombstonesRaw(spark: SparkSession, path: String)
       : Option[DataFrame] = {
     val dirs = filterCommitted(spark,
       listIndexDirs(spark, path, "tombstone="))
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_._2.toString): _*).distinct())
+    else Some(spark.read.parquet(dirs.map(_._2.toString): _*))
   }
 
   /** `df` minus rows whose id appears in `path`'s tombstones (the id
@@ -245,7 +448,7 @@ object StreamingDedup {
     * [[retract]] was given). */
   private def applyTombstones(spark: SparkSession, path: String,
       df: DataFrame): DataFrame =
-    readTombstones(spark, path) match {
+    readTombstonesRaw(spark, path) match {
       case Some(ts) =>
         val c = ts.columns.head
         df.join(ts, df(c) === ts(c), "left_anti")
@@ -450,21 +653,35 @@ object StreamingDedup {
       .start()
   }
 
-  /** [[start]] with the default text MinHash blocking (q80 shape). */
+  /** [[start]] with explicit text-MinHash blocking params: records
+    * them as the index's shape (first use) or validates against the
+    * recorded shape (restart/append) — a mismatch is refused, never
+    * silently mixed. */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpointDir: String,
       shingleN: Int, numHashes: Int, bands: Int, seed: Long,
-      portable: Boolean, trigger: Trigger): StreamingQuery =
-    start(docs, idCol, minHashBlocks(idCol, textCol, shingleN,
-      numHashes, bands, seed, portable), indexPath, outPath,
-      checkpointDir, trigger)
+      portable: Boolean, trigger: Trigger): StreamingQuery = {
+    val shape = recordShape(docs.sparkSession, indexPath,
+      TextShape(shingleN, numHashes, bands, seed, portable))
+    start(docs, idCol, minHashBlocks(idCol, textCol, shape.shingleN,
+      shape.numHashes, shape.bands, shape.seed, shape.portable),
+      indexPath, outPath, checkpointDir, trigger)
+  }
 
+  /** [[start]] with text blocking in the index's RECORDED shape —
+    * run [[createTextIndex]] first to size it from the expected corpus;
+    * an index with no recorded shape gets [[LegacyShape]] (recorded,
+    * so later ingests still inherit a single shape). */
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpointDir: String)
-      : StreamingQuery =
+      : StreamingQuery = {
+    val spark = docs.sparkSession
+    val shape = readShape(spark, indexPath)
+      .getOrElse(recordShape(spark, indexPath, LegacyShape))
     start(docs, idCol, textCol, indexPath, outPath, checkpointDir,
-      shingleN = 3, numHashes = 16, bands = 4, seed = 42L,
-      portable = false, trigger = Trigger.AvailableNow())
+      shape.shingleN, shape.numHashes, shape.bands, shape.seed,
+      shape.portable, trigger = Trigger.AvailableNow())
+  }
 
   /** Batch replay of the same semantics: assign every doc a batch via
     * `batchExpr` (values 0 until nBatches), fold the batches in order

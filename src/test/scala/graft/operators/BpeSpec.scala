@@ -52,6 +52,36 @@ class BpeSpec extends SparkSpec {
       Bpe.trainMerges(tiny, "text", 10))
   }
 
+  test("vocab cap: capped-local ≡ capped-distributed, no-op below cap, meta recorded") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"alpha beta gamma_$i delta_${i % 5} rare_$i epsilon"))
+      .toDF("doc_id", "text")
+    // cap bites: only the top-8 words by (cnt DESC, word) survive —
+    // the two trainers must cut the SAME vocabulary and tie-break the
+    // same way
+    val cappedLocal = Bpe.trainMergesLocal(docs, "text", 15, maxVocab = 8)
+    val cappedDist = Bpe.trainMerges(docs, "text", 15, maxVocab = 8)
+    assert(cappedLocal == cappedDist)
+    // cap above the true vocab is a no-op (q139/q140/q166 unchanged
+    // under the new default)
+    assert(Bpe.trainMergesLocal(docs, "text", 15, maxVocab = 100000) ==
+      Bpe.trainMergesLocal(docs, "text", 15, maxVocab = -1))
+    // and the cap changes the result here (the test would be vacuous
+    // if the corpus vocab were below 8)
+    assert(cappedLocal !=
+      Bpe.trainMergesLocal(docs, "text", 15, maxVocab = -1))
+    // meta: capped flag + collected size recorded
+    val meta = Bpe.trainMergesLocalMeta(docs, "text", 15, maxVocab = 8)
+    assert(meta.capped && meta.vocabSize == 8L && meta.maxVocab == 8)
+    val unmeta = Bpe.trainMergesLocalMeta(docs, "text", 15, maxVocab = 100000)
+    assert(!unmeta.capped && unmeta.vocabSize > 8L)
+    // the bounded-collect plan: orderBy+limit must compile to
+    // TakeOrderedAndProject (a heap), not a global sort
+    val plan = Bpe.cappedWordCounts(docs, "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("segmentWord ≡ segmentExpr (property, incl. the non-overlap quirk)") {
     // the quirk, pinned directly: replace resumes AFTER the matched
     // region, so the next symbol loses its leading separator

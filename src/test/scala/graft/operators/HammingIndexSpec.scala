@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted binary-code index: lifecycle (build / append ≡ one-shot /
+  * torn-append replay / meta), serving parity with the from-scratch
+  * [[Similarity.hammingTopK]], the bounded-heap shortlist's tie
+  * contract, multi-word (≥256-bit) codes, and the clustered
+  * coarse∧binary ladder. */
+class HammingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int, dim: Int, seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("hamix").toString
+
+  test("build + load roundtrip: meta records dim/words, codes equal signBits") {
+    val df = corpus(50, 130, seed = 1) // 3 words, last partial
+    val path = tmp()
+    HammingIndex.build(df, "vec_id", "embedding", dim = 130, path)
+    val ix = HammingIndex.load(spark, path, "vec_id")
+    assert(ix.dim == 130 && ix.words == 3 && ix.clusterCol.isEmpty)
+    val expected = df.select(col("vec_id"),
+      Similarity.signBits(col("embedding"), 130).as("__code"))
+    assert(ix.codes.select("vec_id", "__code").exceptAll(expected).isEmpty &&
+      expected.exceptAll(ix.codes.select("vec_id", "__code")).isEmpty)
+  }
+
+  test("append ≡ one-shot build; nextBatchId resumes from the directory") {
+    val a = corpus(40, 64, seed = 2)
+    val b = corpus(40, 64, seed = 3)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val incPath = tmp(); val onePath = tmp()
+    HammingIndex.build(a, "vec_id", "embedding", 64, incPath)
+    assert(HammingIndex.nextBatchId(spark, incPath) == 1L)
+    HammingIndex.append(spark, incPath, b, "vec_id", "embedding", 1L)
+    assert(HammingIndex.nextBatchId(spark, incPath) == 2L)
+    HammingIndex.build(a.unionByName(b), "vec_id", "embedding", 64, onePath)
+    val inc = HammingIndex.load(spark, incPath, "vec_id")
+      .codes.select("vec_id", "__code")
+    val one = HammingIndex.load(spark, onePath, "vec_id")
+      .codes.select("vec_id", "__code")
+    assert(inc.exceptAll(one).isEmpty && one.exceptAll(inc).isEmpty)
+  }
+
+  test("a torn append is replaced by its replay (idempotent increments)") {
+    val a = corpus(30, 64, seed = 4)
+    val b = corpus(30, 64, seed = 5)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val path = tmp()
+    HammingIndex.build(a, "vec_id", "embedding", 64, path)
+    // torn first attempt: half the batch landed, then the job died
+    b.filter(col("vec_id") < 110).select(col("vec_id"),
+        Similarity.signBits(col("embedding"), 64).as("__code"))
+      .write.mode("overwrite").parquet(s"$path/codes/ingest_batch=1")
+    // replay overwrites the torn increment completely
+    HammingIndex.append(spark, path, b, "vec_id", "embedding", 1L)
+    val got = HammingIndex.load(spark, path, "vec_id").codes
+    assert(got.count() == 60)
+    assert(got.filter(col("vec_id") >= 100).count() == 30)
+  }
+
+  test("topK off stored codes == Similarity.hammingTopK on the raw corpus") {
+    val df = corpus(300, 64, seed = 6)
+    val qs = df.filter(col("vec_id") < 8)
+    val path = tmp()
+    HammingIndex.build(df, "vec_id", "embedding", 64, path)
+    val ix = HammingIndex.load(spark, path, "vec_id")
+    val served = HammingIndex.topK(ix, df, qs, "embedding", k = 5,
+      shortlist = 20)
+    val scratch = Similarity.hammingTopK(df, qs, "vec_id", "embedding",
+      dim = 64, k = 5, shortlist = 20)
+    assert(served.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(served).isEmpty)
+  }
+
+  test("heap shortlist == row_number window shortlist (tie contract)") {
+    // identical vectors force hamming ties: the heap must keep the
+    // SMALLEST ids, exactly like the window's (hamming ASC, id ASC)
+    val base = Seq.fill(32)(0.4f) ++ Seq.fill(32)(-0.4f)
+    val df = (0 until 40).map(i => (i.toLong, base)).toDF("vec_id", "embedding")
+    val qs = df.filter(col("vec_id") === 0)
+    val path = tmp()
+    HammingIndex.build(df, "vec_id", "embedding", 64, path)
+    val ix = HammingIndex.load(spark, path, "vec_id")
+    val got = HammingIndex.topK(ix, df, qs, "embedding", k = 5,
+        shortlist = 5)
+      .select(col("neighbor_id")).as[Long].collect().sorted.toSeq
+    // all hamming 0, all similarity 1.0: ids 1..5 (0 excluded as self)
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("multi-word: 256-bit expanded codes — word 0 is the base code, topK parity") {
+    val df = corpus(120, 64, seed = 7)
+    val exp = df.select(col("vec_id"),
+      Similarity.expandSignBlocks(col("embedding"), 64, 4).as("emb256"))
+    // block 0 of the expansion is the identity: word 0 of the 256-bit
+    // code equals the base 64-bit code
+    val words = exp.join(df, "vec_id").select(
+        Similarity.signBits(col("emb256"), 256).as("c256"),
+        Similarity.signBits(col("embedding"), 64).as("c64"))
+      .select(element_at(col("c256"), 1).as("w0"),
+        element_at(col("c64"), 1).as("b0"),
+        size(col("c256")).as("n"))
+    assert(words.filter(col("w0") =!= col("b0")).isEmpty)
+    assert(words.agg(max(col("n"))).head.getInt(0) == 4)
+    // served multi-word topK == from-scratch hammingTopK at dim 256
+    val qs = exp.filter(col("vec_id") < 5)
+    val path = tmp()
+    HammingIndex.build(exp, "vec_id", "emb256", 256, path)
+    val ix = HammingIndex.load(spark, path, "vec_id")
+    val served = HammingIndex.topK(ix, exp, qs, "emb256", k = 4,
+      shortlist = 12)
+    val scratch = Similarity.hammingTopK(exp, qs, "vec_id", "emb256",
+      dim = 256, k = 4, shortlist = 12)
+    assert(served.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(served).isEmpty)
+  }
+
+  test("clustered ladder: topKProbed == whole-index topK when every cluster is probed") {
+    val df = corpus(200, 64, seed = 8)
+    graft.functions.VectorFunctions.register(spark)
+    val centroids = ProductQuant.trainCodebooksLloyd(
+      df, "vec_id", "embedding", m = 1, k = 4, iters = 2).head
+    val assigned = Similarity.assignToCentroids(df, "embedding", centroids)
+    val cPath = tmp(); val fPath = tmp()
+    HammingIndex.build(assigned, "vec_id", "embedding", 64, cPath,
+      clusterCol = Some("cluster"))
+    HammingIndex.build(df, "vec_id", "embedding", 64, fPath)
+    val cIx = HammingIndex.load(spark, cPath, "vec_id")
+    assert(cIx.clusterCol.contains("cluster"))
+    val qs = df.filter(col("vec_id") < 6)
+    val probedAll = HammingIndex.topKProbed(cIx, df, qs, "embedding",
+      centroids, k = 5, shortlist = 15, nprobe = 4)
+    val flat = HammingIndex.topK(
+      HammingIndex.load(spark, fPath, "vec_id"), df, qs, "embedding",
+      k = 5, shortlist = 15)
+    assert(probedAll.exceptAll(flat).isEmpty &&
+      flat.exceptAll(probedAll).isEmpty)
+    // nprobe=1 only sees the query's own cell: candidates all share
+    // the query's cluster
+    val one = HammingIndex.topKProbed(cIx, df, qs, "embedding",
+      centroids, k = 5, shortlist = 15, nprobe = 1)
+    val cl = assigned.select(col("vec_id"), col("cluster"))
+    val joined = one.join(cl.withColumnRenamed("cluster", "qc"),
+        one("query_id") === cl("vec_id")).drop("vec_id")
+      .join(cl.withColumnRenamed("cluster", "nc"),
+        col("neighbor_id") === cl("vec_id"))
+    assert(joined.filter(col("qc") =!= col("nc")).isEmpty)
+  }
+
+  test("guards: clustered append needs the cluster column; probed needs a clustered index") {
+    val df = corpus(30, 64, seed = 9)
+    graft.functions.VectorFunctions.register(spark)
+    val centroids = ProductQuant.trainCodebooksLloyd(
+      df, "vec_id", "embedding", m = 1, k = 2, iters = 1).head
+    val path = tmp()
+    HammingIndex.build(Similarity.assignToCentroids(df, "embedding", centroids),
+      "vec_id", "embedding", 64, path, clusterCol = Some("cluster"))
+    val e = intercept[IllegalArgumentException] {
+      HammingIndex.append(spark, path, df, "vec_id", "embedding", 1L)
+    }
+    assert(e.getMessage.contains("cluster"))
+    val flatPath = tmp()
+    HammingIndex.build(df, "vec_id", "embedding", 64, flatPath)
+    val e2 = intercept[IllegalArgumentException] {
+      HammingIndex.topKProbed(HammingIndex.load(spark, flatPath, "vec_id"),
+        df, df.filter(col("vec_id") < 2), "embedding", centroids,
+        k = 2, shortlist = 4, nprobe = 1)
+    }
+    assert(e2.getMessage.contains("cluster column"))
+  }
+}

@@ -62,6 +62,36 @@ class KmvRollupSpec extends SparkSpec {
     assert(r0.getAs[Long]("n_match") === 0L)
   }
 
+  test("registry timeline: every (group x set x generation) cell, late-born groups included") {
+    val dir = Files.createTempDirectory("kmvroll5").toString + "/t"
+    val tbl = new KmvRollupTable(spark, dir, "grp", k = 256)
+    // group gA ingests from batch 0; gB is BORN in batch 1
+    tbl.maintain(items("gA", 1L to 80L, _ => 0), col("h"))
+    tbl.maintain(items("gA", 81L to 100L, _ => 0)
+      .union(items("gB", 200L to 260L, _ => 0)), col("h"))
+    // registry: two eval sets — setX overlaps gA (41..60), setY
+    // overlaps gB (241..280)
+    val registry = items("setX", 41L to 60L, _ => 0)
+      .union(items("setY", 241L to 280L, _ => 0))
+      .withColumnRenamed("grp", "eval_set")
+      .groupBy(col("eval_set"))
+      .agg(KmvSketch.minima(col("h"), 256).as("sketch"))
+    val cells = tbl.overlapTimeline(registry, "eval_set")
+      .select(col("gen"), col("grp"), col("eval_set"),
+        col("est_intersection"), col("n_match"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)) ->
+        (r.getDouble(3), r.getLong(4))).toMap
+    // gen 0: only gA exists → 2 cells; gen 1: 2 groups × 2 sets = 4
+    assert(cells.size === 6)
+    // everything is below k → EXACT estimates
+    assert(math.abs(cells((0, "gA", "setX"))._1 - 20.0) < 1e-9)
+    assert(cells((0, "gA", "setY"))._2 === 0L)
+    assert(math.abs(cells((1, "gB", "setY"))._1 - 20.0) < 1e-9)
+    assert(cells((1, "gB", "setX"))._2 === 0L)
+    assert(math.abs(cells((1, "gA", "setX"))._1 - 20.0) < 1e-9)
+  }
+
   test("a reopened table resumes from the committed generation") {
     val dir = Files.createTempDirectory("kmvroll4").toString + "/t"
     val tbl = new KmvRollupTable(spark, dir, "grp", k = 16)

@@ -594,4 +594,81 @@ class StreamingDedupSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("scratch root"))
   }
+
+  test("blocking shape: adaptive at creation, inherited by appends, mismatch refused") {
+    val ix = java.nio.file.Files.createTempDirectory("shape_ix").toString
+    // creation sizes from the expected corpus: 5M docs -> 16 hashes
+    // over 8x... whatever adaptiveBandShape picks — pin inheritance,
+    // not the constant
+    val shape = StreamingDedup.createTextIndex(spark, ix,
+      corpusSizeHint = 5000000L, portable = true)
+    val (nh, nb, _) = graft.operators.Dedup.adaptiveBandShape(5000000L)
+    assert(shape.numHashes == nh && shape.bands == nb && shape.portable)
+    // appends inherit: textBlocks reads the recorded shape and emits
+    // exactly `bands` keys per doc
+    val docs = mkDocs.toDF("doc_id", "text")
+    val keys = StreamingDedup.textBlocks(spark, ix, "doc_id", "text")(docs)
+    assert(keys.groupBy(col("doc_id")).count()
+      .agg(max(col("count"))).head.getLong(0) == shape.bands.toLong)
+    // idempotent re-declaration of the SAME shape is fine
+    assert(StreamingDedup.createTextIndex(spark, ix,
+      corpusSizeHint = 5000000L, portable = true) == shape)
+    // a DIFFERENT shape is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.recordShape(spark, ix, StreamingDedup.LegacyShape)
+    }
+    assert(e.getMessage.contains("refusing"))
+    // and an index with no shape refuses the append path
+    val bare = java.nio.file.Files.createTempDirectory("shape_bare").toString
+    intercept[IllegalArgumentException] {
+      StreamingDedup.textBlocks(spark, bare, "doc_id", "text")
+    }
+  }
+
+  test("no-hint ingest records LegacyShape; a restart inherits it") {
+    val in = java.nio.file.Files.createTempDirectory("shape_in").toString
+    val out = java.nio.file.Files.createTempDirectory("shape_out").toString
+    val ix = java.nio.file.Files.createTempDirectory("shape_sx").toString
+    val cp = java.nio.file.Files.createTempDirectory("shape_cp").toString
+    writeBatchFiles(in, 0 until 2)
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    StreamingDedup.start(stream, "doc_id", "text", ix, out, cp)
+      .awaitTermination()
+    assert(StreamingDedup.readShape(spark, ix)
+      .contains(StreamingDedup.LegacyShape))
+    // an EXPLICIT mismatched shape on the same index is refused before
+    // any batch runs
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.start(stream, "doc_id", "text", ix, out, cp,
+        shingleN = 3, numHashes = 32, bands = 8, seed = 42L,
+        portable = false,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    }
+    assert(e.getMessage.contains("refusing"))
+  }
+
+  test("fused shape: adaptive creation + inheritance, mismatch refused") {
+    val ix = java.nio.file.Files.createTempDirectory("fshape_ix").toString
+    val shape = StreamingDedup.createFusedIndex(spark, ix,
+      corpusSizeHint = 2000000L)
+    assert(shape.nBits ==
+      graft.operators.Similarity.adaptiveHyperplaneBits(2000000L))
+    val (nh, nb, _) = graft.operators.Dedup.adaptiveBandShape(2000000L)
+    assert(shape.numHashes == nh && shape.bands == nb)
+    // fusedBlocksFor inherits the recorded shape (no exception, and
+    // the text keys carry the recorded band count)
+    val docs = mkDocs.toDF("doc_id", "text")
+      .withColumn("payload", lit(null).cast("binary"))
+    val keys = StreamingDedup.fusedBlocksFor(spark, ix, "doc_id",
+      "text", "payload", dim = 8)(docs)
+    assert(keys.filter(col("block_key").startsWith("t:"))
+      .groupBy(col("doc_id")).count()
+      .agg(max(col("count"))).head.getLong(0) == shape.bands.toLong)
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.recordFusedShape(spark, ix,
+        StreamingDedup.LegacyFusedShape)
+    }
+    assert(e.getMessage.contains("refusing"))
+  }
 }
