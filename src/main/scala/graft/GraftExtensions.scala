@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HOF-form dot products (aggregate(zip_with(...))) rewrite to the
     // codegen'd expression — see VectorDotRewrite
     ext.injectOptimizerRule(_ => VectorDotRewrite)
+    // Native as-of join: plans graft.plans.AsOfJoinPlan as the
+    // single-merge-pass AsOfJoinExec (also self-registered at runtime
+    // by AsOfJoinNative.backward for DataFrame-API callers)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

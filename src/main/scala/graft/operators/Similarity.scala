@@ -69,6 +69,56 @@ object Similarity {
         col("rank"), col("similarity"))
   }
 
+  /** Hard-negative mining for embedding-model training: for each anchor,
+    * the k most cosine-similar corpus vectors from a DIFFERENT
+    * `labelCol` group (the positive/dup-cluster id — whatever upstream
+    * grouping defines "same item": a near-dup component, a semantic
+    * class, a source document). The highest-similarity out-of-cluster
+    * items are exactly the hardest negatives for contrastive training.
+    *
+    * Scale shape: anchors broadcast (the anchor set is a sample, never
+    * the corpus), corpus scored scan-side with ZERO shuffle of corpus
+    * rows; extraction is the bounded [[graft.functions.TopKAgg]] heap
+    * (map-side combine — the |corpus|×|anchors| score volume is never
+    * sorted; same ppm lift as [[IvfIndex.knnGraph]], bit-equal to the
+    * 6-dp window form). Rows with a NULL label on either side are
+    * excluded (an unknown cluster can't be proven negative) — matching
+    * SQL `<>` semantics.
+    */
+  def hardNegatives(
+      corpus: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    require(Seq(org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType)
+      .contains(corpus.schema(idCol).dataType),
+      s"hardNegatives needs an integral id for the heap encoding; " +
+        s"'$idCol' is ${corpus.schema(idCol).dataType}")
+    val q = broadcast(anchors.select(
+      col(idCol).as(queryIdCol), col(vecCol).as("__qvec"),
+      col(labelCol).as("__qlabel"), norm(col(vecCol)).as("__qnorm")))
+    val c = corpus.select(col(idCol), col(vecCol), col(labelCol),
+      norm(col(vecCol)).as("__cnorm"))
+    val scored = c.join(q, col("__qlabel") =!= col(labelCol))
+      .withColumn("similarity",
+        round6(dot(col("__qvec"), col(vecCol)) / (col("__qnorm") * col("__cnorm"))))
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("similarity"))
+    val ppm = when(col("similarity").isNull, lit(Long.MinValue))
+      .otherwise(floor(col("similarity") * 1e6 + 0.5).cast("long"))
+    scored.withColumn("__ppm", ppm)
+      .groupBy(col(queryIdCol))
+      .agg(graft.functions.TopKAgg.topK(
+        col("neighbor_id").cast("long"), col("__ppm"), k).as("__tk"))
+      .select(col(queryIdCol), posexplode(col("__tk")))
+      .select(col(queryIdCol),
+        col("col._2").cast(corpus.schema(idCol).dataType).as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        when(col("col._1") === Long.MinValue, lit(null))
+          .otherwise(col("col._1") / 1e6).as("similarity"))
+  }
+
   /** IVF-style partitioned top-k: corpus pre-assigned to coarse clusters
     * (`clusterCol` — from k-means, LSH, or an upstream partitioner);
     * each query probes only its own cluster. Trades recall for a

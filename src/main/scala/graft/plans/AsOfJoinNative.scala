@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlShim
+
+/** Public API for the native as-of join ([[AsOfJoinPlan]] /
+  * [[AsOfJoinExec]]). Drop-in signature- and output-compatible with the
+  * composed [[graft.operators.AsOfJoin.backward]]; `AsOfJoinNativeSpec`
+  * pins result equality between the two on adversarial shapes (ties,
+  * unmatched keys, tolerance cutoffs, null keys).
+  */
+object AsOfJoinNative {
+
+  /** Idempotently add [[AsOfJoinStrategy]] to the session's planner
+    * (same self-registration pattern as
+    * [[graft.functions.VectorFunctions.register]]). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+
+  /** Backward (most-recent-prior) as-of join through the native
+    * physical operator. Parameters match
+    * [[graft.operators.AsOfJoin.backward]]: right non-key payload comes
+    * back `prefix`-renamed plus `prefix + rightTs`; a match farther
+    * back than `toleranceSeconds` nulls ALL attached columns. */
+  def backward(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      prefix: String = "asof_",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+
+    // A self-join (both frames reaching back to one relation) would put
+    // the same expression ids in both children; re-aliasing the right
+    // side mints fresh ids so the custom node never needs the analyzer's
+    // relation-deduplication (which only understands built-in nodes).
+    val lPlan = left.queryExecution.analyzed
+    val rightDistinct =
+      if (right.queryExecution.analyzed.outputSet.intersect(lPlan.outputSet).nonEmpty)
+        right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+      else right
+    val rPlan = rightDistinct.queryExecution.analyzed
+
+    def resolve(out: Seq[Attribute], name: String, side: String): Attribute =
+      out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"asOfJoinNative: no column '$name' on the $side side " +
+          s"(have ${out.map(_.name).mkString(", ")})"))
+
+    val lKeys = keyCols.map(resolve(lPlan.output, _, "left"))
+    val rKeys = keyCols.map(resolve(rPlan.output, _, "right"))
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"asOfJoinNative: key '${l.name}' type mismatch: ${l.dataType} vs ${r.dataType}")
+    }
+    val lTsA = resolve(lPlan.output, leftTs, "left")
+    val rTsA = resolve(rPlan.output, rightTs, "right")
+    require(lTsA.dataType == rTsA.dataType,
+      s"asOfJoinNative: timestamp type mismatch: ${lTsA.dataType} vs ${rTsA.dataType}")
+
+    val payload = rPlan.output.filterNot(a => rKeys.contains(a) || a == rTsA)
+    val rightVals = rTsA +: payload
+    val rightOutAttrs = rightVals.map(a =>
+      AttributeReference(prefix + a.name, a.dataType, nullable = true, a.metadata)())
+
+    val joined = GraftSqlShim.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTsA, rTsA, rightVals, rightOutAttrs))
+
+    toleranceSeconds match {
+      case None => joined
+      case Some(tol) =>
+        // Same semantics as the composed operator: an out-of-tolerance
+        // match degrades to no-match (every attached column nulled).
+        val tsCol = s"$prefix$rightTs"
+        val within = col(tsCol).isNotNull &&
+          unix_micros(col(leftTs)) - unix_micros(col(tsCol)) <= tol * 1000000L
+        rightOutAttrs.foldLeft(joined) { (df, a) =>
+          df.withColumn(a.name, when(within, col(a.name)))
+        }
+    }
+  }
+}

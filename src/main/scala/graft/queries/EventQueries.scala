@@ -199,6 +199,34 @@ object EventQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** Native as-of join (plans.AsOfJoinNative → AsOfJoinExec, the custom
+    * LogicalPlan/Strategy/SparkPlan extension point): each error event
+    * matched to the user's most recent prior purchase. Same oracle
+    * family as q33 (DuckDB native ASOF JOIN) but through the
+    * single-merge-pass physical operator instead of the composed
+    * union+window formulation. */
+  def asofNativeErrorPurchase(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_event_id"),
+        col("value"))
+    graft.plans.AsOfJoinNative.backward(errors, purchases, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        col("asof_purchase_event_id").as("purchase_event_id"),
+        cents(col("asof_value")).as("purchase_cents"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+  }
+
+  val asofNativeErrorPurchaseSql: String =
+    s"""SELECT er.event_id, er.user_id, p.event_id AS purchase_event_id,
+      |  ${sqlCents("p.value")} AS purchase_cents,
+      |  epoch_us(er.ts) - epoch_us(p.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'error') er
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON er.user_id = p.user_id AND er.ts >= p.ts""".stripMargin
+
   /** Exact-derived distribution stats: mean/stddev reconstructed from
     * exact integer sums (deterministic, engine-portable — Spark's
     * stddev aggregate uses a streaming algorithm whose result depends
@@ -670,6 +698,8 @@ object EventQueries {
     Q("q28_rollup_daily", rollupDaily, Some(rollupDailySql)),
     Q("q32_pivot_daily", pivotDaily, Some(pivotDailySql)),
     Q("q33_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
+    Q("q179_asof_native", asofNativeErrorPurchase,
+      Some(asofNativeErrorPurchaseSql)),
     Q("q34_value_stats", valueStats, Some(valueStatsSql)),
     Q("q50_cube_daily", cubeDaily, Some(cubeDailySql)),
     Q("q59_grouping_sets", groupingSetsDaily, Some(groupingSetsDailySql)),

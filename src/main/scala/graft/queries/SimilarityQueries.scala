@@ -43,6 +43,30 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, rank, similarity FROM r
        |WHERE rank <= 5""".stripMargin
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for the first
+    * 20 vectors as anchors, the 5 most cosine-similar vectors from a
+    * DIFFERENT label cluster — the hardest negatives for contrastive
+    * training. Same broadcast/scan shape as q22 but the top-k leaves
+    * through the bounded TopKAgg heap, never a sort. */
+  def hardNegativesQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", "label", k = 5)
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+       |             embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |    ${sqlCos("qv", "cv")} AS similarity
+       |  FROM q JOIN c ON ql <> label),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY similarity DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, rank, similarity FROM r
+       |WHERE rank <= 5""".stripMargin
+
   /** IVF-style top-5: probe only the query's own cluster (label). */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -735,6 +759,39 @@ object SimilarityQueries {
       shortlist = HamShortlist)
   }
 
+  /** q181: the q175 index maintained by a REAL Structured Streaming
+    * query ([[graft.streaming.StreamingHammingIndex.maintain]]) — base
+    * build (vec_id ≡ 0 mod 4) on disk, then the other three quarters
+    * arrive as parquet files on a file-source stream with a full drain
+    * between arrivals; each micro-batch lands as its own idempotent
+    * `ingest_batch=` increment keyed on the checkpointed batch id.
+    * Serving off the maintained codes must equal serving off a one-shot
+    * build, so the oracle is q167/q175's full sign replay over the
+    * whole corpus. */
+  def hammingStreamMaintained(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = tempWorkDir("graft_q181_")
+    val path = s"$dir/ix"; val srcDir = s"$dir/in"
+    graft.operators.HammingIndex.build(
+      emb.filter(pmod(col("vec_id"), lit(4)) === 0),
+      "vec_id", "embedding", dim = 64, path)
+    def arrive(part: Int): Unit =
+      emb.filter(pmod(col("vec_id"), lit(4)) === part)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    arrive(1) // on disk before the stream starts
+    val query = graft.streaming.StreamingHammingIndex.maintain(
+      s.readStream.schema(emb.schema).parquet(srcDir),
+      path, "vec_id", "embedding", s"$dir/ckpt")
+    try {
+      query.processAllAvailable()
+      (2 to 3).foreach { p => arrive(p); query.processAllAvailable() }
+    } finally query.stop()
+    val index = graft.operators.HammingIndex.load(s, path, "vec_id")
+    graft.operators.HammingIndex.topK(index, emb,
+      emb.filter(col("vec_id") < 20), "embedding", k = 5,
+      shortlist = HamShortlist)
+  }
+
   private val MultiWordBlocks = 4 // 4 x 64 dims = 256 bits = 4 code words
 
   /** The 256-dim deterministic expansion both engines replay:
@@ -803,6 +860,8 @@ object SimilarityQueries {
     Q("q168_hamming_recall", hammingRecall, Some(hammingRecallSql)),
     Q("q175_hamming_index", hammingIndexAnn, Some(hammingAnnSql)),
     Q("q176_hamming_multiword", hammingMultiword, Some(hammingMultiwordSql)),
+    Q("q181_hamming_stream", hammingStreamMaintained, Some(hammingAnnSql),
+      benchReps = 1),
     Q("q144_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q162_retrieval_metrics", retrievalMetrics, Some(retrievalMetricsSql)),
     Q("q164_truncation_recall", truncationRecall, Some(truncationRecallSql)),
@@ -812,6 +871,7 @@ object SimilarityQueries {
     Q("q87_quantized_ann", knnQuantized, Some(knnQuantizedSql)),
     Q("q88_quantization_recall", quantizationRecall, Some(quantizationRecallSql)),
     Q("q22_knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
+    Q("q180_hard_negatives", hardNegativesQ, Some(hardNegativesSql)),
     Q("q23_knn_ivf", knnIvf, Some(knnIvfSql)),
     Q("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     Q("q83_knn_ivf_persisted", knnIvfPersisted, Some(knnIvfProbedSql)),

@@ -178,4 +178,36 @@ class HammingIndexSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("cluster column"))
   }
+
+  test("streaming maintenance ≡ one-shot build (file-source micro-batches)") {
+    val base = corpus(30, 64, seed = 8)
+    val b1 = corpus(30, 64, seed = 9)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val b2 = corpus(30, 64, seed = 10)
+      .select((col("vec_id") + 200L).as("vec_id"), col("embedding"))
+    val root = tmp()
+    val path = s"$root/ix"; val srcDir = s"$root/in"
+    HammingIndex.build(base, "vec_id", "embedding", 64, path)
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = graft.streaming.StreamingHammingIndex.maintain(
+      spark.readStream.schema(base.schema).parquet(srcDir),
+      path, "vec_id", "embedding", s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val onePath = tmp()
+    HammingIndex.build(base.unionByName(b1).unionByName(b2),
+      "vec_id", "embedding", 64, onePath)
+    val maintained = HammingIndex.load(spark, path, "vec_id")
+      .codes.select("vec_id", "__code")
+    val oneShot = HammingIndex.load(spark, onePath, "vec_id")
+      .codes.select("vec_id", "__code")
+    assert(maintained.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(maintained).isEmpty)
+    // the stream left ≥1 increments beyond the base and the cursor
+    // resumes past all of them
+    assert(HammingIndex.nextBatchId(spark, path) >= 2L)
+  }
 }

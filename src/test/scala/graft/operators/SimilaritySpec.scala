@@ -191,4 +191,50 @@ class SimilaritySpec extends SparkSpec {
     // vec 2 is in vec 1's own cluster and nearest
     assert(top.head._2 == 2L)
   }
+
+  test("hardNegatives: only other-label vectors, nearest first") {
+    val neg = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    // label-0 anchor → candidates are 3 and 4 (label 1); both orthogonal
+    // (sim 0.0) so ties break by id
+    assert(neg.map(_._2).toSeq == Seq(3L, 4L))
+    assert(neg.forall(_._4 == 0.0))
+  }
+
+  test("hardNegatives: null labels excluded on both sides") {
+    val withNull = vecs.withColumn("label",
+      when($"vec_id" === 3L, lit(null)).otherwise($"label"))
+    val neg = Similarity.hardNegatives(withNull,
+      withNull.filter($"vec_id" === 1L), "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(!neg.map(_._2).contains(3L)) // unknown cluster ≠ provable negative
+    // null-label anchor mines nothing
+    val negNull = Similarity.hardNegatives(withNull,
+      withNull.filter($"vec_id" === 3L), "vec_id", "embedding", "label", k = 5)
+    assert(negNull.count() == 0)
+  }
+
+  test("hardNegatives property (seeded): matches per-anchor brute force") {
+    val rnd = new scala.util.Random(41)
+    val data = Seq.tabulate(200)(i => (i.toLong,
+      Array.fill(8)(rnd.nextFloat() * 2 - 1), rnd.nextInt(6)))
+    val df = data.toDF("vec_id", "embedding", "label").repartition(5)
+    val got = Similarity.hardNegatives(df, df.filter($"vec_id" < 5),
+      "vec_id", "embedding", "label", k = 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      math.floor(d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b))) * 1e6 + 0.5) / 1e6
+    }
+    data.filter(_._1 < 5).foreach { case (qid, qv, ql) =>
+      val expected = data.filter(_._3 != ql)
+        .map(c => (c._1, cos(qv, c._2)))
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      assert(got(qid) == expected, s"anchor $qid")
+    }
+  }
 }

@@ -1,0 +1,152 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0),
+    (1L, ts("2024-01-01 10:05:00"), 101.0),
+    (1L, ts("2024-01-01 10:10:00"), 102.0),
+    (2L, ts("2024-01-01 10:00:00"), 200.0)
+  ).toDF("key", "ts", "price")
+
+  private lazy val trades = Seq(
+    (1L, ts("2024-01-01 10:03:00"), 5L),
+    (1L, ts("2024-01-01 10:05:00"), 6L),
+    (1L, ts("2024-01-01 09:59:00"), 7L),
+    (2L, ts("2024-01-01 11:00:00"), 8L),
+    (3L, ts("2024-01-01 10:00:00"), 9L)
+  ).toDF("key", "ts", "qty")
+
+  private def executed(df: DataFrame) = df.queryExecution.executedPlan
+
+  test("backward as-of picks most recent quote at or before the trade") {
+    val r = AsOfJoinNative.backward(trades, quotes, Seq("key"), "ts", "ts")
+      .select($"qty", $"asof_price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(r(5L).contains(100.0))
+    assert(r(6L).contains(101.0)) // >= tie matches same-instant quote
+    assert(r(7L).isEmpty)
+    assert(r(8L).contains(200.0))
+    assert(r(9L).isEmpty)
+  }
+
+  test("plan: AsOfJoinExec present, two exchanges, no window machinery") {
+    val df = AsOfJoinNative.backward(trades, quotes, Seq("key"), "ts", "ts")
+    df.collect() // force planning incl. AQE final plan
+    val plan = executed(df)
+    assert(collectWithSubqueries(plan) { case e: AsOfJoinExec => e }.size == 1)
+    assert(collectWithSubqueries(plan) { case e: ShuffleExchangeLike => e }.size == 2,
+      plan.toString)
+    assert(collectWithSubqueries(plan) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("output schema and row count match the composed operator") {
+    val native = AsOfJoinNative.backward(trades, quotes, Seq("key"), "ts", "ts")
+    val composed = AsOfJoin.backward(trades, quotes, Seq("key"), "ts", "ts")
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(native.schema.map(f => (f.name, f.dataType)) ==
+      composed.schema.map(f => (f.name, f.dataType)))
+    assert(native.count() == trades.count())
+  }
+
+  test("tolerance nulls out matches older than the lookback") {
+    val r = AsOfJoinNative.backward(trades, quotes, Seq("key"), "ts", "ts",
+      toleranceSeconds = Some(120L))
+      .select($"qty", $"asof_price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(r(5L).isEmpty)
+    assert(r(6L).contains(101.0))
+    assert(r(8L).isEmpty)
+  }
+
+  test("property (seeded random): row-identical to the composed operator") {
+    val rnd = new scala.util.Random(29)
+    // many keys + duplicate timestamps + unmatched keys on both sides
+    val lDf = Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextInt(13).toLong, rnd.nextInt(400).toLong))
+      .toDF("lid", "key", "t")
+      .select($"lid", $"key", timestamp_micros($"t").as("ts"))
+      .repartition(7) // arbitrary incoming partitioning
+    val rDf = Seq.tabulate(600)(i =>
+      (i.toLong, (rnd.nextInt(13) + 3).toLong, rnd.nextInt(400).toLong))
+      .toDF("rid", "key", "t")
+      .select($"rid", $"key", timestamp_micros($"t").as("ts"), ($"rid" * 2).as("payload"))
+    // project to the determined part of the result: equal-(key,ts) right
+    // ties are sort-order nondeterministic in BOTH formulations, so
+    // compare matched ts (determined), not rid
+    def det(df: DataFrame) = df.select($"lid", $"asof_ts").as[(Long, Option[Long])]
+      .collect().toMap
+    val native = det(AsOfJoinNative.backward(lDf, rDf, Seq("key"), "ts", "ts")
+      .withColumn("asof_ts", unix_micros($"asof_ts")))
+    val composed = det(AsOfJoin.backward(lDf, rDf, Seq("key"), "ts", "ts")
+      .withColumn("asof_ts", unix_micros($"asof_ts")))
+    assert(native == composed)
+  }
+
+  test("self-join source (shared expression ids) resolves correctly") {
+    val events = Seq(
+      (1L, "purchase", 1L, 10L),
+      (2L, "click", 1L, 5L),
+      (3L, "click", 1L, 8L),
+      (4L, "purchase", 2L, 7L),
+      (5L, "click", 2L, 9L) // after the purchase → no match
+    ).toDF("event_id", "event_type", "user_id", "t")
+      .select($"event_id", $"event_type", $"user_id", timestamp_micros($"t").as("ts"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    val r = AsOfJoinNative.backward(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .select($"event_id", $"asof_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r(1L).contains(3L)) // most recent of the two prior clicks
+    assert(r(4L).isEmpty)
+  }
+
+  test("null keys group together (window-partition semantics, like composed)") {
+    val l = Seq((1L, Option(7L), 100L), (2L, Option.empty[Long], 100L))
+      .toDF("lid", "key", "t")
+      .select($"lid", $"key", timestamp_micros($"t").as("ts"))
+    val r = Seq((10L, Option(7L), 50L), (11L, Option.empty[Long], 60L))
+      .toDF("rid", "key", "t")
+      .select($"rid", $"key", timestamp_micros($"t").as("ts"))
+    def got(df: DataFrame) = df.select($"lid", $"asof_rid")
+      .as[(Long, Option[Long])].collect().toMap
+    val native = got(AsOfJoinNative.backward(l, r, Seq("key"), "ts", "ts"))
+    val composed = got(AsOfJoin.backward(l, r, Seq("key"), "ts", "ts"))
+    assert(native == composed)
+    assert(native(2L).contains(11L)) // null key matched the null-key right row
+  }
+
+  test("multi-column keys") {
+    val l = Seq((1L, 1L, "a", 100L), (2L, 1L, "b", 100L)).toDF("lid", "k1", "k2", "t")
+      .select($"lid", $"k1", $"k2", timestamp_micros($"t").as("ts"))
+    val r = Seq((10L, 1L, "a", 90L), (11L, 1L, "b", 95L)).toDF("rid", "k1", "k2", "t")
+      .select($"rid", $"k1", $"k2", timestamp_micros($"t").as("ts"))
+    val got = AsOfJoinNative.backward(l, r, Seq("k1", "k2"), "ts", "ts")
+      .select($"lid", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(10L) && got(2L).contains(11L))
+  }
+
+  test("missing column and key-type mismatch fail loudly") {
+    intercept[IllegalArgumentException] {
+      AsOfJoinNative.backward(trades, quotes, Seq("nope"), "ts", "ts")
+    }
+    val badRight = quotes.withColumn("key", $"key".cast("int"))
+    intercept[IllegalArgumentException] {
+      AsOfJoinNative.backward(trades, badRight, Seq("key"), "ts", "ts")
+    }
+  }
+}
