@@ -53,6 +53,35 @@ object Layout {
   /** Write `df` clustered by the z key: ranged into `nFiles` z-runs,
     * sorted within each, so every file's min/max statistics cover one
     * compact rectangle of (x, y). */
+  /** Write `df` as a bucketed (+ per-bucket sorted) table — Spark's
+    * answer to co-located joins: two tables bucketed by the same key
+    * into the same bucket count join with ZERO exchanges at read time
+    * (each bucket i on one side pairs with bucket i on the other), and
+    * the per-bucket sort removes the join's Sort too. At 100 TB this
+    * moves the entire shuffle cost of every future join on the key to
+    * write time, paid once — the standard layout for fact tables that
+    * are joined repeatedly on one key.
+    *
+    * `path` keeps the data out of the default warehouse root (external
+    * table); the catalog entry is what carries the bucket spec, so
+    * readers MUST come through `spark.table(name)` — reading the
+    * parquet directory directly loses the co-location guarantee. */
+  def bucketedWrite(df: DataFrame, name: String, bucketCol: String,
+      nBuckets: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // one writer task per bucket ⇒ ONE file per bucket — the shape the
+    // scan needs to also expose the per-bucket sortBy as its output
+    // ordering (multi-file buckets lose the sort and the join re-sorts)
+    df.repartition(nBuckets, col(bucketCol))
+      .write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
+  }
+
   def zOrderWrite(df: DataFrame, x: Column, y: Column, bits: Int,
       nFiles: Int, path: String): Unit =
     df.withColumn("__z", morton2(x, y, bits))

@@ -38,6 +38,30 @@ object ScaleQueries {
        | AND value <= n_nationkey * 20.0::DOUBLE + 19.99::DOUBLE
        |GROUP BY 1""".stripMargin
 
+  /** q183: bucketed co-located join ([[Layout.bucketedWrite]]):
+    * lineitem and orders written bucketed by order key into the same
+    * bucket count, then joined THROUGH THE CATALOG — the join itself
+    * plans with ZERO exchanges (BucketedJoinSpec pins it; only the
+    * final tiny groupBy shuffles). At 100 TB the shuffle both tables
+    * would otherwise pay on EVERY join is paid once at layout time —
+    * the standard fact-table layout for a repeatedly-joined key. The
+    * oracle is the plain join. */
+  def bucketedJoinPriority(s: SparkSession, d: String): DataFrame = {
+    val dir = tempWorkDir("graft_q183_")
+    Layout.bucketedWrite(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+      "graft_q183_lineitem", "l_orderkey", nBuckets = 8, path = s"$dir/l")
+    Layout.bucketedWrite(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_q183_orders", "o_orderkey", nBuckets = 8, path = s"$dir/o")
+    s.table("graft_q183_lineitem")
+      .join(s.table("graft_q183_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"))
+  }
+
   /** Salted fact⋈dim join: lineitem spread over (key, salt) against an
     * 8×-replicated orders dim — byte-identical results to the plain
     * join (the oracle IS the plain join). */
@@ -162,5 +186,7 @@ object ScaleQueries {
       Some(intervalOverlapOrdersSql)),
     Q("q35_range_join", rangeJoinBands, Some(rangeJoinBandsSql)),
     Q("q36_salted_join", saltedJoinPriority, Some(saltedJoinPrioritySql)),
+    Q("q183_bucketed_join", bucketedJoinPriority,
+      Some(saltedJoinPrioritySql)),
     Q("q61_adaptive_salted_join", adaptiveSaltedQty, Some(adaptiveSaltedQtySql)))
 }

@@ -131,8 +131,52 @@ object ValidationQueries {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** q182: scan-level metrics observed FOR FREE on the consuming job
+    * ([[graft.operators.Observe.profiled]] → Dataset.observe /
+    * CollectMetrics): the "real" work is a per-lang aggregate over
+    * docs passing a length gate; the scan metrics (rows, short docs,
+    * total chars) ride along in the same job — no second scan.
+    * CollectMetrics is a pushdown barrier, so they describe the FULL
+    * scan even though the aggregate keeps only gated rows. The metrics
+    * re-enter the result as literal columns after the materializing
+    * action; the oracle recomputes both the aggregate and the scan
+    * stats from the table. */
+  def observedMetrics(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Lifecycle, Observe}
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val (observed, obs) = Observe.profiled(docs,
+      "scan_rows" -> count(lit(1)),
+      "scan_short_docs" -> count(when(col("n_chars") < 100, 1)),
+      "scan_sum_chars" -> sum(col("n_chars")))
+    val perLang = observed.filter(col("n_chars") >= 100)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_chars")).as("kept_chars"))
+    val out = Lifecycle.materializeToScratch(perLang) // action → metrics set
+    val m = obs.get
+    out
+      .withColumn("scan_rows", lit(m("scan_rows").asInstanceOf[Long]))
+      .withColumn("scan_short_docs", lit(m("scan_short_docs").asInstanceOf[Long]))
+      .withColumn("scan_sum_chars", lit(m("scan_sum_chars").asInstanceOf[Long]))
+  }
+
+  val observedMetricsSql: String =
+    """WITH agg AS (
+      |  SELECT lang, count(*)::BIGINT AS kept_docs,
+      |    sum(n_chars)::BIGINT AS kept_chars
+      |  FROM documents WHERE n_chars >= 100 GROUP BY 1),
+      |scan AS (
+      |  SELECT count(*)::BIGINT AS scan_rows,
+      |    count(CASE WHEN n_chars < 100 THEN 1 END)::BIGINT AS scan_short_docs,
+      |    sum(n_chars)::BIGINT AS scan_sum_chars
+      |  FROM documents)
+      |SELECT lang, kept_docs, kept_chars, scan_rows, scan_short_docs,
+      |  scan_sum_chars
+      |FROM agg, scan""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q68_quality_report", qualityReport, Some(qualityReportSql)),
     Q("q69_scd2_history", scd2Orders, Some(scd2OrdersSql)),
+    Q("q182_observed_metrics", observedMetrics, Some(observedMetricsSql)),
     Q("q99_column_profile", columnProfile, Some(columnProfileSql)))
 }
