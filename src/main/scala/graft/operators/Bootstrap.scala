@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Poisson bootstrap — the bootstrap that works on a cluster. Classic
+  * resampling draws n rows WITH replacement per replicate, which needs
+  * global coordination (every row must know how often it was drawn
+  * across the whole dataset) and R full passes. The Poisson
+  * approximation gives each row an independent Poisson(1) multiplicity
+  * per replicate (E[w]=1, Var[w]=1 ≈ the multinomial the classic
+  * bootstrap induces at large n), so ALL R replicates' statistics come
+  * out of ONE scan: explode rows × replicates, weight each copy, and
+  * let map-side partial aggregation collapse the volume immediately.
+  * Standard since the Google streams work (Chamandy et al., "Estimating
+  * Uncertainty for Massive Data Streams").
+  *
+  * Determinism (the whole point here): the Poisson draw is an inverse-
+  * CDF lookup on a uniform derived from the PORTABLE 60-bit md5 hash of
+  * (row key, replicate) — the same `('0x'||substr(md5(x),1,15))::BIGINT`
+  * chain every sketch oracle in this repo replays — divided by 2^60
+  * (exact power of two ⇒ bit-identical double in any engine). The CDF
+  * is truncated at w=8 (P(X>8 | λ=1) ≈ 1.1e-7): a deterministic,
+  * replayable quantization whose cutoffs are rendered from the SAME
+  * Scala doubles into both the Spark plan and the oracle SQL.
+  */
+object Bootstrap {
+
+  /** Cumulative Poisson(1) CDF at k = 0..7; u ≥ last ⇒ weight 8.
+    * Computed once and rendered via Double.toString on both engines. */
+  val cumulativeProbs: Seq[Double] = {
+    val pmf = (0 to 7).map(k => math.exp(-1.0) / (1 to k).product)
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  private val TwoPow60 = 1152921504606846976.0
+
+  /** Portable uniform in [0,1): 60 md5 bits of `key` / 2^60. */
+  def portableUniform(key: Column): Column =
+    (conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+      .cast("double") / TwoPow60)
+
+  /** Deterministic Poisson(1) multiplicity for `key` (truncated at 8). */
+  def poissonWeight(key: Column): Column = {
+    val u = portableUniform(key)
+    cumulativeProbs.zipWithIndex.foldRight(lit(8): Column) {
+      case ((p, k), rest) => when(u < lit(p), lit(k)).otherwise(rest)
+    }
+  }
+
+  /** The SQL twin of [[poissonWeight]] over a string expression. */
+  def poissonWeightSql(keyExpr: String): String = {
+    val u = s"((('0x'||substr(md5($keyExpr),1,15))::BIGINT)::DOUBLE" +
+      s" / ${TwoPow60.toString})"
+    val cases = cumulativeProbs.zipWithIndex
+      .map { case (p, k) => s"WHEN $u < ${p.toString} THEN $k" }
+      .mkString(" ")
+    s"(CASE $cases ELSE 8 END)"
+  }
+
+  /** One-scan bootstrap of a per-replicate weighted sum: returns
+    * (rep, n_eff, sum_v) with `n_eff` = Σw (the replicate's effective
+    * row count) and `sum_v` = Σ w·value — exact integer arithmetic, so
+    * feed an exact-lifted value (cents). The spread of `sum_v` across
+    * replicates IS the sampling distribution of the total. */
+  def bootstrapSums(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      reps: Int): DataFrame = {
+    require(reps >= 1, s"need at least one replicate, got $reps")
+    val key = concat_ws(":",
+      keyCols.map(c => col(c).cast("string")) :+ col("rep").cast("string"): _*)
+    df.select(keyCols.map(col) :+ col(valueCol).as("__v"): _*)
+      .withColumn("rep", explode(array((0 until reps).map(lit): _*)))
+      .withColumn("__w", poissonWeight(key).cast("long"))
+      .groupBy(col("rep"))
+      .agg(sum(col("__w")).as("n_eff"),
+        sum(col("__w") * col("__v")).as("sum_v"))
+  }
+}

@@ -15,6 +15,33 @@ object SketchQueries {
 
   private val K = 64
 
+  /** q184: Poisson bootstrap ([[graft.operators.Bootstrap]]) — the
+    * sampling distribution of lineitem's total price from ONE scan: 16
+    * replicates, each row's per-replicate multiplicity a deterministic
+    * Poisson(1) draw off the portable md5 hash of (key, replicate).
+    * The oracle replays the uniform, the truncated inverse-CDF lookup
+    * (cutoff literals rendered from the SAME Scala doubles), and both
+    * exact integer sums. */
+  def poissonBootstrap(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bootstrap.bootstrapSums(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("c")),
+      Seq("l_orderkey", "l_linenumber"), "c", reps = 16)
+
+  val poissonBootstrapSql: String = {
+    val w = graft.operators.Bootstrap
+      .poissonWeightSql("l_orderkey||':'||l_linenumber||':'||rep")
+    s"""WITH r AS (SELECT unnest(range(16)) AS rep),
+       |v AS (SELECT l_orderkey, l_linenumber,
+       |    ${sqlCents("l_extendedprice")} AS c
+       |  FROM lineitem),
+       |w AS (SELECT rep, $w AS w, c FROM v, r)
+       |SELECT rep::INTEGER AS rep, sum(w)::BIGINT AS n_eff,
+       |  sum(w*c)::BIGINT AS sum_v
+       |FROM w GROUP BY 1""".stripMargin
+  }
+
   /** Approximate distinct users per event type via the KMV Aggregator,
     * alongside the exact count. */
   def kmvDistinctUsers(s: SparkSession, d: String): DataFrame =
@@ -718,6 +745,7 @@ object SketchQueries {
     Q("q130_knn_triangles", knnTriangles, Some(knnTrianglesSql)),
     Q("q37_kmv_distinct", kmvDistinctUsers, Some(kmvDistinctUsersSql)),
     Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)),
+    Q("q184_poisson_bootstrap", poissonBootstrap, Some(poissonBootstrapSql)),
     Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),
     Q("q109_knn_pagerank", knnPageRank, Some(knnPageRankSql)),
     Q("q96_countmin_tokens", countMinTokens, Some(countMinTokensSql)),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BootstrapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cumulative Poisson(1) CDF is correct and monotone") {
+    val c = Bootstrap.cumulativeProbs
+    assert(c.length == 8)
+    assert(math.abs(c.head - math.exp(-1.0)) < 1e-15) // P(X<=0)
+    assert(math.abs(c(1) - 2 * math.exp(-1.0)) < 1e-15) // P(X<=1)
+    assert(c == c.sorted && c.last < 1.0 && c.last > 0.9999)
+  }
+
+  test("weights are deterministic and Poisson(1)-shaped") {
+    val keys = spark.range(200000).select(concat($"id", lit(":0")).as("k"))
+    val w = keys.select(Bootstrap.poissonWeight($"k").as("w"))
+    val counts = w.groupBy("w").count().as[(Int, Long)].collect().toMap
+    val n = 200000.0
+    // pmf(0)=pmf(1)=e^-1≈0.368, pmf(2)≈0.184 — 1% absolute tolerance
+    assert(math.abs(counts(0) / n - 0.3679) < 0.01, counts)
+    assert(math.abs(counts(1) / n - 0.3679) < 0.01, counts)
+    assert(math.abs(counts(2) / n - 0.1839) < 0.01, counts)
+    // mean ≈ 1
+    val mean = w.agg(avg($"w")).head().getDouble(0)
+    assert(math.abs(mean - 1.0) < 0.01, mean)
+    // bit-determinism across evaluations
+    val again = keys.select(Bootstrap.poissonWeight($"k").as("w"))
+      .groupBy("w").count().as[(Int, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("bootstrapSums: one row per replicate, unweighted total recovered on average") {
+    val df = (1L to 2000L).map(i => (i, 10L)).toDF("id", "v")
+    val r = Bootstrap.bootstrapSums(df, Seq("id"), "v", reps = 20)
+      .as[(Int, Long, Long)].collect()
+    assert(r.length == 20)
+    assert(r.map(_._1).sorted.toSeq == (0 until 20))
+    // each replicate's effective n is near 2000 (Poisson sum, sd≈45)
+    r.foreach { case (_, nEff, sumV) =>
+      assert(math.abs(nEff - 2000L) < 300, s"n_eff $nEff")
+      assert(sumV == nEff * 10L) // constant value: sum = 10*n_eff exactly
+    }
+    // replicates differ (the whole point)
+    assert(r.map(_._2).distinct.length > 1)
+  }
+
+  test("SQL twin renders the same cutoffs the Column form uses") {
+    val sql = Bootstrap.poissonWeightSql("x")
+    Bootstrap.cumulativeProbs.foreach(p => assert(sql.contains(p.toString)))
+    // 2^60 rendered by the same Double.toString both engines parse back
+    // to exactly 2^60 (doubles near 2^60 are 256 apart; the decimal is
+    // 24 off)
+    assert(sql.contains(1152921504606846976.0.toString))
+  }
+
+  test("reps < 1 fails loudly") {
+    intercept[IllegalArgumentException] {
+      Bootstrap.bootstrapSums(Seq((1L, 1L)).toDF("id", "v"), Seq("id"), "v", 0)
+    }
+  }
+}
