@@ -40,13 +40,31 @@ object Bootstrap {
     (conv(substring(md5(key), 1, 15), 16, 10).cast("long")
       .cast("double") / TwoPow60)
 
-  /** Deterministic Poisson(1) multiplicity for `key` (truncated at 8). */
-  def poissonWeight(key: Column): Column = {
-    val u = portableUniform(key)
+  /** Fast uniform in [0,1): xxhash64 folded to 60 bits / 2^60 — the
+    * 100 TB path (one codegen'd hash, no string build, no md5; same
+    * portable-vs-fast split as [[Dedup.stringHash]], same measured
+    * ~2–4× hash tax). Takes the key PARTS directly — xxhash64 is
+    * n-ary, so no concat allocation either. */
+  def fastUniform(keyParts: Seq[Column]): Column =
+    (pmod(xxhash64(keyParts: _*), lit(1L << 60)).cast("double") / TwoPow60)
+
+  /** Truncated inverse-CDF lookup over an ALREADY-MATERIALIZED uniform.
+    * Callers must alias the uniform into its own projection first
+    * ([[bootstrapSums]] does): `when` duplicates the condition subtree
+    * into every branch, so inlining [[portableUniform]] here would
+    * evaluate the md5 chain up to 8× per row (measured: 18.4 s vs ~3 s
+    * at sf0.1×16 reps). CollapseProject keeps the split projection —
+    * it refuses to inline a non-cheap alias referenced 8 times. */
+  def weightFromUniform(u: Column): Column =
     cumulativeProbs.zipWithIndex.foldRight(lit(8): Column) {
       case ((p, k), rest) => when(u < lit(p), lit(k)).otherwise(rest)
     }
-  }
+
+  /** Deterministic Poisson(1) multiplicity for `key` (truncated at 8).
+    * One-shot convenience — inlines the hash into every CDF branch; on
+    * hot paths use [[weightFromUniform]] over a materialized uniform. */
+  def poissonWeight(key: Column): Column =
+    weightFromUniform(portableUniform(key))
 
   /** The SQL twin of [[poissonWeight]] over a string expression. */
   def poissonWeightSql(keyExpr: String): String = {
@@ -64,13 +82,16 @@ object Bootstrap {
     * feed an exact-lifted value (cents). The spread of `sum_v` across
     * replicates IS the sampling distribution of the total. */
   def bootstrapSums(df: DataFrame, keyCols: Seq[String], valueCol: String,
-      reps: Int): DataFrame = {
+      reps: Int, portable: Boolean = false): DataFrame = {
     require(reps >= 1, s"need at least one replicate, got $reps")
-    val key = concat_ws(":",
-      keyCols.map(c => col(c).cast("string")) :+ col("rep").cast("string"): _*)
+    val u =
+      if (portable) portableUniform(concat_ws(":",
+        keyCols.map(c => col(c).cast("string")) :+ col("rep").cast("string"): _*))
+      else fastUniform(keyCols.map(col) :+ col("rep"))
     df.select(keyCols.map(col) :+ col(valueCol).as("__v"): _*)
       .withColumn("rep", explode(array((0 until reps).map(lit): _*)))
-      .withColumn("__w", poissonWeight(key).cast("long"))
+      .withColumn("__u", u)
+      .withColumn("__w", weightFromUniform(col("__u")).cast("long"))
       .groupBy(col("rep"))
       .agg(sum(col("__w")).as("n_eff"),
         sum(col("__w") * col("__v")).as("sum_v"))

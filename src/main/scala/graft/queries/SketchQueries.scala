@@ -16,7 +16,7 @@ object SketchQueries {
   private val K = 64
 
   /** q184: Poisson bootstrap ([[graft.operators.Bootstrap]]) — the
-    * sampling distribution of lineitem's total price from ONE scan: 16
+    * sampling distribution of lineitem's total price from ONE scan: 8
     * replicates, each row's per-replicate multiplicity a deterministic
     * Poisson(1) draw off the portable md5 hash of (key, replicate).
     * The oracle replays the uniform, the truncated inverse-CDF lookup
@@ -27,12 +27,12 @@ object SketchQueries {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           cents(col("l_extendedprice")).as("c")),
-      Seq("l_orderkey", "l_linenumber"), "c", reps = 16)
+      Seq("l_orderkey", "l_linenumber"), "c", reps = 8, portable = true)
 
   val poissonBootstrapSql: String = {
     val w = graft.operators.Bootstrap
       .poissonWeightSql("l_orderkey||':'||l_linenumber||':'||rep")
-    s"""WITH r AS (SELECT unnest(range(16)) AS rep),
+    s"""WITH r AS (SELECT unnest(range(8)) AS rep),
        |v AS (SELECT l_orderkey, l_linenumber,
        |    ${sqlCents("l_extendedprice")} AS c
        |  FROM lineitem),

@@ -47,6 +47,20 @@ class BootstrapSpec extends SparkSpec {
     assert(r.map(_._2).distinct.length > 1)
   }
 
+  test("fast (xxhash64) path is Poisson(1)-shaped and deterministic too") {
+    val keys = spark.range(200000).select($"id", lit(0).as("rep"))
+    val w = keys.select(Bootstrap.weightFromUniform(
+      Bootstrap.fastUniform(Seq($"id", $"rep"))).as("w"))
+    val counts = w.groupBy("w").count().as[(Int, Long)].collect().toMap
+    val n = 200000.0
+    assert(math.abs(counts(0) / n - 0.3679) < 0.01, counts)
+    assert(math.abs(counts(1) / n - 0.3679) < 0.01, counts)
+    val again = keys.select(Bootstrap.weightFromUniform(
+      Bootstrap.fastUniform(Seq($"id", $"rep"))).as("w"))
+      .groupBy("w").count().as[(Int, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   test("SQL twin renders the same cutoffs the Column form uses") {
     val sql = Bootstrap.poissonWeightSql("x")
     Bootstrap.cumulativeProbs.foreach(p => assert(sql.contains(p.toString)))
