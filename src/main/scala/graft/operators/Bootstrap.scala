@@ -88,7 +88,12 @@ object Bootstrap {
       if (portable) portableUniform(concat_ws(":",
         keyCols.map(c => col(c).cast("string")) :+ col("rep").cast("string"): _*))
       else fastUniform(keyCols.map(col) :+ col("rep"))
-    df.select(keyCols.map(col) :+ col(valueCol).as("__v"): _*)
+    // single-file corpora arrive as ONE split; the hash×reps work is
+    // scan-side CPU, so widen to the session's parallelism (no-op when
+    // the source already has enough splits — the Dedup.widen contract)
+    Dedup.widen(
+      df.select(keyCols.map(col) :+ col(valueCol).as("__v"): _*),
+      keyCols.head)
       .withColumn("rep", explode(array((0 until reps).map(lit): _*)))
       .withColumn("__u", u)
       .withColumn("__w", weightFromUniform(col("__u")).cast("long"))
