@@ -207,4 +207,100 @@ object Frequency {
         when(col("bin") > 0, expr("shiftleft(CAST(1 AS BIGINT), bin) - 1"))
           .otherwise(lit(0L)).as("est_hi"))
   }
+
+  /** EXACT per-key k-th smallest value WITHOUT a global sort —
+    * distributed selection by iterative histogram refinement. The
+    * sort-based exact quantile (q100's window form) shuffles every row
+    * to its key's reducer and sorts; at 100 TB that is the whole
+    * dataset through the exchange, concentrated on #keys reducers.
+    * This operator never shuffles data at all: each pass scans the
+    * (filtered) input once, histograms the live value range into
+    * 2^bits buckets per key (map-side-combined groupBy whose OUTPUT is
+    * ≤ keys·2^bits tiny rows), the driver locates the bucket holding
+    * the target rank and recurses into it. Range shrinks 2^bits× per
+    * pass ⇒ ≤ ⌈64/bits⌉ passes worst case (2 passes for money cents).
+    * Scans cost more than one sort-pass reads, but scans are the cheap
+    * currency at scale — no exchange, no spill, no skewed reducer.
+    *
+    * Driver state is O(#keys), the same contract as every codebook /
+    * medoid collect in this repo: keys are a GROUPING (flags, langs,
+    * cohorts), not an id space. `rankOf` maps a key's row count to the
+    * target rank in [1, n] — default the lower median (n+1)/2, the
+    * exact selection q100's oracle pins. Values must be integral.
+    */
+  def exactKth(df: DataFrame, keyCol: String, valCol: String,
+      rankOf: Long => Long = n => (n + 1) / 2,
+      bits: Int = 12): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
+    val spark = df.sparkSession
+    val keyField = df.schema(keyCol)
+    require(Seq("long", "int", "short").contains(
+      df.schema(valCol).dataType.typeName),
+      s"exactKth selects over integral values; '$valCol' is " +
+        s"${df.schema(valCol).dataType}")
+    val src = df.select(col(keyCol), col(valCol).cast("long").as("__v"))
+    val buckets = 1L << bits
+
+    // pass 0: per-key count + live range (one scan)
+    case class St(key: Any, lo: Long, hi: Long, rank: Long, n: Long)
+    val init = src.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        val rank = rankOf(n)
+        require(rank >= 1 && rank <= n,
+          s"rankOf($n) = $rank out of [1, $n] for key ${r.get(0)}")
+        require(BigInt(r.getLong(3)) - BigInt(r.getLong(2)) <
+          BigInt(Long.MaxValue), "value range spans the full int64 domain")
+        St(r.get(0), r.getLong(2), r.getLong(3), rank, n)
+      }
+    var done = init.filter(s => s.lo == s.hi).toSeq
+    var live = init.filterNot(s => s.lo == s.hi).toSeq
+
+    import org.apache.spark.sql.types._
+    val stSchema = StructType(Seq(keyField.copy(name = "__k"),
+      StructField("__lo", LongType), StructField("__hi", LongType),
+      StructField("__w", LongType)))
+    while (live.nonEmpty) {
+      val widths = live.map(s =>
+        s.key -> ((s.hi - s.lo) / buckets + 1)).toMap
+      val stRows = live.map(s => org.apache.spark.sql.Row(
+        s.key, s.lo, s.hi, widths(s.key)))
+      val stDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(stRows.toIndexedSeq, 1), stSchema)
+      val hist = src
+        .join(broadcast(stDf), col(keyCol) === col("__k"))
+        .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .groupBy(col(keyCol),
+          ((col("__v") - col("__lo")) / col("__w")).cast("long").as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect()
+        .groupBy(r => r.get(0))
+      live = live.flatMap { s =>
+        val lo = s.lo; val w = widths(s.key)
+        val rank = s.rank
+        val bs = hist(s.key).map(r => (r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        val (bStar, inBucket) = {
+          var acc = 0L
+          bs.collectFirst { case (b, c) if { acc += c; acc >= rank } =>
+            (b, rank - (acc - c))
+          }.get
+        }
+        val nLo = lo + bStar * w
+        val nHi = math.min(s.hi, nLo + w - 1)
+        if (nLo == nHi) { done = done :+ St(s.key, nLo, nHi, inBucket, s.n); None }
+        else Some(St(s.key, nLo, nHi, inBucket, s.n))
+      }
+    }
+    val outSchema = StructType(Seq(keyField.copy(name = keyCol),
+      StructField("n", LongType, nullable = false),
+      StructField("kth", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        done.map(s => org.apache.spark.sql.Row(s.key, s.n, s.lo)).toIndexedSeq,
+        1), outSchema)
+  }
 }

@@ -156,6 +156,38 @@ object HammingIndex {
     * unprobed cluster directory — then Hamming-shortlist WITHIN the
     * probed cells and exact-rerank. Query cost:
     * (nprobe/kc) · (bits/32) of the corpus bytes before the rerank. */
+  /** Compact an index's increments into a fresh single-increment index
+    * at `dstPath` — rewrite + pointer swap, the object-store compaction
+    * pattern: the destination is built from scratch (codes first, meta
+    * LAST — [[load]] fails without meta, so a crashed compaction leaves
+    * an invisible torn directory, never a half-index), and the caller
+    * swaps which path it serves from. Increment count is what grows
+    * under streaming maintenance ([[graft.streaming
+    * .StreamingHammingIndex]]): every micro-batch is one directory, and
+    * a thousand tiny parquet dirs tax listing + read planning; after
+    * compaction the codes are one `ingest_batch=0` written at scan
+    * parallelism. Codes are copied, never re-encoded — no vector
+    * source needed, bit-identity guaranteed by construction. */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String): Unit = {
+    require(srcPath != dstPath,
+      "compact rewrites to a FRESH root; in-place would tear the index")
+    val (dim, w, clusterCol) = readMeta(spark, srcPath)
+    // the source increment id materializes as a partition-derived
+    // column — drop it, or the rewritten files would carry it as DATA
+    // and load() would then see it twice (data + new dir name)
+    val codes = spark.read.parquet(s"$srcPath/codes").drop("ingest_batch")
+    val dstRoot = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = dstRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dstRoot)) fs.delete(dstRoot, true)
+    val writer = codes.write.mode("overwrite")
+    clusterCol.fold(writer)(c => writer.partitionBy(c))
+      .parquet(s"$dstPath/codes/ingest_batch=0")
+    import spark.implicits._
+    Seq((dim, w, clusterCol.orNull))
+      .toDF("dim", "words", "cluster_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/meta")
+  }
+
   def topKProbed(index: Index, corpus: DataFrame, queries: DataFrame,
       vecCol: String, centroids: Seq[Array[Double]], k: Int,
       shortlist: Int, nprobe: Int,

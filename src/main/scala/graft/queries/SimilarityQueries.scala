@@ -792,6 +792,45 @@ object SimilarityQueries {
       shortlist = HamShortlist)
   }
 
+  /** q185: the complete index lifecycle in one gate — build (¼ of the
+    * corpus), streaming maintenance (two quarters over the file-source
+    * stream), COMPACTION ([[graft.operators.HammingIndex.compact]]:
+    * rewrite to a fresh root + pointer swap; codes copied bit-identical,
+    * meta written last as the commit point), then an append to the
+    * COMPACTED index (`nextBatchId` resumes at 1) and serving off it.
+    * The oracle is unchanged (q167's full sign replay) — compaction
+    * must be invisible to results, visible only to the directory
+    * listing. */
+  def hammingCompacted(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = tempWorkDir("graft_q185_")
+    val path = s"$dir/ix"; val srcDir = s"$dir/in"
+    graft.operators.HammingIndex.build(
+      emb.filter(pmod(col("vec_id"), lit(4)) === 0),
+      "vec_id", "embedding", dim = 64, path)
+    def arrive(part: Int): Unit =
+      emb.filter(pmod(col("vec_id"), lit(4)) === part)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    arrive(1)
+    val query = graft.streaming.StreamingHammingIndex.maintain(
+      s.readStream.schema(emb.schema).parquet(srcDir),
+      path, "vec_id", "embedding", s"$dir/ckpt")
+    try {
+      query.processAllAvailable()
+      arrive(2); query.processAllAvailable()
+    } finally query.stop()
+    val compactedPath = s"$dir/ix_gen1" // pointer swap: serve from here
+    graft.operators.HammingIndex.compact(s, path, compactedPath)
+    graft.operators.HammingIndex.append(s, compactedPath,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3),
+      "vec_id", "embedding",
+      graft.operators.HammingIndex.nextBatchId(s, compactedPath))
+    val index = graft.operators.HammingIndex.load(s, compactedPath, "vec_id")
+    graft.operators.HammingIndex.topK(index, emb,
+      emb.filter(col("vec_id") < 20), "embedding", k = 5,
+      shortlist = HamShortlist)
+  }
+
   private val MultiWordBlocks = 4 // 4 x 64 dims = 256 bits = 4 code words
 
   /** The 256-dim deterministic expansion both engines replay:
@@ -861,6 +900,8 @@ object SimilarityQueries {
     Q("q175_hamming_index", hammingIndexAnn, Some(hammingAnnSql)),
     Q("q176_hamming_multiword", hammingMultiword, Some(hammingMultiwordSql)),
     Q("q181_hamming_stream", hammingStreamMaintained, Some(hammingAnnSql),
+      benchReps = 1),
+    Q("q185_hamming_compacted", hammingCompacted, Some(hammingAnnSql),
       benchReps = 1),
     Q("q144_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q162_retrieval_metrics", retrievalMetrics, Some(retrievalMetricsSql)),

@@ -42,6 +42,31 @@ object SketchQueries {
        |FROM w GROUP BY 1""".stripMargin
   }
 
+  /** q186: EXACT per-key median with NO global sort
+    * ([[graft.operators.Frequency.exactKth]]) — distributed selection
+    * by iterative histogram refinement: each pass scans the live range
+    * and ships only ≤ keys·4096 histogram rows; the driver narrows the
+    * bucket holding the target rank (2 passes for money cents). The
+    * sort-based exact path (q100's window) shuffles every row to its
+    * key's reducer; this one never exchanges data at all. Oracle = the
+    * very sort it avoids. */
+  def exactMedianSelection(s: SparkSession, d: String): DataFrame =
+    graft.operators.Frequency.exactKth(
+      Tables.lineitem(s, d).select(col("l_returnflag").as("key"),
+        cents(col("l_extendedprice")).as("c")),
+      "key", "c")
+
+  val exactMedianSelectionSql: String =
+    s"""WITH v AS (SELECT l_returnflag AS key,
+       |    ${sqlCents("l_extendedprice")} AS v
+       |  FROM lineitem),
+       |r AS (SELECT key, v,
+       |    row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY key) AS nn
+       |  FROM v)
+       |SELECT key, nn::BIGINT AS n, v AS kth
+       |FROM r WHERE rn = (nn + 1) // 2""".stripMargin
+
   /** Approximate distinct users per event type via the KMV Aggregator,
     * alongside the exact count. */
   def kmvDistinctUsers(s: SparkSession, d: String): DataFrame =
@@ -746,6 +771,8 @@ object SketchQueries {
     Q("q37_kmv_distinct", kmvDistinctUsers, Some(kmvDistinctUsersSql)),
     Q("q38_hyperplane_neardup", hyperplaneNearDup, Some(hyperplaneNearDupSql)),
     Q("q184_poisson_bootstrap", poissonBootstrap, Some(poissonBootstrapSql)),
+    Q("q186_exact_median_selection", exactMedianSelection,
+      Some(exactMedianSelectionSql)),
     Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),
     Q("q109_knn_pagerank", knnPageRank, Some(knnPageRankSql)),
     Q("q96_countmin_tokens", countMinTokens, Some(countMinTokensSql)),

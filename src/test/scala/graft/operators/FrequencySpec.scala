@@ -183,4 +183,46 @@ class FrequencySpec extends SparkSpec {
     // zero key: n=3, target=2 → second smallest = 0 → bin 0, [0,0]
     assert(est("zero") == (("zero", 3L, 0, 0L, 0L)))
   }
+
+  test("exactKth: lower median per key equals the sort-based answer") {
+    val rnd = new scala.util.Random(17)
+    val data = Seq.tabulate(5000)(i =>
+      (s"k${i % 4}", rnd.nextInt(2000000).toLong - 1000000L))
+    val df = data.toDF("key", "v").repartition(7)
+    val got = Frequency.exactKth(df, "key", "v")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    data.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val expected = sorted(((sorted.length + 1) / 2 - 1).toInt)
+      assert(got(k) == ((rows.length.toLong, expected)), s"key $k")
+    }
+  }
+
+  test("exactKth: arbitrary rank, duplicates, tiny bits (many passes)") {
+    // heavy duplication + bits=2 forces ~16-way recursion over many passes
+    val data = Seq.tabulate(1000)(i => ("a", (i % 7).toLong * 1000L))
+    val df = data.toDF("key", "v")
+    (1 to 5).foreach { pick =>
+      val rank = pick * 199L // spread ranks across [199, 995]
+      val got = Frequency.exactKth(df, "key", "v", _ => rank, bits = 2)
+        .as[(String, Long, Long)].head()
+      val expected = data.map(_._2).sorted.apply(rank.toInt - 1)
+      assert(got == (("a", 1000L, expected)), s"rank $rank")
+    }
+  }
+
+  test("exactKth: single-value key short-circuits, guards fire") {
+    import org.apache.spark.sql.functions.lit
+    val one = Seq(("a", 5L), ("a", 5L), ("b", 9L)).toDF("key", "v")
+    val got = Frequency.exactKth(one, "key", "v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2L, 5L), ("b", 1L, 9L)))
+    intercept[IllegalArgumentException] { // rank out of bounds
+      Frequency.exactKth(one, "key", "v", _ => 99L)
+    }
+    intercept[IllegalArgumentException] { // non-integral values
+      Frequency.exactKth(one.withColumn("v", lit(1.5)), "key", "v")
+    }
+  }
 }

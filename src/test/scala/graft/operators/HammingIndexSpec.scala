@@ -210,4 +210,49 @@ class HammingIndexSpec extends SparkSpec {
     // resumes past all of them
     assert(HammingIndex.nextBatchId(spark, path) >= 2L)
   }
+
+  test("compact: codes bit-identical, increments collapse to one, cursor resets") {
+    val a = corpus(40, 64, seed = 11)
+    val b = corpus(40, 64, seed = 12)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val src = tmp(); val dst = s"${tmp()}/gen1"
+    HammingIndex.build(a, "vec_id", "embedding", 64, src)
+    HammingIndex.append(spark, src, b, "vec_id", "embedding", 1L)
+    HammingIndex.compact(spark, src, dst)
+    val before = HammingIndex.load(spark, src, "vec_id")
+    val after = HammingIndex.load(spark, dst, "vec_id")
+    assert(after.dim == before.dim && after.words == before.words &&
+      after.clusterCol == before.clusterCol)
+    val bc = before.codes.select("vec_id", "__code")
+    val ac = after.codes.select("vec_id", "__code")
+    assert(ac.exceptAll(bc).isEmpty && bc.exceptAll(ac).isEmpty)
+    assert(HammingIndex.nextBatchId(spark, dst) == 1L) // one increment
+    // appends resume on the compacted index
+    val c = corpus(10, 64, seed = 13)
+      .select((col("vec_id") + 200L).as("vec_id"), col("embedding"))
+    HammingIndex.append(spark, dst, c, "vec_id", "embedding", 1L)
+    assert(HammingIndex.load(spark, dst, "vec_id").codes.count() == 90)
+  }
+
+  test("compact preserves the cluster partitioning (probed serving intact)") {
+    val df = corpus(60, 64, seed = 14)
+      .withColumn("cluster", (col("vec_id") % 3).cast("int"))
+    val src = tmp(); val dst = s"${tmp()}/gen1"
+    HammingIndex.build(df, "vec_id", "embedding", 64, src, Some("cluster"))
+    HammingIndex.compact(spark, src, dst)
+    val ix = HammingIndex.load(spark, dst, "vec_id")
+    assert(ix.clusterCol.contains("cluster"))
+    // cluster dirs survive as partition directories (scan pruning works)
+    val dirs = new java.io.File(s"$dst/codes/ingest_batch=0").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("cluster=0", "cluster=1", "cluster=2"))
+  }
+
+  test("compact refuses in-place") {
+    val src = tmp()
+    HammingIndex.build(corpus(5, 64, seed = 15), "vec_id", "embedding", 64, src)
+    intercept[IllegalArgumentException] {
+      HammingIndex.compact(spark, src, src)
+    }
+  }
 }
