@@ -82,6 +82,15 @@ object Bootstrap {
     * feed an exact-lifted value (cents). The spread of `sum_v` across
     * replicates IS the sampling distribution of the total. */
   def bootstrapSums(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      reps: Int, portable: Boolean = false): DataFrame =
+    bootstrapGroupSums(df, keyCols, Nil, valueCol, reps, portable)
+
+  /** Grouped variant: per-(group, replicate) weighted sums — every
+    * cohort's sampling distribution from the SAME single scan (the
+    * weight depends only on (key, replicate), so grouping is free:
+    * it just changes the aggregation key). */
+  def bootstrapGroupSums(df: DataFrame, keyCols: Seq[String],
+      groupCols: Seq[String], valueCol: String,
       reps: Int, portable: Boolean = false): DataFrame = {
     require(reps >= 1, s"need at least one replicate, got $reps")
     val u =
@@ -92,12 +101,13 @@ object Bootstrap {
     // scan-side CPU, so widen to the session's parallelism (no-op when
     // the source already has enough splits — the Dedup.widen contract)
     Dedup.widen(
-      df.select(keyCols.map(col) :+ col(valueCol).as("__v"): _*),
+      df.select((keyCols ++ groupCols).distinct.map(col) :+
+        col(valueCol).as("__v"): _*),
       keyCols.head)
       .withColumn("rep", explode(array((0 until reps).map(lit): _*)))
       .withColumn("__u", u)
       .withColumn("__w", weightFromUniform(col("__u")).cast("long"))
-      .groupBy(col("rep"))
+      .groupBy(groupCols.map(col) :+ col("rep"): _*)
       .agg(sum(col("__w")).as("n_eff"),
         sum(col("__w") * col("__v")).as("sum_v"))
   }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -45,6 +45,7 @@ case class AsOfJoinExec(
     rightTs: Expression,
     rightVals: Seq[Expression],
     rightOut: Seq[Attribute],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -60,9 +61,18 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  /** Forward direction = the SAME merge over time-REVERSED streams:
+    * sort ts descending and flip the match comparison; "greatest
+    * rightTs ≤ leftTs" becomes "smallest rightTs ≥ leftTs" because the
+    * last retained match in a descending stream is the smallest
+    * still-qualifying one. (Descending sorts put null ts LAST, so a
+    * null rightTs never matches in forward mode — backward keeps the
+    * window formulation's nulls-first behavior.) */
+  private def tsDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
-      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+    Seq(leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir))
 
   /** Left rows stream through in input order, so the left child's
     * partitioning and ordering survive verbatim (the attached right
@@ -84,6 +94,7 @@ case class AsOfJoinExec(
     val rValsB = rightVals
     val outAttrs = output
     val nRightOut = rightOut.length
+    val fwd = forward
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // Projections are codegen'd and hold reusable row buffers — one
@@ -120,7 +131,10 @@ case class AsOfJoinExec(
             // Keys on this side only grow — rows below the current left
             // key can never match a later left row. Drop, don't retain.
             rHead = if (rIter.hasNext) rIter.next() else null
-          } else if (c == 0 && tsOrd.compare(rTsProj(rHead), lTsProj(lrow)) <= 0) {
+          } else if (c == 0 && {
+            val cmp = tsOrd.compare(rTsProj(rHead), lTsProj(lrow))
+            if (fwd) cmp >= 0 else cmp <= 0
+          }) {
             lastVal = rValProj(rHead).copy()
             lastKey = rk.copy()
             rHead = if (rIter.hasNext) rIter.next() else null
@@ -152,7 +166,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
-        p.rightVals, p.rightOut, planLater(p.left), planLater(p.right)) :: Nil
+        p.rightVals, p.rightOut, p.forward,
+        planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }

@@ -31,7 +31,29 @@ object AsOfJoinNative {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       prefix: String = "asof_",
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    join(left, right, keyCols, leftTs, rightTs, prefix,
+      toleranceSeconds, forward = false)
+
+  /** Forward (earliest-following) as-of join: for every left row, the
+    * right row with ordering-equal key whose `rightTs` is the SMALLEST
+    * value ≥ `leftTs` — the "next event after" lookup (next retry
+    * after an error, next heartbeat after a deploy). Same engine as
+    * [[backward]] with the merge run over time-reversed streams. */
+  def forward(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      prefix: String = "asof_",
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    join(left, right, keyCols, leftTs, rightTs, prefix,
+      toleranceSeconds, forward = true)
+
+  private def join(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      prefix: String,
+      toleranceSeconds: Option[Long],
+      forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     register(spark)
 
@@ -68,7 +90,8 @@ object AsOfJoinNative {
       AttributeReference(prefix + a.name, a.dataType, nullable = true, a.metadata)())
 
     val joined = GraftSqlShim.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTsA, rTsA, rightVals, rightOutAttrs))
+      AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTsA, rTsA, rightVals,
+        rightOutAttrs, forward))
 
     toleranceSeconds match {
       case None => joined
@@ -76,8 +99,10 @@ object AsOfJoinNative {
         // Same semantics as the composed operator: an out-of-tolerance
         // match degrades to no-match (every attached column nulled).
         val tsCol = s"$prefix$rightTs"
-        val within = col(tsCol).isNotNull &&
-          unix_micros(col(leftTs)) - unix_micros(col(tsCol)) <= tol * 1000000L
+        val gap =
+          if (forward) unix_micros(col(tsCol)) - unix_micros(col(leftTs))
+          else unix_micros(col(leftTs)) - unix_micros(col(tsCol))
+        val within = col(tsCol).isNotNull && gap <= tol * 1000000L
         rightOutAttrs.foldLeft(joined) { (df, a) =>
           df.withColumn(a.name, when(within, col(a.name)))
         }

@@ -27,6 +27,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   *                  (`rightTs` first, then payload), in output order
   * @param rightOut  fresh prefixed output attributes, 1:1 with
   *                  `rightVals`, always nullable
+  * @param forward   false = most-recent-prior (`rightTs ≤ leftTs`,
+  *                  greatest wins); true = earliest-following
+  *                  (`rightTs ≥ leftTs`, smallest wins)
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -36,7 +39,8 @@ case class AsOfJoinPlan(
     leftTs: Attribute,
     rightTs: Attribute,
     rightVals: Seq[Attribute],
-    rightOut: Seq[Attribute])
+    rightOut: Seq[Attribute],
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ rightOut

@@ -227,6 +227,30 @@ object EventQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON er.user_id = p.user_id AND er.ts >= p.ts""".stripMargin
 
+  /** Forward as-of through the same native operator (q179's engine
+    * over time-reversed streams): each error event matched to the
+    * user's EARLIEST FOLLOWING click — the "what did the user do next"
+    * lookup. DuckDB's ASOF supports the `<=` direction natively, so
+    * the oracle stays one join. */
+  def asofForwardErrorClick(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"))
+    graft.plans.AsOfJoinNative.forward(errors, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        col("asof_click_event_id").as("click_event_id"),
+        (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("gap_us"))
+  }
+
+  val asofForwardErrorClickSql: String =
+    """SELECT er.event_id, er.user_id, c.event_id AS click_event_id,
+      |  epoch_us(c.ts) - epoch_us(er.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'error') er
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON er.user_id = c.user_id AND er.ts <= c.ts""".stripMargin
+
   /** Exact-derived distribution stats: mean/stddev reconstructed from
     * exact integer sums (deterministic, engine-portable — Spark's
     * stddev aggregate uses a streaming algorithm whose result depends
@@ -700,6 +724,8 @@ object EventQueries {
     Q("q33_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
     Q("q179_asof_native", asofNativeErrorPurchase,
       Some(asofNativeErrorPurchaseSql)),
+    Q("q187_asof_forward", asofForwardErrorClick,
+      Some(asofForwardErrorClickSql)),
     Q("q34_value_stats", valueStats, Some(valueStatsSql)),
     Q("q50_cube_daily", cubeDaily, Some(cubeDailySql)),
     Q("q59_grouping_sets", groupingSetsDaily, Some(groupingSetsDailySql)),

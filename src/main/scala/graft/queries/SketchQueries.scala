@@ -42,6 +42,30 @@ object SketchQueries {
        |FROM w GROUP BY 1""".stripMargin
   }
 
+  /** q188: grouped Poisson bootstrap — every event type's sampling
+    * distribution of total value from the SAME single scan (the weight
+    * depends only on (event, replicate); grouping just changes the
+    * aggregation key). Per-cohort uncertainty is the production shape:
+    * one pass, |types|×reps output rows. */
+  def groupedBootstrap(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bootstrap.bootstrapGroupSums(
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("c")),
+      Seq("event_id"), Seq("event_type"), "c", reps = 8, portable = true)
+
+  val groupedBootstrapSql: String = {
+    val w = graft.operators.Bootstrap.poissonWeightSql("event_id||':'||rep")
+    s"""WITH r AS (SELECT unnest(range(8)) AS rep),
+       |v AS (SELECT event_id, event_type,
+       |    ${sqlCents("value")} AS c
+       |  FROM events),
+       |w AS (SELECT event_type, rep, $w AS w, c FROM v, r)
+       |SELECT event_type, rep::INTEGER AS rep, sum(w)::BIGINT AS n_eff,
+       |  sum(w*c)::BIGINT AS sum_v
+       |FROM w GROUP BY 1, 2""".stripMargin
+  }
+
   /** q186: EXACT per-key median with NO global sort
     * ([[graft.operators.Frequency.exactKth]]) — distributed selection
     * by iterative histogram refinement: each pass scans the live range
@@ -773,6 +797,7 @@ object SketchQueries {
     Q("q184_poisson_bootstrap", poissonBootstrap, Some(poissonBootstrapSql)),
     Q("q186_exact_median_selection", exactMedianSelection,
       Some(exactMedianSelectionSql)),
+    Q("q188_grouped_bootstrap", groupedBootstrap, Some(groupedBootstrapSql)),
     Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),
     Q("q109_knn_pagerank", knnPageRank, Some(knnPageRankSql)),
     Q("q96_countmin_tokens", countMinTokens, Some(countMinTokensSql)),

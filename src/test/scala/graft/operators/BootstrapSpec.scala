@@ -47,6 +47,21 @@ class BootstrapSpec extends SparkSpec {
     assert(r.map(_._2).distinct.length > 1)
   }
 
+  test("grouped sums: per-group rows, groups partition the global sums") {
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "a" else "b", 5L))
+      .toDF("id", "g", "v")
+    val grouped = Bootstrap.bootstrapGroupSums(df, Seq("id"), Seq("g"), "v", 6)
+      .as[(String, Int, Long, Long)].collect()
+    assert(grouped.length == 12) // 2 groups x 6 reps
+    val global = Bootstrap.bootstrapSums(df, Seq("id"), "v", 6)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // same weights (same key, rep) => group sums add up to the global sums
+    (0 until 6).foreach { rep =>
+      val parts = grouped.filter(_._2 == rep)
+      assert((parts.map(_._3).sum, parts.map(_._4).sum) == global(rep))
+    }
+  }
+
   test("fast (xxhash64) path is Poisson(1)-shaped and deterministic too") {
     val keys = spark.range(200000).select($"id", lit(0).as("rep"))
     val w = keys.select(Bootstrap.weightFromUniform(

@@ -140,6 +140,48 @@ class AsOfJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got(1L).contains(10L) && got(2L).contains(11L))
   }
 
+  test("forward as-of picks the earliest quote at or after the trade") {
+    val r = AsOfJoinNative.forward(trades, quotes, Seq("key"), "ts", "ts")
+      .select($"qty", $"asof_price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(r(5L).contains(101.0)) // 10:03 → earliest following is 10:05
+    assert(r(6L).contains(101.0)) // tie: 10:05 quote matches (>= )
+    assert(r(7L).contains(100.0)) // 09:59 → first quote at 10:00
+    assert(r(8L).isEmpty)         // 11:00, no later quote for key 2
+    assert(r(9L).isEmpty)         // key without quotes
+  }
+
+  test("forward tolerance nulls matches farther ahead than the horizon") {
+    val r = AsOfJoinNative.forward(trades, quotes, Seq("key"), "ts", "ts",
+      toleranceSeconds = Some(60L))
+      .select($"qty", $"asof_price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(r(5L).isEmpty)          // 2 min ahead > 1 min horizon
+    assert(r(6L).contains(101.0))  // 0 gap
+    assert(r(7L).contains(100.0))  // 1 min ahead, exactly at horizon
+  }
+
+  test("forward property (seeded random): matches per-row brute force") {
+    val rnd = new scala.util.Random(31)
+    val lefts = Seq.tabulate(150)(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(500).toLong))
+    val rights = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(500).toLong))
+    val lDf = lefts.toDF("lid", "key", "t")
+      .select($"lid", $"key", timestamp_micros($"t").as("ts"))
+    val rDf = rights.toDF("rid", "key", "t")
+      .select($"rid", $"key", timestamp_micros($"t").as("ts"))
+    val got = AsOfJoinNative.forward(lDf, rDf, Seq("key"), "ts", "ts")
+      .select($"lid", unix_micros($"asof_ts")).as[(Long, Option[Long])]
+      .collect().toMap
+    lefts.foreach { case (lid, key, t) =>
+      val candidates = rights.filter(r => r._2 == key && r._3 >= t)
+      val expected =
+        if (candidates.isEmpty) None else Some(candidates.map(_._3).min)
+      assert(got(lid) == expected, s"left $lid key $key t $t")
+    }
+  }
+
   test("missing column and key-type mismatch fail loudly") {
     intercept[IllegalArgumentException] {
       AsOfJoinNative.backward(trades, quotes, Seq("nope"), "ts", "ts")
