@@ -148,6 +148,40 @@ object HammingIndex {
       queryIdCol)
   }
 
+  /** Hard-negative mining off the STORED codes
+    * ([[Similarity.hardNegatives]] at index scale): shortlist by
+    * Hamming distance among rows whose `clusterCol` value DIFFERS from
+    * the anchor's (the positive/dup-cluster id), then exact-rerank the
+    * shortlist. Requires an index built with the exclusion column as
+    * its cluster column — the stored codes then carry the group id and
+    * the on-disk layout is partitioned by it. Candidate cost is the
+    * codes scan (1/32 of corpus bytes at 64-dim), never a float vector;
+    * same two-pass contract as [[topK]]. Ordering-null semantics: a
+    * NULL group on either side never satisfies `=!=`, so unknown
+    * clusters are excluded as unprovable negatives (matches q180). */
+  def topKExcluding(index: Index, corpus: DataFrame, queries: DataFrame,
+      vecCol: String, k: Int, shortlist: Int,
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or the rerank starves")
+    val exCol = index.clusterCol.getOrElse(throw
+      new IllegalArgumentException("topKExcluding needs an index built " +
+        "with the exclusion column as its cluster column"))
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val idCol = index.idCol
+    val qCodes = broadcast(queries.select(col(idCol).as(queryIdCol),
+      col(exCol).as("__qex"),
+      Similarity.signBits(col(vecCol), index.dim).as("__qcode")))
+    val cand = Similarity.hammingShortlist(
+      index.codes.join(qCodes, col("__qex") =!= col(exCol))
+        .withColumn("hamming", Similarity.hammingDist(
+          col("__qcode"), col("__code"), index.words))
+        .select(col(queryIdCol), col(idCol), col("hamming")),
+      queryIdCol, idCol, shortlist)
+    Similarity.hammingRerank(corpus, queries, cand, idCol, vecCol, k,
+      queryIdCol)
+  }
+
   /** The coarse∧binary ladder: route each query to its `nprobe`
     * nearest literal `centroids` (the SAME ‖c‖²−2⟨q,c⟩ first-minimum
     * argmin as [[IvfPq]] assignment/routing, so an index clustered by

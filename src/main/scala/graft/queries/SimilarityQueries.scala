@@ -707,6 +707,43 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, rank, hamming, similarity FROM r
        |WHERE rank <= 5""".stripMargin
 
+  /** q189: hard negatives served off the STORED binary codes
+    * ([[graft.operators.HammingIndex.topKExcluding]]) — q180's
+    * semantics at index scale: the candidate pass scans 1/32 of the
+    * corpus bytes (codes only) among rows with a DIFFERENT label, the
+    * exact rerank sees only the shortlist. Index clustered by label,
+    * so the codes carry the exclusion column and the layout partitions
+    * on it. The oracle replays sign tests, the label exclusion, both
+    * ranking stages. */
+  def hardNegativesIndexed(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val path = tempWorkDir("graft_q189_")
+    graft.operators.HammingIndex.build(emb, "vec_id", "embedding",
+      dim = 64, path, clusterCol = Some("label"))
+    val index = graft.operators.HammingIndex.load(s, path, "vec_id")
+    graft.operators.HammingIndex.topKExcluding(index, emb,
+      emb.filter(col("vec_id") < 20), "embedding", k = 5,
+      shortlist = HamShortlist)
+  }
+
+  val hardNegativesIndexedSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+       |             embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+       |ham AS (SELECT query_id, vec_id, qv, cv,
+       |    ($hammingTermSql)::BIGINT AS hamming
+       |  FROM q JOIN c ON ql <> label),
+       |short AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, vec_id) AS hrank FROM ham),
+       |rer AS (SELECT query_id, vec_id AS neighbor_id, hamming,
+       |    ${sqlCos("qv", "cv")} AS similarity
+       |  FROM short WHERE hrank <= $HamShortlist),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY similarity DESC, neighbor_id) AS rank FROM rer)
+       |SELECT query_id, neighbor_id, rank, hamming, similarity FROM r
+       |WHERE rank <= 5""".stripMargin
+
   /** Recall audit for the binary path: exact top-5 (q22) vs the
     * Hamming-shortlisted top-5 (q167), histogrammed — the measurement
     * that decides whether 1 bit/dim survives as the candidate pass. */
@@ -913,6 +950,8 @@ object SimilarityQueries {
     Q("q88_quantization_recall", quantizationRecall, Some(quantizationRecallSql)),
     Q("q22_knn_bruteforce", knnBruteForce, Some(knnBruteForceSql)),
     Q("q180_hard_negatives", hardNegativesQ, Some(hardNegativesSql)),
+    Q("q189_hard_negatives_indexed", hardNegativesIndexed,
+      Some(hardNegativesIndexedSql)),
     Q("q23_knn_ivf", knnIvf, Some(knnIvfSql)),
     Q("q24_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     Q("q83_knn_ivf_persisted", knnIvfPersisted, Some(knnIvfProbedSql)),

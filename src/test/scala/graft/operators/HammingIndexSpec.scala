@@ -248,6 +248,36 @@ class HammingIndexSpec extends SparkSpec {
     assert(dirs.toSeq == Seq("cluster=0", "cluster=1", "cluster=2"))
   }
 
+  test("topKExcluding: full shortlist equals exact hardNegatives ranking") {
+    val df = corpus(80, 64, seed = 16)
+      .withColumn("label", (col("vec_id") % 5).cast("int"))
+    val path = tmp()
+    HammingIndex.build(df, "vec_id", "embedding", 64, path, Some("label"))
+    val ix = HammingIndex.load(spark, path, "vec_id")
+    val anchors = df.filter(col("vec_id") < 4)
+    // shortlist >= corpus: the binary pass can't drop any candidate,
+    // so the rerank must equal the exact operator row for row
+    val viaIndex = HammingIndex.topKExcluding(ix, df, anchors,
+      "embedding", k = 3, shortlist = 100)
+      .select("query_id", "neighbor_id", "rank", "similarity")
+    val exact = Similarity.hardNegatives(df, anchors,
+      "vec_id", "embedding", "label", k = 3)
+    assert(viaIndex.exceptAll(exact).isEmpty &&
+      exact.exceptAll(viaIndex).isEmpty)
+    // no same-label neighbor ever surfaces
+    val labels = df.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    viaIndex.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) => assert(labels(q) != labels(n)) }
+    // flat (unclustered) index refuses loudly
+    val flat = tmp()
+    HammingIndex.build(df.drop("label"), "vec_id", "embedding", 64, flat)
+    intercept[IllegalArgumentException] {
+      HammingIndex.topKExcluding(HammingIndex.load(spark, flat, "vec_id"),
+        df, anchors, "embedding", k = 3, shortlist = 10)
+    }
+  }
+
   test("compact refuses in-place") {
     val src = tmp()
     HammingIndex.build(corpus(5, 64, seed = 15), "vec_id", "embedding", 64, src)
