@@ -230,58 +230,74 @@ object Frequency {
     */
   def exactKth(df: DataFrame, keyCol: String, valCol: String,
       rankOf: Long => Long = n => (n + 1) / 2,
+      bits: Int = 12): DataFrame =
+    exactRanks(df, keyCol, valCol, Seq("kth" -> rankOf), bits).drop("tag")
+
+  /** Multi-rank variant of [[exactKth]]: several target ranks per key
+    * (e.g. all three quartiles) refined in the SAME passes — each pass
+    * still scans the data once; a row is histogrammed once per tag
+    * whose live range contains it (ranges disjoin quickly after pass
+    * 1, so the per-tag overlap collapses). Output: (key, tag, n, kth),
+    * one row per (key, tag). */
+  def exactRanks(df: DataFrame, keyCol: String, valCol: String,
+      ranks: Seq[(String, Long => Long)],
       bits: Int = 12): DataFrame = {
     require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
+    require(ranks.nonEmpty && ranks.map(_._1).distinct.size == ranks.size,
+      "ranks need at least one entry with distinct tags")
     val spark = df.sparkSession
     val keyField = df.schema(keyCol)
     require(Seq("long", "int", "short").contains(
       df.schema(valCol).dataType.typeName),
-      s"exactKth selects over integral values; '$valCol' is " +
+      s"exactRanks selects over integral values; '$valCol' is " +
         s"${df.schema(valCol).dataType}")
     val src = df.select(col(keyCol), col(valCol).cast("long").as("__v"))
     val buckets = 1L << bits
 
-    // pass 0: per-key count + live range (one scan)
-    case class St(key: Any, lo: Long, hi: Long, rank: Long, n: Long)
+    // pass 0: per-key count + live range (one scan), fanned out per tag
+    case class St(key: Any, tag: String, lo: Long, hi: Long,
+        rank: Long, n: Long)
     val init = src.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
         max(col("__v")).as("hi"))
       .collect()
-      .map { r =>
+      .flatMap { r =>
         val n = r.getLong(1)
-        val rank = rankOf(n)
-        require(rank >= 1 && rank <= n,
-          s"rankOf($n) = $rank out of [1, $n] for key ${r.get(0)}")
         require(BigInt(r.getLong(3)) - BigInt(r.getLong(2)) <
           BigInt(Long.MaxValue), "value range spans the full int64 domain")
-        St(r.get(0), r.getLong(2), r.getLong(3), rank, n)
+        ranks.map { case (tag, rankOf) =>
+          val rank = rankOf(n)
+          require(rank >= 1 && rank <= n,
+            s"rank '$tag'($n) = $rank out of [1, $n] for key ${r.get(0)}")
+          St(r.get(0), tag, r.getLong(2), r.getLong(3), rank, n)
+        }
       }
     var done = init.filter(s => s.lo == s.hi).toSeq
     var live = init.filterNot(s => s.lo == s.hi).toSeq
 
     import org.apache.spark.sql.types._
     val stSchema = StructType(Seq(keyField.copy(name = "__k"),
-      StructField("__lo", LongType), StructField("__hi", LongType),
-      StructField("__w", LongType)))
+      StructField("__tag", StringType), StructField("__lo", LongType),
+      StructField("__hi", LongType), StructField("__w", LongType)))
     while (live.nonEmpty) {
       val widths = live.map(s =>
-        s.key -> ((s.hi - s.lo) / buckets + 1)).toMap
+        (s.key, s.tag) -> ((s.hi - s.lo) / buckets + 1)).toMap
       val stRows = live.map(s => org.apache.spark.sql.Row(
-        s.key, s.lo, s.hi, widths(s.key)))
+        s.key, s.tag, s.lo, s.hi, widths((s.key, s.tag))))
       val stDf = spark.createDataFrame(
         spark.sparkContext.parallelize(stRows.toIndexedSeq, 1), stSchema)
       val hist = src
         .join(broadcast(stDf), col(keyCol) === col("__k"))
         .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
-        .groupBy(col(keyCol),
+        .groupBy(col(keyCol), col("__tag"),
           ((col("__v") - col("__lo")) / col("__w")).cast("long").as("__b"))
         .agg(count(lit(1)).as("__c"))
         .collect()
-        .groupBy(r => r.get(0))
+        .groupBy(r => (r.get(0), r.getString(1)))
       live = live.flatMap { s =>
-        val lo = s.lo; val w = widths(s.key)
+        val lo = s.lo; val w = widths((s.key, s.tag))
         val rank = s.rank
-        val bs = hist(s.key).map(r => (r.getLong(1), r.getLong(2)))
+        val bs = hist((s.key, s.tag)).map(r => (r.getLong(2), r.getLong(3)))
           .sortBy(_._1)
         val (bStar, inBucket) = {
           var acc = 0L
@@ -291,16 +307,19 @@ object Frequency {
         }
         val nLo = lo + bStar * w
         val nHi = math.min(s.hi, nLo + w - 1)
-        if (nLo == nHi) { done = done :+ St(s.key, nLo, nHi, inBucket, s.n); None }
-        else Some(St(s.key, nLo, nHi, inBucket, s.n))
+        if (nLo == nHi) {
+          done = done :+ St(s.key, s.tag, nLo, nHi, inBucket, s.n); None
+        } else Some(St(s.key, s.tag, nLo, nHi, inBucket, s.n))
       }
     }
     val outSchema = StructType(Seq(keyField.copy(name = keyCol),
+      StructField("tag", StringType, nullable = false),
       StructField("n", LongType, nullable = false),
       StructField("kth", LongType, nullable = false)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        done.map(s => org.apache.spark.sql.Row(s.key, s.n, s.lo)).toIndexedSeq,
+        done.map(s =>
+          org.apache.spark.sql.Row(s.key, s.tag, s.n, s.lo)).toIndexedSeq,
         1), outSchema)
   }
 }

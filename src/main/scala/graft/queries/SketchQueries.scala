@@ -91,6 +91,33 @@ object SketchQueries {
        |SELECT key, nn::BIGINT AS n, v AS kth
        |FROM r WHERE rn = (nn + 1) // 2""".stripMargin
 
+  /** q190: all three EXACT quartiles per key in the SAME refinement
+    * passes ([[graft.operators.Frequency.exactRanks]]) — the multi-rank
+    * generalization of q186: each pass scans once, each (key, quartile)
+    * narrows its own bucket; ranges disjoin after pass 1 so the per-tag
+    * overlap collapses. Rank = ⌈q·n⌉, the histQuantile target formula. */
+  def exactQuartiles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Frequency.exactRanks(
+      Tables.lineitem(s, d).select(col("l_returnflag").as("key"),
+        cents(col("l_extendedprice")).as("c")),
+      "key", "c",
+      Seq("p25" -> ((n: Long) => (n + 3) / 4),
+        "p50" -> ((n: Long) => (2 * n + 3) / 4),
+        "p75" -> ((n: Long) => (3 * n + 3) / 4)))
+
+  val exactQuartilesSql: String =
+    s"""WITH v AS (SELECT l_returnflag AS key,
+       |    ${sqlCents("l_extendedprice")} AS v
+       |  FROM lineitem),
+       |r AS (SELECT key, v,
+       |    row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+       |    count(*) OVER (PARTITION BY key) AS nn
+       |  FROM v),
+       |t AS (SELECT * FROM (VALUES ('p25', 1), ('p50', 2), ('p75', 3))
+       |      q(tag, num))
+       |SELECT key, tag, nn::BIGINT AS n, v AS kth
+       |FROM r, t WHERE rn = (num * nn + 3) // 4""".stripMargin
+
   /** Approximate distinct users per event type via the KMV Aggregator,
     * alongside the exact count. */
   def kmvDistinctUsers(s: SparkSession, d: String): DataFrame =
@@ -798,6 +825,7 @@ object SketchQueries {
     Q("q186_exact_median_selection", exactMedianSelection,
       Some(exactMedianSelectionSql)),
     Q("q188_grouped_bootstrap", groupedBootstrap, Some(groupedBootstrapSql)),
+    Q("q190_exact_quartiles", exactQuartiles, Some(exactQuartilesSql)),
     Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),
     Q("q109_knn_pagerank", knnPageRank, Some(knnPageRankSql)),
     Q("q96_countmin_tokens", countMinTokens, Some(countMinTokensSql)),

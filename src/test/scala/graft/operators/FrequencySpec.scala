@@ -212,6 +212,35 @@ class FrequencySpec extends SparkSpec {
     }
   }
 
+  test("exactRanks: all quartiles in shared passes equal per-rank answers") {
+    val rnd = new scala.util.Random(23)
+    val data = Seq.tabulate(3000)(i => (s"g${i % 3}", rnd.nextInt(100000).toLong))
+    val df = data.toDF("key", "v").repartition(5)
+    val quartiles = Seq(
+      "p25" -> ((n: Long) => (n + 3) / 4),
+      "p50" -> ((n: Long) => (2 * n + 3) / 4),
+      "p75" -> ((n: Long) => (3 * n + 3) / 4))
+    val got = Frequency.exactRanks(df, "key", "v", quartiles)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    data.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.map(_._2).sorted
+      quartiles.foreach { case (tag, rankOf) =>
+        val expected = sorted(rankOf(rows.length.toLong).toInt - 1)
+        assert(got((k, tag)) == expected, s"key $k $tag")
+      }
+    }
+    assert(got.size == 9) // 3 keys x 3 quartiles
+  }
+
+  test("exactRanks: duplicate tags refused") {
+    val df = Seq(("a", 1L), ("a", 2L)).toDF("key", "v")
+    intercept[IllegalArgumentException] {
+      Frequency.exactRanks(df, "key", "v",
+        Seq("x" -> ((n: Long) => 1L), "x" -> ((n: Long) => 2L)))
+    }
+  }
+
   test("exactKth: single-value key short-circuits, guards fire") {
     import org.apache.spark.sql.functions.lit
     val one = Seq(("a", 5L), ("a", 5L), ("b", 9L)).toDF("key", "v")
