@@ -449,10 +449,66 @@ object StreamingQueries {
       |FROM v JOIN p USING (user_id) CROSS JOIN bounds
       |WHERE p_us >= v_us AND p_us <= v_us + 3600000000""".stripMargin
 
+  /** q191: [[graft.operators.Observe]]'s CollectMetrics surface on a
+    * LIVE stream — per-micro-batch data-quality metrics (row count,
+    * exact value sum, error-event count) observed during the batch's
+    * own processing and read back from
+    * `StreamingQueryProgress.observedMetrics`, never a second pass.
+    * This is the production streaming-quality-gate shape: the metrics
+    * ride every micro-batch for free and an alerting hook reads the
+    * progress events. Three one-file arrivals with a full drain between
+    * (the q125 timeline) make batch boundaries deterministic, so the
+    * oracle replays each batch's metrics as a partition aggregate. */
+  def streamingObserved(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val dir = tempWorkDir("graft_q191_")
+    val srcDir = s"$dir/in"
+    def arrive(step: Int): Unit =
+      events.filter(pmod(col("event_id"), lit(3)) === step)
+        .coalesce(1).write.mode("append").json(srcDir)
+    arrive(0)
+    val observed = EventStreams.readJsonStream(s, srcDir)
+      .observe("scan",
+        count(lit(1)).as("n_rows"),
+        sum(cents(col("value"))).as("value_cents"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
+    val query = observed.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.write.format("noop").mode("overwrite").save()
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      (1 to 2).foreach { i => arrive(i); query.processAllAvailable() }
+    } finally query.stop()
+    val metrics = query.recentProgress.toSeq
+      .filter(p => p.numInputRows > 0 && p.observedMetrics.containsKey("scan"))
+      .map(_.observedMetrics.get("scan"))
+    require(metrics.length == 3,
+      s"expected 3 observed micro-batches, got ${metrics.length}")
+    import s.implicits._
+    metrics.zipWithIndex.map { case (m, step) =>
+      (step, m.getAs[Long]("n_rows"), m.getAs[Long]("value_cents"),
+        m.getAs[Long]("n_error"))
+    }.toDF("step", "n_rows", "value_cents", "n_error")
+  }
+
+  val streamingObservedSql: String =
+    s"""SELECT (event_id % 3)::INTEGER AS step, count(*) AS n_rows,
+       |  sum(${sqlCents("value")})::BIGINT AS value_cents,
+       |  count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS n_error
+       |FROM events GROUP BY 1""".stripMargin
+
   // benchReps = 1: each of these pays ~5-20s of per-run engine fixed
   // cost (stream start + drains + state snapshots) that is identical
   // every rep — see Q's scaladoc. Correctness gates are unaffected.
   def all: Seq[Q] = Seq(
+    Q("q191_streaming_observe", streamingObserved,
+      Some(streamingObservedSql), benchReps = 1),
     Q("q160_streaming_join", streamingJoin, Some(streamingJoinSql),
       benchReps = 1),
     Q("q125_streaming_histogram", streamingHistogram,
