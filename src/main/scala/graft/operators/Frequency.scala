@@ -280,10 +280,18 @@ object Frequency {
       StructField("__tag", StringType), StructField("__lo", LongType),
       StructField("__hi", LongType), StructField("__w", LongType)))
     while (live.nonEmpty) {
-      val widths = live.map(s =>
-        (s.key, s.tag) -> ((s.hi - s.lo) / buckets + 1)).toMap
-      val stRows = live.map(s => org.apache.spark.sql.Row(
-        s.key, s.tag, s.lo, s.hi, widths((s.key, s.tag))))
+      // tags sharing an identical live range — ALL of them in pass 1,
+      // since every tag starts at the key's full [min, max] — histogram
+      // ONCE per distinct (key, range) and serve every tag from it; the
+      // __tag column carries the range's first tag as its identity
+      val ranges = live.groupBy(s => (s.key, s.lo, s.hi))
+      val width = ranges.keys.map { case (k, lo, hi) =>
+        (k, lo, hi) -> ((hi - lo) / buckets + 1)
+      }.toMap
+      val rangeTag = ranges.map { case (rk, ss) => rk -> ss.head.tag }
+      val stRows = ranges.keys.toSeq.map { case rk @ (k, lo, hi) =>
+        org.apache.spark.sql.Row(k, rangeTag(rk), lo, hi, width(rk))
+      }
       val stDf = spark.createDataFrame(
         spark.sparkContext.parallelize(stRows.toIndexedSeq, 1), stSchema)
       val hist = src
@@ -295,9 +303,10 @@ object Frequency {
         .collect()
         .groupBy(r => (r.get(0), r.getString(1)))
       live = live.flatMap { s =>
-        val lo = s.lo; val w = widths((s.key, s.tag))
+        val rk = (s.key, s.lo, s.hi)
+        val lo = s.lo; val w = width(rk)
         val rank = s.rank
-        val bs = hist((s.key, s.tag)).map(r => (r.getLong(2), r.getLong(3)))
+        val bs = hist((s.key, rangeTag(rk))).map(r => (r.getLong(2), r.getLong(3)))
           .sortBy(_._1)
         val (bStar, inBucket) = {
           var acc = 0L
