@@ -309,18 +309,17 @@ object SketchQueries {
     * count-min bound. */
   def histQuantiles(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Frequency
-    import org.apache.spark.sql.expressions.Window
     val v = Tables.lineitem(s, d).select(
       col("l_returnflag").as("key"),
       cents(col("l_extendedprice")).as("v"))
     val est = Frequency.histQuantile(
       Frequency.log2Histogram(v, "key", "v"), "key", qNum = 1, qDen = 2)
-    val exact = v
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("key")).orderBy(col("v"))))
-      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("key"))))
-      .filter(col("rn") === expr("(nn + 1) div 2"))
-      .select(col("key"), col("v").as("exact_median"))
+    // exact lower median via histogram-refinement selection (q186's
+    // exactKth; same (n+1) div 2 rank) — the r9-r10 window form fed a
+    // per-key global sort into 3 reducers, the first thing to cliff at
+    // 10x data (sf1.0 8.8x); selection never exchanges data rows
+    val exact = Frequency.exactKth(v, "key", "v")
+      .select(col("key"), col("kth").as("exact_median"))
     est.join(exact, "key")
       .select(col("key"), col("n"), col("bin"), col("est_lo"),
         col("est_hi"), col("exact_median"))
