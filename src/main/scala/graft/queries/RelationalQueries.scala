@@ -611,6 +611,25 @@ object RelationalQueries {
        |FROM unnest([1,2,3,4,5,6,7,8,9,10]) t(i), n
        |JOIN r ON rk = (i * n.n + 9) // 10""".stripMargin
 
+  /** q192: the SAME global deciles as q136 through sortless selection
+    * ([[graft.operators.Frequency.exactRanks]], all ten ranks narrowed
+    * in shared histogram passes — the range-dedupe makes pass 1 ONE
+    * histogram, not ten). q136's two-phase rank scan still globally
+    * range-partitions and sorts the data once; selection never
+    * exchanges data rows at all — at 100 TB that is the difference
+    * between a full-shuffle job and ~3 scan-only passes. Gated by
+    * q136's own sort-based oracle: a boundary VALUE at rank k is the
+    * k-th smallest value under any tiebreak, so the two formulations
+    * must agree exactly. */
+  def equiDepthDecilesSelect(s: SparkSession, d: String): DataFrame =
+    graft.operators.Frequency.exactRanks(
+      Tables.lineitem(s, d).select(lit(0L).as("g"),
+        cents(col("l_extendedprice")).as("c")),
+      "g", "c",
+      (1 to 10).map(i => i.toString -> ((n: Long) => (i * n + 9) / 10)))
+      .select(col("tag").cast("long").as("bucket_idx"),
+        col("kth").as("boundary_cents"))
+
   /** q159: ROLLUP — the hierarchical-subtotal shape (§2.7 had sorts /
     * sets / windows; this closes grouping sets). One pass produces
     * (flag, status), (flag, ALL), (ALL, ALL) aggregate rows; Spark
@@ -671,6 +690,8 @@ object RelationalQueries {
     Q("q163_bloom_join", bloomJoinRevenue, Some(bloomJoinRevenueSql)),
     Q("q159_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)),
     Q("q136_equidepth_deciles", equiDepthDeciles, Some(equiDepthDecilesSql)),
+    Q("q192_equidepth_selection", equiDepthDecilesSelect,
+      Some(equiDepthDecilesSql)),
     Q("q122_exact_covariance", exactCovariance, Some(exactCovarianceSql)),
     Q("q62_group_quantiles", groupQuantiles, Some(groupQuantilesSql)),
     Q("q39_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
