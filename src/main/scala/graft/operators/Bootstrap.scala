@@ -93,9 +93,24 @@ object Bootstrap {
       groupCols: Seq[String], valueCol: String,
       reps: Int, portable: Boolean = false): DataFrame = {
     require(reps >= 1, s"need at least one replicate, got $reps")
+    // 'rep' is emitted (the replicate id) and __u/__v/__w are scratch:
+    // an input column with one of those names would be silently
+    // overwritten, making the draw depend on the replicate index
+    // instead of the user's key. Refuse loudly.
+    val reserved = Set("rep", "__u", "__v", "__w")
+    val clash = (keyCols ++ groupCols :+ valueCol).filter(reserved)
+    require(clash.isEmpty,
+      s"bootstrapGroupSums: column name(s) ${clash.mkString(", ")} are " +
+        s"reserved (${reserved.mkString(", ")}); rename the input column")
+    // Null-safe key encoding on the portable path: concat_ws SKIPS null
+    // parts, so ("a", NULL) and ("a") would alias to the same uniform —
+    // coalesce each part to a NUL sentinel no numeric/date cast ever
+    // produces (oracle twin: coalesce(x::VARCHAR, chr(0))). (The fast
+    // path's n-ary xxhash64 folds null as a distinct case already.)
     val u =
       if (portable) portableUniform(concat_ws(":",
-        keyCols.map(c => col(c).cast("string")) :+ col("rep").cast("string"): _*))
+        keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))) :+
+          col("rep").cast("string"): _*))
       else fastUniform(keyCols.map(col) :+ col("rep"))
     // single-file corpora arrive as ONE split; the hash×reps work is
     // scan-side CPU, so widen to the session's parallelism (no-op when

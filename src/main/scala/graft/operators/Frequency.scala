@@ -254,24 +254,45 @@ object Frequency {
     val src = df.select(col(keyCol), col(valCol).cast("long").as("__v"))
     val buckets = 1L << bits
 
-    // pass 0: per-key count + live range (one scan), fanned out per tag
+    // pass 0: per-key count + live range (one scan), fanned out per tag.
+    // NULLs are rejected loudly in the SAME pass (no extra scan): a NULL
+    // key would never satisfy the keyCol === __k refinement join and a
+    // NULL value is skipped by min/max but counted by count(1), so
+    // either would silently shift ranks — the non-null contract is as
+    // hard as the integral-value require above.
     case class St(key: Any, tag: String, lo: Long, hi: Long,
         rank: Long, n: Long)
-    val init = src.groupBy(col(keyCol))
+    val initRows = src.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
-        max(col("__v")).as("hi"))
+        max(col("__v")).as("hi"),
+        count(when(col("__v").isNull, 1)).as("nNullVals"))
       .collect()
-      .flatMap { r =>
-        val n = r.getLong(1)
-        require(BigInt(r.getLong(3)) - BigInt(r.getLong(2)) <
-          BigInt(Long.MaxValue), "value range spans the full int64 domain")
-        ranks.map { case (tag, rankOf) =>
-          val rank = rankOf(n)
-          require(rank >= 1 && rank <= n,
-            s"rank '$tag'($n) = $rank out of [1, $n] for key ${r.get(0)}")
-          St(r.get(0), tag, r.getLong(2), r.getLong(3), rank, n)
-        }
+    // Driver state (and each refinement pass's histogram collect) is
+    // O(#keys · 2^bits): keys are a GROUPING, not an id space. Fail
+    // loudly before collecting a histogram that would flatten the
+    // driver (the Pca.fit-headroom-style guard) instead of OOMing
+    // passes later.
+    require(initRows.length.toLong * buckets <= (64L << 20),
+      s"exactRanks driver histogram would hold ${initRows.length} keys x " +
+        s"$buckets buckets rows per pass; keys are a grouping, not an id " +
+        "space — reduce key cardinality or lower bits")
+    val init = initRows.flatMap { r =>
+      require(r.get(0) != null,
+        s"exactRanks: NULL values in key column '$keyCol' — selection " +
+          "keys must be non-null (filter or fill upstream)")
+      require(r.getLong(4) == 0L,
+        s"exactRanks: ${r.getLong(4)} NULL '$valCol' rows under key " +
+          s"${r.get(0)} — values must be non-null (filter upstream)")
+      val n = r.getLong(1)
+      require(BigInt(r.getLong(3)) - BigInt(r.getLong(2)) <
+        BigInt(Long.MaxValue), "value range spans the full int64 domain")
+      ranks.map { case (tag, rankOf) =>
+        val rank = rankOf(n)
+        require(rank >= 1 && rank <= n,
+          s"rank '$tag'($n) = $rank out of [1, $n] for key ${r.get(0)}")
+        St(r.get(0), tag, r.getLong(2), r.getLong(3), rank, n)
       }
+    }
     var done = init.filter(s => s.lo == s.hi).toSeq
     var live = init.filterNot(s => s.lo == s.hi).toSeq
 
@@ -297,8 +318,14 @@ object Frequency {
       val hist = src
         .join(broadcast(stDf), col(keyCol) === col("__k"))
         .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        // `div`, not `/`: Column./ on longs is DOUBLE division, which
+        // rounds across bucket boundaries once a key's live range
+        // exceeds 2^53 — the driver-side bounds use exact long
+        // arithmetic, so the two sides would disagree and return a
+        // silently wrong "exact" k-th. Integral div matches exactly
+        // over the full int64 domain the scaladoc advertises.
         .groupBy(col(keyCol), col("__tag"),
-          ((col("__v") - col("__lo")) / col("__w")).cast("long").as("__b"))
+          expr("(__v - __lo) div __w").as("__b"))
         .agg(count(lit(1)).as("__c"))
         .collect()
         .groupBy(r => (r.get(0), r.getString(1)))

@@ -68,10 +68,21 @@ object AsOfJoinNative {
       else right
     val rPlan = rightDistinct.queryExecution.analyzed
 
+    // Spark's own resolver (case-insensitive unless spark.sql.caseSensitive),
+    // not String ==: the composed AsOfJoin resolves through the analyzer,
+    // so the documented drop-in compatibility must accept the same names —
+    // and duplicate-named columns must fail loudly, not first-match.
+    val resolver = spark.sessionState.analyzer.resolver
     def resolve(out: Seq[Attribute], name: String, side: String): Attribute =
-      out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"asOfJoinNative: no column '$name' on the $side side " +
-          s"(have ${out.map(_.name).mkString(", ")})"))
+      out.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"asOfJoinNative: no column '$name' on the $side side " +
+            s"(have ${out.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"asOfJoinNative: '$name' is ambiguous on the $side side " +
+            s"(matches ${many.map(_.name).mkString(", ")})")
+      }
 
     val lKeys = keyCols.map(resolve(lPlan.output, _, "left"))
     val rKeys = keyCols.map(resolve(rPlan.output, _, "right"))

@@ -90,4 +90,40 @@ class BootstrapSpec extends SparkSpec {
       Bootstrap.bootstrapSums(Seq((1L, 1L)).toDF("id", "v"), Seq("id"), "v", 0)
     }
   }
+
+  test("reserved column names refused loudly") {
+    val df = Seq((1L, 1L)).toDF("rep", "v")
+    val e = intercept[IllegalArgumentException] {
+      Bootstrap.bootstrapSums(df, Seq("rep"), "v", 2)
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val df2 = Seq((1L, 1L)).toDF("id", "__w")
+    intercept[IllegalArgumentException] {
+      Bootstrap.bootstrapSums(df2, Seq("id"), "__w", 2)
+    }
+  }
+
+  test("portable path: NULL key part does not alias with the absent part") {
+    // concat_ws alone SKIPS null parts, so ("a", NULL) would encode as
+    // "a:<rep>" — the same string the single-key ("a") row hashes — and
+    // the two rows would draw identical weights on every replicate. The
+    // null-safe encoding must give NULL its own identity.
+    val twoKey = Seq(("a", null: String, 100L)).toDF("k1", "k2", "v")
+    val oneKey = Seq(("a", 100L)).toDF("k1", "v")
+    val reps = 64
+    val wTwo = Bootstrap.bootstrapGroupSums(
+      twoKey, Seq("k1", "k2"), Nil, "v", reps, portable = true)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val wOne = Bootstrap.bootstrapSums(oneKey, Seq("k1"), "v", reps,
+      portable = true)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert((0 until reps).exists(r => wTwo(r) != wOne(r)),
+      "(k, NULL) aliased with (k) across all 64 replicates")
+    // and non-null keys' draws are untouched by the encoding change:
+    // single-part keys never hit the coalesce sentinel
+    val again = Bootstrap.bootstrapSums(oneKey, Seq("k1"), "v", reps,
+      portable = true)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(again == wOne)
+  }
 }

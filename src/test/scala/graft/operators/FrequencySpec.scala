@@ -254,4 +254,44 @@ class FrequencySpec extends SparkSpec {
       Frequency.exactKth(one.withColumn("v", lit(1.5)), "key", "v")
     }
   }
+
+  test("exactRanks: NULL keys and NULL values refused loudly") {
+    import org.apache.spark.sql.functions.{col, when}
+    val nullKey = Seq(("a", 1L), (null: String, 2L), ("a", 3L))
+      .toDF("key", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Frequency.exactKth(nullKey, "key", "v")
+    }
+    assert(e1.getMessage.contains("NULL"), e1.getMessage)
+    val nullVal = Seq(("a", 1L), ("a", 2L), ("a", 3L)).toDF("key", "v")
+      .withColumn("v", when(col("v") === 2L, null).otherwise(col("v")))
+    val e2 = intercept[IllegalArgumentException] {
+      Frequency.exactKth(nullVal, "key", "v")
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
+  test("exactRanks: bucket arithmetic exact beyond 2^53 (integral div)") {
+    // A live range wider than 2^53 makes double division round across
+    // bucket boundaries; integral div must keep the selection exact.
+    val big = Long.MaxValue / 2
+    val data = Seq(("k", -big), ("k", -1L), ("k", 0L), ("k", 1L),
+      ("k", big - 1L), ("k", big))
+    val df = data.toDF("key", "v")
+    val sorted = data.map(_._2).sorted
+    for (rank <- 1 to sorted.length) {
+      val got = Frequency.exactKth(df, "key", "v", _ => rank.toLong)
+        .as[(String, Long, Long)].collect().head
+      assert(got._3 == sorted(rank - 1), s"rank $rank")
+    }
+  }
+
+  test("exactRanks: key-cardinality guard refuses id-space keys") {
+    // 70k keys x 2^12 buckets > the 64M driver-row cap
+    val df = spark.range(70000).selectExpr("id AS key", "id AS v")
+    val e = intercept[IllegalArgumentException] {
+      Frequency.exactKth(df, "key", "v")
+    }
+    assert(e.getMessage.contains("grouping"), e.getMessage)
+  }
 }

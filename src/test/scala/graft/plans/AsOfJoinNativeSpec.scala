@@ -191,4 +191,25 @@ class AsOfJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       AsOfJoinNative.backward(trades, badRight, Seq("key"), "ts", "ts")
     }
   }
+
+  test("column resolution follows Spark's resolver (case-insensitive)") {
+    // the composed AsOfJoin resolves through the analyzer, which is
+    // case-insensitive by default; the native drop-in must match
+    val r = AsOfJoinNative.backward(trades, quotes, Seq("KEY"), "TS", "Ts")
+      .select($"qty", $"asof_price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(r(5L).contains(100.0) && r(9L).isEmpty)
+  }
+
+  test("duplicate-named columns fail loudly instead of first-match") {
+    val dupRight = quotes.select($"key", $"ts", $"price",
+      ($"price" * 2).as("PRICE"))
+    val e = intercept[IllegalArgumentException] {
+      // 'price' matches two right-side columns case-insensitively; the
+      // old first-match would silently pick one as payload key... the
+      // loud path triggers on resolving it as the ts column
+      AsOfJoinNative.backward(trades, dupRight, Seq("key"), "ts", "price")
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
 }
