@@ -1418,6 +1418,32 @@ object ProfileScratch {
         t("final readCorpus+count")(println(
           StreamingDedup.readCorpus(spark, out).get.count()))
 
+      case "cpuq" =>
+        // CPU-demand profile of named queries: wall time AND process CPU
+        // time per run — cpu/wall ≈ effective parallelism. A query whose
+        // ratio saturates the core count is the one a CPU-quota-throttled
+        // environment inflates most (the r11 driver-bench q20 forensics).
+        val osBean = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        val names = args.drop(1)
+        names.foreach { n => // warmup
+          SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+            .write.format("noop").mode("overwrite").save()
+        }
+        names.foreach { n =>
+          (1 to 2).foreach { rep =>
+            val c0 = osBean.getProcessCpuTime
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, d)
+              .write.format("noop").mode("overwrite").save()
+            val wall = (System.nanoTime() - t0) / 1e9
+            val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+            println(f"CPUQ $n rep$rep wall=$wall%.2f s cpu=$cpu%.2f s " +
+              f"parallel=${cpu / wall}%.1fx")
+          }
+        }
+
       case "query" =>
         // Generic single-query profiler: warmup at sf0.001, then two
         // timed noop-sink runs at $SPARK_GRAFT_SF_DIR.
