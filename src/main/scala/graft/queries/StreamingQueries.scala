@@ -503,10 +503,133 @@ object StreamingQueries {
        |  count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS n_error
        |FROM events GROUP BY 1""".stripMargin
 
+  /** q193: `dropDuplicatesWithinWatermark` — streaming EXACT dedup with
+    * state-bounded eviction, the primitive an LLM ingest pipeline runs
+    * before any LSH index — under the replay gate. The timeline is three
+    * time-ordered thirds of `events` (integer-exact second boundaries
+    * both engines derive identically); each step's arrivals are prepped
+    * to one row per key (ts = the key's min second in the step,
+    * DUPLICATED x2 in-file so in-batch dedup is exercised without
+    * depending on intra-batch order). The oracle replays the engine's
+    * empirically-pinned mechanics (StreamingDedupWatermarkSpec):
+    *  - admission at arrival time a stores expiry a + D; duplicates are
+    *    dropped WITHOUT refreshing the stored expiry;
+    *  - between drains the no-data micro-batch evicts with the
+    *    post-drain watermark W = max(event time seen) - D, so state is
+    *    alive at the NEXT drain iff expiry > W — an exact tie evicts;
+    *  - an arrival with no live state is re-admitted and RE-EMITTED:
+    *    the eviction boundary is observable output, not bookkeeping.
+    * D is derived from the step-0 arrival spread (range/4 + 1 s), which
+    * makes roughly the older half of step-0 state expire before its
+    * keys return — both eviction outcomes appear in the gated result.
+    * State is O(keys live within the horizon), not stream length: the
+    * 100 TB contract. */
+  def streamingDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sec = expr("unix_micros(ts) div 1000000")
+    val ev = Tables.events(s, d).select(col("user_id"), sec.as("s"))
+    val Row(lo: Long, hi: Long) =
+      ev.agg(min(col("s")), max(col("s"))).head()
+    val t1 = lo + (hi - lo) / 3
+    val t2 = lo + 2 * ((hi - lo) / 3)
+    def arrivals(step: Int): DataFrame = {
+      val in = step match {
+        case 0 => ev.filter(col("s") <= t1)
+        case 1 => ev.filter(col("s") > t1 && col("s") <= t2)
+        case 2 => ev.filter(col("s") > t2)
+      }
+      in.groupBy(col("user_id")).agg(min(col("s")).as("a"))
+    }
+    val a0 = arrivals(0).agg(min(col("a")), max(col("a"))).head()
+    val dSec = (a0.getLong(1) - a0.getLong(0)) / 4 + 1
+    val dir = tempWorkDir("graft_q193_")
+    val srcDir = s"$dir/in"
+    def arrive(step: Int): Unit = {
+      val rows = arrivals(step)
+        .select(col("user_id"), timestamp_seconds(col("a")).as("ts"))
+      rows.unionAll(rows) // in-batch duplicate, deterministic content
+        .coalesce(1).write.mode("append")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(srcDir)
+    }
+    arrive(0)
+    // driver-set step label (not increment-on-nonempty): a drain whose
+    // arrivals are all dropped duplicates legitimately emits nothing
+    val step = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = s.readStream
+      .schema("user_id LONG, ts TIMESTAMP").json(srcDir)
+      .withWatermark("ts", s"$dSec seconds")
+      .dropDuplicatesWithinWatermark("user_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (out: Dataset[Row], _: Long) =>
+        if (!out.isEmpty)
+          out.coalesce(1).write.mode("append")
+            .parquet(s"$dir/snap/step=${step.get()}")
+        ()
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      (1 to 2).foreach { i =>
+        step.set(i); arrive(i); query.processAllAvailable()
+      }
+    } finally query.stop()
+    (0 until 3).map { g =>
+      val p = s"$dir/snap/step=$g"
+      if (new java.io.File(p).exists())
+        s.read.parquet(p).withColumn("step", lit(g))
+      else s.emptyDataFrame
+        .withColumn("user_id", lit(null).cast("long"))
+        .withColumn("ts", lit(null).cast("timestamp"))
+        .withColumn("step", lit(0))
+        .limit(0)
+    }.reduce(_ unionByName _)
+      .select(col("step"), col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("ts_sec"))
+  }
+
+  val streamingDedupSql: String =
+    """WITH sec AS (
+      |  SELECT user_id AS k, epoch_us(ts) // 1000000 AS s FROM events),
+      |b AS (SELECT min(s) AS lo, max(s) AS hi FROM sec),
+      |pr AS (SELECT lo + (hi - lo) // 3 AS t1,
+      |              lo + 2 * ((hi - lo) // 3) AS t2 FROM b),
+      |arr AS (
+      |  SELECT CASE WHEN s <= t1 THEN 0 WHEN s <= t2 THEN 1 ELSE 2 END
+      |           AS step, k, min(s) AS a
+      |  FROM sec, pr GROUP BY 1, 2),
+      |d AS (SELECT (max(a) - min(a)) // 4 + 1 AS dd, max(a) AS m0
+      |      FROM arr WHERE step = 0),
+      |m AS (SELECT greatest((SELECT m0 FROM d),
+      |        coalesce(max(a), (SELECT m0 FROM d))) AS m01
+      |      FROM arr WHERE step = 1),
+      |e0 AS (SELECT 0 AS step, k, a FROM arr WHERE step = 0),
+      |e1 AS (
+      |  SELECT 1 AS step, x.k, x.a FROM arr x, d
+      |  WHERE x.step = 1 AND NOT EXISTS (
+      |    SELECT 1 FROM arr p
+      |    WHERE p.step = 0 AND p.k = x.k AND p.a + d.dd > d.m0 - d.dd)),
+      |adm AS (
+      |  SELECT k, a FROM e1
+      |  UNION ALL
+      |  SELECT k, a FROM arr p
+      |  WHERE p.step = 0 AND NOT EXISTS (SELECT 1 FROM e1 WHERE e1.k = p.k)),
+      |e2 AS (
+      |  SELECT 2 AS step, x.k, x.a FROM arr x, d, m
+      |  WHERE x.step = 2 AND NOT EXISTS (
+      |    SELECT 1 FROM adm
+      |    WHERE adm.k = x.k AND adm.a + d.dd > m.m01 - d.dd))
+      |SELECT step, k AS user_id, a AS ts_sec FROM e0
+      |UNION ALL SELECT step, k, a FROM e1
+      |UNION ALL SELECT step, k, a FROM e2""".stripMargin
+
   // benchReps = 1: each of these pays ~5-20s of per-run engine fixed
   // cost (stream start + drains + state snapshots) that is identical
   // every rep — see Q's scaladoc. Correctness gates are unaffected.
   def all: Seq[Q] = Seq(
+    Q("q193_streaming_dedup", streamingDedup,
+      Some(streamingDedupSql), benchReps = 1),
     Q("q191_streaming_observe", streamingObserved,
       Some(streamingObservedSql), benchReps = 1),
     Q("q160_streaming_join", streamingJoin, Some(streamingJoinSql),
