@@ -56,7 +56,8 @@ object HammingIndex {
     val codesRoot = new org.apache.hadoop.fs.Path(s"$path/codes")
     val fs = codesRoot.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(codesRoot)) fs.delete(codesRoot, true)
-    writeIncrement(corpus, idCol, vecCol, dim, path, 0L, clusterCol)
+    writeIncrement(corpus, idCol, vecCol, dim, path, 0L, clusterCol,
+      replay = false)
     import spark.implicits._
     Seq((dim, words(dim), clusterCol.orNull))
       .toDF("dim", "words", "cluster_col")
@@ -65,31 +66,50 @@ object HammingIndex {
 
   private def writeIncrement(batch: DataFrame, idCol: String,
       vecCol: String, dim: Int, path: String, batchId: Long,
-      clusterCol: Option[String]): Unit = {
+      clusterCol: Option[String], replay: Boolean): Unit = {
     val codes = batch.select(
       col(idCol) +: Similarity.signBits(col(vecCol), dim).as("__code") +:
         clusterCol.map(col).toSeq: _*)
-    val w = codes.write.mode("overwrite")
-    clusterCol.fold(w)(c => w.partitionBy(c))
-      .parquet(s"$path/codes/ingest_batch=$batchId")
+    val dst = s"$path/codes/ingest_batch=$batchId"
+    def write(out: String): Unit = {
+      val w = codes.write.mode("overwrite")
+      clusterCol.fold(w)(c => w.partitionBy(c)).parquet(out)
+    }
+    if (replay) write(dst) // checkpoint-serialized single writer:
+    // overwriting its own (possibly torn/committed-but-unacked)
+    // increment IS the exactly-once mechanism
+    else if (!AtomicCommit.publishParquet(batch.sparkSession, dst)(write))
+      throw new ConcurrentWriteException(
+        s"HammingIndex $path: increment $batchId was published by a " +
+          "concurrent writer. Batch appends must serialize batch ids " +
+          "(nextBatchId is a read, not a reservation); a streaming " +
+          "replay of its OWN checkpointed id should go through " +
+          "graft.streaming.StreamingHammingIndex, which overwrites.")
   }
 
   /** Append an increment WITHOUT rebuilding — encoded under the
     * index's recorded dim (meta is authoritative; there is no caller
-    * dim to get wrong). Idempotent by construction: the increment
-    * overwrites its own `ingest_batch=` directory, so a
-    * crashed-then-replayed append replaces its torn output. A
-    * clustered index requires the batch to carry the same cluster
-    * column (route upstream — [[IvfIndex.routeToMedoids]] or the
-    * coarse model's assignment). */
+    * dim to get wrong). A clustered index requires the batch to carry
+    * the same cluster column (route upstream —
+    * [[IvfIndex.routeToMedoids]] or the coarse model's assignment).
+    *
+    * `replay = true` is the streaming-maintenance escape hatch: the
+    * caller's batch ids come from a CHECKPOINT (single writer by
+    * construction) and a replayed id must overwrite its own increment
+    * — that overwrite IS the exactly-once mechanism. Batch callers
+    * keep the default conditional commit: a raced increment id fails
+    * loudly ([[ConcurrentWriteException]]) instead of silently
+    * clobbering the other writer's codes. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
-      idCol: String, vecCol: String, batchId: Long): Unit = {
+      idCol: String, vecCol: String, batchId: Long,
+      replay: Boolean = false): Unit = {
     require(batchId > 0,
       s"batchId must be > 0 (0 is the build's base increment), got $batchId")
     val (dim, _, clusterCol) = readMeta(spark, path)
     clusterCol.foreach(c => require(batch.columns.contains(c),
       s"clustered index $path needs the batch to carry '$c'"))
-    writeIncrement(batch, idCol, vecCol, dim, path, batchId, clusterCol)
+    writeIncrement(batch, idCol, vecCol, dim, path, batchId, clusterCol,
+      replay)
   }
 
   /** Next free increment id (1 right after [[build]]) — the
@@ -213,13 +233,30 @@ object HammingIndex {
     val dstRoot = new org.apache.hadoop.fs.Path(dstPath)
     val fs = dstRoot.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dstRoot)) fs.delete(dstRoot, true)
+    // the WHOLE destination index (codes + meta) is assembled in a
+    // hidden attempt root and published by one conditional rename: two
+    // compactors racing the same dstPath get one winner and a loud
+    // loser, and a crash leaves only an invisible attempt — never a
+    // half-index (load() can't even see it)
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpRoot = new org.apache.hadoop.fs.Path(dstRoot.getParent,
+      s".attempt-${dstRoot.getName}-$uuid")
     val writer = codes.write.mode("overwrite")
     clusterCol.fold(writer)(c => writer.partitionBy(c))
-      .parquet(s"$dstPath/codes/ingest_batch=0")
+      .parquet(s"$tmpRoot/codes/ingest_batch=0")
     import spark.implicits._
     Seq((dim, w, clusterCol.orNull))
       .toDF("dim", "words", "cluster_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpRoot/meta")
+    // root-level commit marker: publishDir distinguishes a COMMITTED
+    // destination (lost race — back off) from a torn crash leftover
+    // (reclaim) by it
+    fs.create(new org.apache.hadoop.fs.Path(tmpRoot, "_GRAFT_COMMITTED"),
+      true).close()
+    if (!AtomicCommit.publishDir(fs, tmpRoot, dstRoot, uuid))
+      throw new ConcurrentWriteException(
+        s"HammingIndex.compact: $dstPath was published by a concurrent " +
+          "compactor; serve from the winner or re-target")
   }
 
   def topKProbed(index: Index, corpus: DataFrame, queries: DataFrame,

@@ -303,8 +303,72 @@ object UpsertQueries {
        |WHERE price_cents BETWEEN 5000000 AND 10000000
        |GROUP BY 1""".stripMargin
 
+  /** q194: SCHEMA EVOLUTION on the bucketed CDC table, gated across a
+    * time-travel boundary. Generation 0 publishes `price_cents` as INT
+    * with no `src` column; the table then records two evolution ops
+    * (int→long widening, add-with-default) WITHOUT rewriting a byte of
+    * data, and generation 1 folds a batch whose updates need the long
+    * range and whose rows carry the new column. The result unions both
+    * snapshots: the pre-evolution generation must answer under the
+    * MERGED schema (old rows padded with the recorded default, values
+    * cast up), which the oracle replays as per-generation SQL with the
+    * old schema explicitly padded. Aggregating sums past int range
+    * proves the widening is live, not cosmetic. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        cents(col("o_totalprice")).cast("int").as("price_cents"))
+    val bkt = DataMix.hashBucket(col("o_orderkey"), Seed)
+    val dir = tempWorkDir("graft_q194_")
+    val cdc = new graft.streaming.BucketedCdcTable(
+      s, dir, "o_orderkey", nBuckets = 8)
+    cdc.publish(base)
+    cdc.evolveWiden("price_cents")
+    cdc.evolveAddColumn("src", "string", "legacy")
+    val feed = base.filter(bkt < 150000)
+      .select(lit("update").as("op"), col("o_orderkey"),
+        (col("price_cents").cast("long") + 4000000000L).as("price_cents"),
+        lit("feed").as("src"))
+      .unionByName(base.filter(bkt >= 900000 && bkt < 950000)
+        .select(lit("insert").as("op"),
+          (col("o_orderkey") + 2000000000L).as("o_orderkey"),
+          col("price_cents").cast("long").as("price_cents"),
+          lit("feed").as("src")))
+    cdc.applyBatch(feed)
+    (0 to 1).map(g => cdc.snapshotAt(g).withColumn("gen", lit(g.toLong)))
+      .reduce(_ unionByName _)
+      .groupBy(col("gen"), col("src"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_cents")).as("price_cents"))
+  }
+
+  val schemaEvolutionSql: String =
+    s"""WITH b AS (
+       |  SELECT o_orderkey, ${sqlCents("o_totalprice")} AS price_cents,
+       |    ('0x'||substr(md5(o_orderkey::VARCHAR || '#$Seed'),1,15))::BIGINT
+       |      % 1000000 AS bkt
+       |  FROM orders),
+       |g0 AS (
+       |  SELECT o_orderkey, price_cents, 'legacy' AS src FROM b),
+       |g1 AS (
+       |  SELECT o_orderkey, price_cents, 'legacy' AS src FROM b
+       |  WHERE bkt >= 150000
+       |  UNION ALL
+       |  SELECT o_orderkey, price_cents + 4000000000, 'feed' FROM b
+       |  WHERE bkt < 150000
+       |  UNION ALL
+       |  SELECT o_orderkey + 2000000000, price_cents, 'feed' FROM b
+       |  WHERE bkt >= 900000 AND bkt < 950000)
+       |SELECT gen, src, count(*) AS n_rows,
+       |  (sum(price_cents))::BIGINT AS price_cents
+       |FROM (
+       |  SELECT CAST(0 AS BIGINT) AS gen, * FROM g0
+       |  UNION ALL SELECT CAST(1 AS BIGINT), * FROM g1)
+       |GROUP BY 1, 2""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q63_merge_upsert", mergeOrders, Some(mergeOrdersSql)),
+    Q("q194_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     Q("q114_cdc_time_travel", cdcTimeTravel, Some(cdcTimeTravelSql)),
     Q("q107_snapshot_diff", snapshotDiffOrders, Some(snapshotDiffOrdersSql)),
     Q("q111_incremental_agg", incrementalAgg, Some(mergeOrdersSql)),

@@ -62,10 +62,38 @@ final class BucketedCdcTable(
   private def bucketOf(c: org.apache.spark.sql.Column) =
     pmod(hash(c), lit(nBuckets)).cast("int")
 
-  private def writeManifest(m: Seq[(Int, Int)], g: Int): Unit = {
+  /** CAS-published ([[graft.operators.AtomicCommit]]): the manifest IS
+    * the generation's commit, so the flip must be conditional — two
+    * writers racing generation g get exactly one winner and a DETECTED
+    * loser. Returns whether this writer won. */
+  private def writeManifest(m: Seq[(Int, Int)], g: Int): Boolean = {
     import spark.implicits._
-    m.toDF(Bkt, "data_gen").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/manifest/gen=$g")
+    graft.operators.AtomicCommit
+      .publishParquet(spark, s"$dir/manifest/gen=$g") { tmp =>
+        m.toDF(Bkt, "data_gen").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+      }
+  }
+
+  private def reloadGen(): Unit =
+    gen = CdcCommits.maxCommittedGen(fs, s"$dir/manifest")
+
+  private def refuse(what: String): Nothing =
+    throw new graft.operators.ConcurrentWriteException(
+      s"BucketedCdcTable $dir: lost the $what race 3 times — a " +
+        "concurrent writer is live on this table; coordinate upstream")
+
+  /** Retry harness for the conditional commits: each attempt runs
+    * against the CURRENT committed generation (reloaded after a lost
+    * race so the recompute sees the winner's state), refusing loudly
+    * after 3 losses. */
+  private def retrying(what: String)(attempt: () => Boolean): Unit = {
+    var tries = 0
+    while (!attempt()) {
+      reloadGen()
+      tries += 1
+      if (tries >= 3) refuse(what)
+    }
   }
 
   private def readManifest(g: Int): Seq[(Int, Int)] =
@@ -80,11 +108,15 @@ final class BucketedCdcTable(
     * make the per-file min/max ranges narrow — hash bucketing routes
     * KEYS to directories, but the write tasks' row clustering is what
     * [[scanWhere]]'s file skipping feeds on. */
-  def publish(df: DataFrame): Unit = {
+  def publish(df: DataFrame): Unit = retrying("publish") { () =>
     val next = gen + 1
-    writeGen(df.withColumn(Bkt, bucketOf(col(keyCol))), next)
-    writeManifest((0 until nBuckets).map((_, next)), next)
-    gen = next
+    if (writeGen(df.withColumn(Bkt, bucketOf(col(keyCol))), next)) {
+      if (!writeManifest((0 until nBuckets).map((_, next)), next))
+        throw new graft.operators.ConcurrentWriteException(
+          s"BucketedCdcTable $dir: manifest gen=$next committed by a " +
+            "writer that did not own data gen=$next — protocol violation")
+      gen = next; true
+    } else false
   }
 
   /** Clamp to an externally-committed generation ([[BucketedCdcAggTable]]
@@ -93,11 +125,102 @@ final class BucketedCdcTable(
 
   def snapshot: DataFrame = snapshotAt(gen)
 
-  private def assemble(m: Seq[(Int, Int)]): DataFrame =
+  // ── schema evolution ────────────────────────────────────────────────
+  // Evolution ops are tiny versioned records under dir/schema/v=N (one
+  // parquet row each, CAS-published like everything else: two writers
+  // racing an evolution get one winner). Data files are NEVER rewritten:
+  // every read normalizes each generation's scan to the MERGED schema —
+  // an added column materializes as its recorded default over
+  // pre-evolution rows, a widened column casts up. Old manifests stay
+  // valid, so time travel crosses evolution boundaries for free, always
+  // answering under the merged schema (the lakehouse convention).
+
+  private def readSchemaOps(): Seq[(String, String, String, String)] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/schema")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").toIntOption
+        .map(n => (n, s.getPath.toString)))
+      .sortBy(_._1)
+      .map { case (_, p) =>
+        val r = spark.read.parquet(p).head()
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      }
+  }
+
+  private def nextSchemaVersion: Int = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/schema")
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).toSeq
+      .flatMap(_.getPath.getName.stripPrefix("v=").toIntOption)
+      .maxOption.map(_ + 1).getOrElse(0)
+  }
+
+  private def writeSchemaOp(op: String, name: String, typ: String,
+      default: String): Unit = {
+    import spark.implicits._
+    val v = nextSchemaVersion
+    val won = graft.operators.AtomicCommit
+      .publishParquet(spark, s"$dir/schema/v=$v") { tmp =>
+        Seq((op, name, typ, default)).toDF("op", "name", "typ", "default")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
+    if (!won) throw new graft.operators.ConcurrentWriteException(
+      s"BucketedCdcTable $dir: schema version $v was published by a " +
+        "concurrent writer; re-read the schema and retry the evolution")
+  }
+
+  /** Add a column with a default: recorded in the schema meta, never a
+    * data rewrite. Pre-evolution rows read back with the default; the
+    * default is stored as a STRING and cast to `typeDdl` at read, so it
+    * replays identically in any engine. */
+  def evolveAddColumn(name: String, typeDdl: String,
+      default: String): Unit = {
+    require(!snapshot.columns.contains(name) && name != Bkt,
+      s"evolveAddColumn: column '$name' already exists")
+    writeSchemaOp("add", name, typeDdl, default)
+  }
+
+  /** Widen an integral column in place (short/int → long — the only
+    * always-safe cast family): recorded, never rewritten; every read
+    * casts pre-evolution generations up. Stats-file pruning is
+    * unaffected — per-file min/max are stored as LONG from day one
+    * (the [[writeStats]] contract), so a widened column's old stats
+    * remain exact. */
+  def evolveWiden(name: String, toTypeDdl: String = "long"): Unit = {
+    val from = snapshot.schema(name).dataType.typeName
+    require(Seq("short", "integer", "int").contains(from),
+      s"evolveWiden: '$name' is $from; only short/int -> long is a " +
+        "lossless in-place widening")
+    require(toTypeDdl == "long" || toTypeDdl == "bigint",
+      s"evolveWiden: target must be long/bigint, got $toTypeDdl")
+    writeSchemaOp("widen", name, "long", "")
+  }
+
+  /** Normalize one generation's scan to the merged schema. Idempotent:
+    * generations written after an evolution already carry the column /
+    * width and pass through unchanged. */
+  private def normalize(df: DataFrame,
+      ops: Seq[(String, String, String, String)]): DataFrame =
+    ops.foldLeft(df) { case (d, (op, name, typ, default)) =>
+      op match {
+        case "add" if !d.columns.contains(name) =>
+          d.withColumn(name, lit(default).cast(typ))
+        case "widen" if d.columns.contains(name) &&
+            d.schema(name).dataType.typeName != typ =>
+          d.withColumn(name, col(name).cast(typ))
+        case _ => d
+      }
+    }
+
+  private def assemble(m: Seq[(Int, Int)]): DataFrame = {
+    val ops = readSchemaOps()
     m.groupBy(_._2).toSeq.sortBy(_._1).map { case (dataGen, buckets) =>
-      spark.read.parquet(s"$dir/data/gen=$dataGen")
+      normalize(spark.read.parquet(s"$dir/data/gen=$dataGen"), ops)
         .filter(col(Bkt).isin(buckets.map(_._1): _*))
     }.reduce(_ unionByName _).drop(Bkt)
+  }
 
   /** The table as of generation `g` — any committed generation, since
     * manifests and the data they reference are never rewritten. */
@@ -129,23 +252,28 @@ final class BucketedCdcTable(
     * one schema-bearing (empty) parquet file, keeping every referenced
     * generation readable. `__bkt` survives as a plain column there, so
     * [[assemble]]'s bucket filter and drop behave identically. */
-  private def writeGen(rows: DataFrame, g: Int): Unit = {
-    val out = s"$dir/data/gen=$g"
-    if (rows.isEmpty) rows.write.mode("overwrite").parquet(out)
-    else {
-      // widen a narrow plan (publish's single-file base scan arrives as
-      // ONE input split) so buckets write in parallel; a plan already
-      // at/above bucket parallelism writes as-is — no extra shuffle on
-      // the wide path, which is the only path at scale
-      val parts = rows.queryExecution.toRdd.getNumPartitions
-      val w = if (parts < math.min(nBuckets,
-          spark.conf.get("spark.sql.shuffle.partitions").toInt))
-        rows.repartition(math.min(nBuckets,
-          spark.conf.get("spark.sql.shuffle.partitions").toInt), col(Bkt))
-      else rows
-      w.write.mode("overwrite").partitionBy(Bkt).parquet(out)
-    }
-    if (statsCols.nonEmpty) writeStats(g)
+  private def writeGen(rows: DataFrame, g: Int): Boolean = {
+    val won = graft.operators.AtomicCommit
+      .publishParquet(spark, s"$dir/data/gen=$g") { tmp =>
+        if (rows.isEmpty) rows.write.mode("overwrite").parquet(tmp)
+        else {
+          // widen a narrow plan (publish's single-file base scan arrives
+          // as ONE input split) so buckets write in parallel; a plan
+          // already at/above bucket parallelism writes as-is — no extra
+          // shuffle on the wide path, which is the only path at scale
+          val parts = rows.queryExecution.toRdd.getNumPartitions
+          val w = if (parts < math.min(nBuckets,
+              spark.conf.get("spark.sql.shuffle.partitions").toInt))
+            rows.repartition(math.min(nBuckets,
+              spark.conf.get("spark.sql.shuffle.partitions").toInt), col(Bkt))
+          else rows
+          w.write.mode("overwrite").partitionBy(Bkt).parquet(tmp)
+        }
+      }
+    // stats read the COMMITTED path (file names are manifest content),
+    // so they land after the CAS and only for the winner
+    if (won && statsCols.nonEmpty) writeStats(g)
+    won
   }
 
   /** Per-FILE manifest stats for generation `g`: one row per data file
@@ -217,8 +345,11 @@ final class BucketedCdcTable(
     val (files, _) = pruneFiles(statsCol, lo, hi)
     val pred = col(statsCol).cast("long").between(lo, hi)
     if (files.isEmpty) snapshot.limit(0).filter(pred)
-    else spark.read.parquet(files.map(f => s"$dir/data/$f"): _*)
-      .filter(pred)
+    // normalize BEFORE the predicate: kept files may predate an
+    // evolution (a filter on an added column must see its default;
+    // a widened column compares at the merged width)
+    else normalize(spark.read.parquet(files.map(f => s"$dir/data/$f"): _*),
+      readSchemaOps()).filter(pred)
   }
 
   /** Fold one change batch in, rewriting only the buckets its keys
@@ -237,17 +368,32 @@ final class BucketedCdcTable(
       if (changes.isStreaming) changes
       else graft.operators.Lifecycle.materializeToScratch(changes)
     try {
-      val next = gen + 1
       val touched = touchedBuckets(ch)
-      if (touched.isEmpty) { writeManifest(readManifest(gen), next); gen = next }
-      else {
-        val m = readManifest(gen)
-        val affected = assemble(m.filter(t => touched(t._1)))
-        writeGen(Upsert.applyChanges(affected, ch, keyCol, opCol, seqCol)
-          .withColumn(Bkt, bucketOf(col(keyCol))), next)
-        writeManifest(
-          m.map { case (b, dg) => (b, if (touched(b)) next else dg) }, next)
-        gen = next
+      retrying("applyBatch") { () =>
+        val next = gen + 1
+        if (touched.isEmpty) {
+          val won = writeManifest(readManifest(gen), next)
+          if (won) gen = next
+          won
+        } else {
+          // recomputed per attempt: a lost race reloads `gen`, so the
+          // old images come from the WINNER's committed state
+          val m = readManifest(gen)
+          val affected = assemble(m.filter(t => touched(t._1)))
+          // a batch from a pre-evolution producer folds under the
+          // merged schema too (normalize is a no-op otherwise)
+          val chN = normalize(ch, readSchemaOps())
+          if (writeGen(Upsert.applyChanges(affected, chN, keyCol, opCol,
+              seqCol).withColumn(Bkt, bucketOf(col(keyCol))), next)) {
+            if (!writeManifest(
+                m.map { case (b, dg) => (b, if (touched(b)) next else dg) },
+                next))
+              throw new graft.operators.ConcurrentWriteException(
+                s"BucketedCdcTable $dir: manifest gen=$next committed by " +
+                  "a writer that did not own its data — protocol violation")
+            gen = next; true
+          } else false
+        }
       }
       if (referencedGens > autoCompactAt) compact()
     } finally {
@@ -263,11 +409,15 @@ final class BucketedCdcTable(
     * single data_gen). The only full-table write after publish; run it
     * on the [[StreamingDedup]] cadence — amortized over many batches —
     * not per batch. Old generations stay readable for time travel. */
-  def compact(): Unit = {
+  def compact(): Unit = retrying("compact") { () =>
     val next = gen + 1
-    writeGen(snapshot.withColumn(Bkt, bucketOf(col(keyCol))), next)
-    writeManifest((0 until nBuckets).map((_, next)), next)
-    gen = next
+    if (writeGen(snapshot.withColumn(Bkt, bucketOf(col(keyCol))), next)) {
+      if (!writeManifest((0 until nBuckets).map((_, next)), next))
+        throw new graft.operators.ConcurrentWriteException(
+          s"BucketedCdcTable $dir: manifest gen=$next committed by a " +
+            "writer that did not own its data — protocol violation")
+      gen = next; true
+    } else false
   }
 
   def attach(changes: DataFrame): StreamingQuery =
@@ -309,9 +459,18 @@ final class BucketedCdcAggTable(
     CdcCommits.write(fs, s"$dir/commits", idx = aggGen.toLong,
       batchId = batchId, tableGen = table.generation, aggGen = aggGen)
 
+  /** CAS-published; the agg+table PAIR is single-logical-writer (see
+    * [[CdcAggTable.writeAgg]]) so a lost race refuses loudly. */
   private def writeAgg(df: DataFrame): Unit = {
     val next = aggGen + 1
-    df.write.mode("overwrite").parquet(s"$dir/agg/gen=$next")
+    val won = graft.operators.AtomicCommit
+      .publishParquet(spark, s"$dir/agg/gen=$next") { tmp =>
+        df.write.mode("overwrite").parquet(tmp)
+      }
+    if (!won) throw new graft.operators.ConcurrentWriteException(
+      s"BucketedCdcAggTable $dir: aggregate generation $next was " +
+        "published by a concurrent writer; this table is single-writer " +
+        "— coordinate upstream")
     aggGen = next
   }
 

@@ -41,13 +41,32 @@ final class CdcTable(
     * the truth for the table+aggregate PAIR). */
   private[streaming] def resetTo(g: Int): Unit = gen = g
 
-  /** Publish a full snapshot as the next generation (used for the
-    * initial load and by [[applyBatch]]). */
-  def publish(df: DataFrame): Unit = {
+  /** One conditional publish attempt at gen+1 ([[graft.operators
+    * .AtomicCommit]] — the rename-if-absent CAS). A lost race reloads
+    * the committed generation from disk so the caller retries against
+    * the WINNER's state instead of its own stale view. */
+  private def tryPublish(df: DataFrame): Boolean = {
     val next = gen + 1
-    df.write.mode("overwrite").parquet(s"$dir/gen=$next")
-    gen = next
+    val won = graft.operators.AtomicCommit
+      .publishParquet(spark, s"$dir/gen=$next") { tmp =>
+        df.write.mode("overwrite").parquet(tmp)
+      }
+    if (won) gen = next
+    else gen = CdcCommits.maxCommittedGen(fs, dir)
+    won
   }
+
+  private def refuse(what: String): Nothing =
+    throw new graft.operators.ConcurrentWriteException(
+      s"CdcTable $dir: lost the $what race 3 times — a concurrent " +
+        "writer is live on this table; coordinate writers upstream")
+
+  /** Publish a full snapshot as the next generation (used for the
+    * initial load and by [[applyBatch]]). Concurrent-writer safe: a
+    * lost generation race retries at the winner's next slot (the
+    * content is generation-independent), then refuses loudly. */
+  def publish(df: DataFrame): Unit =
+    if (!(1 to 3).exists(_ => tryPublish(df))) refuse("publish")
 
   def generation: Int = gen
 
@@ -56,9 +75,14 @@ final class CdcTable(
     spark.read.parquet(s"$dir/gen=$gen")
   }
 
-  /** Fold one change batch into the table. */
+  /** Fold one change batch into the table. Concurrent-writer safe: the
+    * upsert is RECOMPUTED against the winner's snapshot on a lost race
+    * (the stale plan captured the loser's pre-race snapshot), then
+    * refuses loudly after 3 losses. */
   def applyBatch(changes: DataFrame): Unit =
-    publish(Upsert.applyChanges(snapshot, changes, keyCol, opCol, seqCol))
+    if (!(1 to 3).exists(_ => tryPublish(
+        Upsert.applyChanges(snapshot, changes, keyCol, opCol, seqCol))))
+      refuse("applyBatch")
 
   /** Attach to a streaming change feed; every micro-batch becomes one
     * generation. */
@@ -112,9 +136,21 @@ final class CdcAggTable(
     CdcCommits.write(fs, s"$dir/commits", idx = aggGen.toLong,
       batchId = batchId, tableGen = table.generation, aggGen = aggGen)
 
+  /** CAS-published like the table generations. The PAIR protocol
+    * (agg + table + commit record) is single-logical-writer — the
+    * streaming checkpoint serializes batches — so a lost race here
+    * means a second writer is live on the same table root: refuse
+    * loudly rather than publish a pair whose old-image reads raced. */
   private def writeAgg(df: DataFrame): Unit = {
     val next = aggGen + 1
-    df.write.mode("overwrite").parquet(s"$dir/agg/gen=$next")
+    val won = graft.operators.AtomicCommit
+      .publishParquet(spark, s"$dir/agg/gen=$next") { tmp =>
+        df.write.mode("overwrite").parquet(tmp)
+      }
+    if (!won) throw new graft.operators.ConcurrentWriteException(
+      s"CdcAggTable $dir: aggregate generation $next was published by " +
+        "a concurrent writer; this table is single-writer — coordinate " +
+        "upstream")
     aggGen = next
   }
 

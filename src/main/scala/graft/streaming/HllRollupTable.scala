@@ -44,10 +44,26 @@ final class HllRollupTable(
     * publish as the next generation. */
   def maintain(batch: DataFrame, key: Column): Unit = {
     val fresh = Hll.registers(batch, key, groups)
-    val merged = if (gen >= 0) Hll.merge(registers(), fresh) else fresh
-    val next = gen + 1
-    merged.write.mode("overwrite").parquet(s"$dir/gen=$next")
-    gen = next
+    // conditional commit + recompute-on-loss (see [[KmvRollupTable
+    // .maintain]]): register max-merge is idempotent, so re-merging
+    // against the winner's generation is always safe.
+    var tries = 0
+    var done = false
+    while (!done) {
+      val merged = if (gen >= 0) Hll.merge(registers(), fresh) else fresh
+      val next = gen + 1
+      if (graft.operators.AtomicCommit
+          .publishParquet(spark, s"$dir/gen=$next") { tmp =>
+            merged.write.mode("overwrite").parquet(tmp)
+          }) { gen = next; done = true }
+      else {
+        gen = CdcCommits.maxCommittedGen(fs, dir)
+        tries += 1
+        if (tries >= 3) throw new graft.operators.ConcurrentWriteException(
+          s"HllRollupTable $dir: lost the generation race 3 times — a " +
+            "concurrent writer is live; coordinate upstream")
+      }
+    }
   }
 
   /** Estimated distinct counts per group as of generation `g`

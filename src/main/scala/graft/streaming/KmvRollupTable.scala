@@ -51,16 +51,33 @@ final class KmvRollupTable(
   def maintain(batch: DataFrame, hash: Column): Unit = {
     val fresh = batch.groupBy(col(groupCol))
       .agg(KmvSketch.minima(hash, k).as("sketch"))
-    val merged =
-      if (gen < 0) fresh
-      else sketches().withColumnRenamed("sketch", "__old")
-        .join(fresh.withColumnRenamed("sketch", "__new"),
-          Seq(groupCol), "full_outer")
-        .select(col(groupCol),
-          Overlap.mergeSketch(col("__old"), col("__new"), k).as("sketch"))
-    val next = gen + 1
-    merged.write.mode("overwrite").parquet(s"$dir/gen=$next")
-    gen = next
+    // conditional commit + recompute-on-loss: the merge reads the
+    // CURRENT sketches, so a lost race re-merges against the winner's
+    // generation (k-minima merge is idempotent, so even a duplicate
+    // delivery folds safely). Refuses loudly after 3 losses.
+    var tries = 0
+    var done = false
+    while (!done) {
+      val merged =
+        if (gen < 0) fresh
+        else sketches().withColumnRenamed("sketch", "__old")
+          .join(fresh.withColumnRenamed("sketch", "__new"),
+            Seq(groupCol), "full_outer")
+          .select(col(groupCol),
+            Overlap.mergeSketch(col("__old"), col("__new"), k).as("sketch"))
+      val next = gen + 1
+      if (graft.operators.AtomicCommit
+          .publishParquet(spark, s"$dir/gen=$next") { tmp =>
+            merged.write.mode("overwrite").parquet(tmp)
+          }) { gen = next; done = true }
+      else {
+        gen = CdcCommits.maxCommittedGen(fs, dir)
+        tries += 1
+        if (tries >= 3) throw new graft.operators.ConcurrentWriteException(
+          s"KmvRollupTable $dir: lost the generation race 3 times — a " +
+            "concurrent writer is live; coordinate upstream")
+      }
+    }
   }
 
   /** Overlap estimate of the corpus-so-far (generation `g`) against a

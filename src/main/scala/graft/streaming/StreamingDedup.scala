@@ -516,15 +516,26 @@ object StreamingDedup {
       // ~maxPartitionBytes-sized read splits, so the write comes out
       // consolidated without a single-task bottleneck at scale
       val genDir = new org.apache.hadoop.fs.Path(s"$indexPath/gen=$upTo")
-      // fold WITHOUT tombstoned rows: compaction is where retracted
-      // data physically leaves the index (readIndex filters until then)
-      applyTombstones(spark, indexPath, spark.read.parquet(srcs: _*))
-        .write.mode("overwrite").parquet(genDir.toString)
       val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
-      // marker BEFORE the covered partitions delete: a crash between
-      // the parquet job and here leaves a torn (invisible) generation
-      // with every source dir still present — no loss either way
-      markCommitted(fs, genDir)
+      // conditional commit: the generation is assembled in a hidden
+      // attempt (with its commit marker already inside, so it is
+      // committed the instant the rename lands) and published by CAS —
+      // two compactors racing gen=upTo get one winner; the loser must
+      // NOT run the covered-partition delete below over sources the
+      // winner's fold may not have seen. Crash before the rename
+      // leaves an invisible attempt with every source intact.
+      val won = graft.operators.AtomicCommit
+        .publishParquet(spark, genDir.toString) { tmp =>
+          // fold WITHOUT tombstoned rows: compaction is where retracted
+          // data physically leaves the index (readIndex filters it out
+          // until then)
+          applyTombstones(spark, indexPath, spark.read.parquet(srcs: _*))
+            .write.mode("overwrite").parquet(tmp)
+          markCommitted(fs, new org.apache.hadoop.fs.Path(tmp))
+        }
+      if (!won) throw new graft.operators.ConcurrentWriteException(
+        s"StreamingDedup.compactIndex: gen=$upTo at $indexPath was " +
+          "published by a concurrent compactor; run one janitor per index")
       (oldGens ++ allBatches).foreach { case (_, p) => fs.delete(p, true) }
     }
   }
@@ -581,9 +592,16 @@ object StreamingDedup {
       upTo: Long): Unit =
     assembleCorpus(spark, outPath, upTo).foreach { df =>
       val genDir = new org.apache.hadoop.fs.Path(s"$outPath/gen=$upTo")
-      df.write.mode("overwrite").parquet(genDir.toString)
       val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
-      markCommitted(fs, genDir)
+      // same conditional commit as [[compactIndex]]
+      val won = graft.operators.AtomicCommit
+        .publishParquet(spark, genDir.toString) { tmp =>
+          df.write.mode("overwrite").parquet(tmp)
+          markCommitted(fs, new org.apache.hadoop.fs.Path(tmp))
+        }
+      if (!won) throw new graft.operators.ConcurrentWriteException(
+        s"StreamingDedup.compactOutput: gen=$upTo at $outPath was " +
+          "published by a concurrent compactor; run one janitor per corpus")
       // deletion covers torn generations too (assembleCorpus never
       // read them; now that a committed gen=upTo supersedes them they
       // are reclaimable litter)

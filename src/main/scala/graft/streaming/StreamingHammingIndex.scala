@@ -35,8 +35,11 @@ object StreamingHammingIndex {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // replay = true: ids come from THIS query's checkpoint (single
+        // writer by construction), and an at-least-once redelivery must
+        // overwrite its own increment — that IS the exactly-once story
         HammingIndex.append(batch.sparkSession, path, batch.toDF(),
-          idCol, vecCol, batchId + 1)
+          idCol, vecCol, batchId + 1, replay = true)
       }
       .start()
 }

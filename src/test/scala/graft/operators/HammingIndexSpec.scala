@@ -61,8 +61,11 @@ class HammingIndexSpec extends SparkSpec {
     b.filter(col("vec_id") < 110).select(col("vec_id"),
         Similarity.signBits(col("embedding"), 64).as("__code"))
       .write.mode("overwrite").parquet(s"$path/codes/ingest_batch=1")
-    // replay overwrites the torn increment completely
-    HammingIndex.append(spark, path, b, "vec_id", "embedding", 1L)
+    // replay overwrites the torn increment completely (replay = true:
+    // the caller is re-delivering its OWN id after a crash — the batch
+    // default would refuse the already-present directory as a race)
+    HammingIndex.append(spark, path, b, "vec_id", "embedding", 1L,
+      replay = true)
     val got = HammingIndex.load(spark, path, "vec_id").codes
     assert(got.count() == 60)
     assert(got.filter(col("vec_id") >= 100).count() == 30)

@@ -201,4 +201,63 @@ class BucketedCdcTableSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(t2.aggSnapshot.as[(String, Long, Long)].collect().toSet === recomputed)
   }
+
+  test("schema evolution: add-with-default + widen across generations") {
+    val dir = java.nio.file.Files.createTempDirectory("bcdc_evo").toString
+    val t = new BucketedCdcTable(spark, dir, keyCol = "k", nBuckets = 4)
+    t.publish(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "cents"))
+    assert(t.snapshot.schema("cents").dataType.typeName == "integer")
+
+    t.evolveWiden("cents")
+    t.evolveAddColumn("src", "string", "legacy")
+
+    // gen 0 data was never rewritten, yet reads under the merged schema
+    assert(t.snapshot.schema("cents").dataType.typeName == "long")
+    assert(t.snapshot.as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "legacy"), (2L, 20L, "legacy"), (3L, 30L, "legacy")))
+
+    // post-evolution batch: long beyond int range + the new column
+    t.applyBatch(Seq(("update", 2L, 3000000000L, "feed"),
+        ("insert", 9L, 90L, "feed"))
+      .toDF("op", "k", "cents", "src"))
+    assert(t.snapshot.as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "legacy"), (2L, 3000000000L, "feed"),
+        (3L, 30L, "legacy"), (9L, 90L, "feed")))
+
+    // time travel ACROSS the evolution boundary: the pre-evolution
+    // generation answers under the merged schema too
+    assert(t.snapshotAt(0).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "legacy"), (2L, 20L, "legacy"), (3L, 30L, "legacy")))
+
+    // a pre-evolution producer's batch still folds (normalized)
+    t.applyBatch(Seq(("insert", 12L, 120)).toDF("op", "k", "cents"))
+    assert(t.snapshot.filter($"k" === 12L)
+      .as[(Long, Long, String)].collect().toSet ==
+      Set((12L, 120L, "legacy")))
+
+    // guards
+    intercept[IllegalArgumentException] {
+      t.evolveAddColumn("cents", "string", "")
+    }
+    intercept[IllegalArgumentException] { t.evolveWiden("src") }
+  }
+
+  test("schema evolution: stats pruning stays exact on a widened column") {
+    val dir = java.nio.file.Files.createTempDirectory("bcdc_evo_st").toString
+    val t = new BucketedCdcTable(spark, dir, keyCol = "k", nBuckets = 2,
+      statsCols = Seq("cents"))
+    t.publish(Seq((1L, 100), (2L, 200), (3L, 300)).toDF("k", "cents"))
+    t.evolveWiden("cents")
+    t.applyBatch(Seq(("insert", 10L, 5000000000L), ("insert", 11L, 6000000000L))
+      .toDF("op", "k", "cents"))
+    // range query above int range must read only post-evolution files
+    val (files, total) = t.pruneFiles("cents", 4000000000L, 7000000000L)
+    assert(files.nonEmpty && files.size < total,
+      s"expected pruning, read ${files.size}/$total")
+    assert(t.scanWhere("cents", 4000000000L, 7000000000L)
+      .select("k").as[Long].collect().toSet == Set(10L, 11L))
+    // and a range inside the old int files still answers exactly
+    assert(t.scanWhere("cents", 150L, 250L)
+      .select("k").as[Long].collect().toSet == Set(2L))
+  }
 }
