@@ -112,23 +112,52 @@ object HammingIndex {
       replay)
   }
 
+  private def listNumDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, prefix: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { s =>
+      val name = s.getPath.getName
+      val suffix = name.stripPrefix(prefix)
+      if (name.startsWith(prefix) && suffix.nonEmpty &&
+        suffix.forall(_.isDigit))
+        scala.util.Try(suffix.toLong).toOption.map(n => (n, s.getPath))
+      else None
+    }
+
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The in-place compaction boundary: increments strictly below it are
+    * folded into (and shadowed by) the newest COMMITTED `gen=` fold
+    * under `path/gen`. Long.MinValue when never compacted in place. */
+  private def coveredBoundary(spark: SparkSession, path: String)
+      : (Long, Option[org.apache.hadoop.fs.Path]) = {
+    val fs = hfs(spark, path)
+    val committed = listNumDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/gen"), "gen=")
+      .filter { case (_, p) =>
+        Seq("_SUCCESS", "_GRAFT_COMMITTED").exists(m =>
+          fs.exists(new org.apache.hadoop.fs.Path(p, m)))
+      }
+    committed.sortBy(_._1).lastOption
+      .map { case (g, p) => (g, Some(p)) }
+      .getOrElse((Long.MinValue, None))
+  }
+
   /** Next free increment id (1 right after [[build]]) — the
     * resume-after-crash loop's cursor, re-derived from the directory
-    * names alone. */
+    * names alone. Respects the in-place compaction boundary: ids below
+    * a committed fold are COVERED (their directories are reclaimed), so
+    * they must never be reissued. */
   def nextBatchId(spark: SparkSession, path: String): Long = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) 0L
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap { s =>
-        val name = s.getPath.getName
-        val suffix = name.stripPrefix("ingest_batch=")
-        if (name.startsWith("ingest_batch=") && suffix.nonEmpty &&
-          suffix.forall(_.isDigit))
-          scala.util.Try(suffix.toLong).toOption
-        else None
-      }.maxOption.map(_ + 1).getOrElse(0L)
+    val fs = hfs(spark, path)
+    val maxInc = listNumDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/codes"), "ingest_batch=")
+      .map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+    val (boundary, _) = coveredBoundary(spark, path)
+    math.max(maxInc, if (boundary == Long.MinValue) 0L else boundary)
   }
 
   private def readMeta(spark: SparkSession, path: String)
@@ -137,9 +166,92 @@ object HammingIndex {
     (r.getInt(0), r.getInt(1), Option(r.getString(2)))
   }
 
+  /** The served codes: the newest committed in-place fold (if any)
+    * unioned with the increments it does not cover — increments below
+    * the boundary are shadowed even if their directories still exist
+    * (a crash between a fold's commit and its covered-directory delete
+    * must not double-serve codes). One partition-pruned scan of the
+    * increment tree plus one scan of the fold. */
+  private def readCodes(spark: SparkSession, path: String): DataFrame = {
+    val (boundary, genDir) = coveredBoundary(spark, path)
+    val fs = hfs(spark, path)
+    val hasIncs = listNumDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/codes"), "ingest_batch=")
+      .exists(_._1 >= boundary)
+    val incDf =
+      if (!hasIncs) None // all folded: the codes tree may be empty
+      else Some(spark.read.parquet(s"$path/codes")
+        .filter(genDir.fold(lit(true))(_ =>
+          col("ingest_batch") >= boundary))
+        .drop("ingest_batch"))
+    val genDf = genDir.map(p => spark.read.parquet(p.toString))
+    (genDf, incDf) match {
+      case (Some(g), Some(i)) => g.unionByName(i)
+      case (Some(g), None) => g
+      case (None, Some(i)) => i
+      case (None, None) => throw new IllegalStateException(
+        s"HammingIndex at $path has no codes (no increments, no fold)")
+    }
+  }
+
   def load(spark: SparkSession, path: String, idCol: String): Index = {
     val (dim, w, clusterCol) = readMeta(spark, path)
-    Index(spark.read.parquet(s"$path/codes"), dim, w, idCol, clusterCol)
+    Index(readCodes(spark, path), dim, w, idCol, clusterCol)
+  }
+
+  /** IN-PLACE periodic compaction: fold the previous committed fold and
+    * every increment strictly below `upTo` into `path/gen/gen=upTo`,
+    * then reclaim the covered directories — [[graft.streaming
+    * .StreamingDedup.compactIndex]]'s covered-boundary pattern, applied
+    * to the codes tree so a long-running [[graft.streaming
+    * .StreamingHammingIndex]] maintenance query doesn't accumulate one
+    * directory per micro-batch until listing cost dominates (the
+    * small-files death at 100 TB). Serving stays correct at EVERY
+    * point: the fold is CAS-published with its commit marker inside
+    * ([[AtomicCommit]]), so readers see either the old increments or
+    * the committed fold that shadows them — never both, never neither.
+    * Idempotent under replay and concurrent janitors: a lost CAS
+    * against an already-committed identical fold proceeds straight to
+    * the covered-directory reclaim. Unlike [[compact]] (rewrite to a
+    * FRESH root + caller pointer swap), this never moves the serving
+    * path. */
+  def compactIncrements(spark: SparkSession, path: String,
+      upTo: Long): Unit = {
+    require(upTo > 0, s"upTo must be positive, got $upTo")
+    val fs = hfs(spark, path)
+    val clusterCol = readMeta(spark, path)._3
+    val (boundary, genDir) = coveredBoundary(spark, path)
+    val allIncs = listNumDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/codes"), "ingest_batch=")
+      .filter(_._1 < upTo)
+    val live = allIncs.filter(_._1 >= boundary)
+    val srcs = genDir.map(_.toString).toSeq ++ live.map(_._2.toString)
+    if (srcs.nonEmpty && (live.nonEmpty || allIncs.nonEmpty)) {
+      val folded = srcs.map(p => spark.read.parquet(p))
+        .map(df => if (df.columns.contains("ingest_batch"))
+          df.drop("ingest_batch") else df)
+        .reduce(_ unionByName _)
+      val dst = s"$path/gen/gen=$upTo"
+      val won = AtomicCommit.publishParquet(spark, dst) { tmp =>
+        val w = folded.write.mode("overwrite")
+        clusterCol.fold(w)(c => w.partitionBy(c)).parquet(tmp)
+        fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMITTED"),
+          true).close()
+      }
+      // a lost CAS against a COMMITTED gen=upTo is a replay or a racing
+      // janitor that folded the same committed sources — proceed to the
+      // reclaim; publishParquet already reclaims torn destinations
+      if (!won && !Seq("_SUCCESS", "_GRAFT_COMMITTED").exists(m =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dst/$m"))))
+        throw new ConcurrentWriteException(
+          s"HammingIndex.compactIncrements: gen=$upTo at $path lost its " +
+            "publish and the destination is not committed")
+      // reclaim: covered increments + superseded folds (torn ones too)
+      (allIncs.map(_._2) ++
+        listNumDirs(fs, new org.apache.hadoop.fs.Path(s"$path/gen"), "gen=")
+          .filter(_._1 < upTo).map(_._2))
+        .foreach(p => fs.delete(p, true))
+    }
   }
 
   /** Serve top-k off the STORED codes: pass 1 scans ⌈dim/64⌉ longs per
@@ -226,10 +338,11 @@ object HammingIndex {
     require(srcPath != dstPath,
       "compact rewrites to a FRESH root; in-place would tear the index")
     val (dim, w, clusterCol) = readMeta(spark, srcPath)
-    // the source increment id materializes as a partition-derived
-    // column — drop it, or the rewritten files would carry it as DATA
-    // and load() would then see it twice (data + new dir name)
-    val codes = spark.read.parquet(s"$srcPath/codes").drop("ingest_batch")
+    // readCodes: partition-derived ingest_batch already dropped (the
+    // rewritten files must not carry it as data) and the read is
+    // boundary-aware — the source may hold in-place folds whose covered
+    // increments were reclaimed ([[compactIncrements]])
+    val codes = readCodes(spark, srcPath)
     val dstRoot = new org.apache.hadoop.fs.Path(dstPath)
     val fs = dstRoot.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dstRoot)) fs.delete(dstRoot, true)

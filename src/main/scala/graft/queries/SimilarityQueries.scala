@@ -804,7 +804,12 @@ object SimilarityQueries {
     * `ingest_batch=` increment keyed on the checkpointed batch id.
     * Serving off the maintained codes must equal serving off a one-shot
     * build, so the oracle is q167/q175's full sign replay over the
-    * whole corpus. */
+    * whole corpus. PERIODIC IN-PLACE COMPACTION is active in the
+    * timeline (`compactEvery = 2`: the second drain folds everything
+    * below it into a committed `gen=` shadow and reclaims the covered
+    * increment dirs) — compaction must be invisible to results and
+    * visible only to the directory listing, exactly like q185's
+    * fresh-root variant. */
   def hammingStreamMaintained(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val dir = tempWorkDir("graft_q181_")
@@ -818,7 +823,8 @@ object SimilarityQueries {
     arrive(1) // on disk before the stream starts
     val query = graft.streaming.StreamingHammingIndex.maintain(
       s.readStream.schema(emb.schema).parquet(srcDir),
-      path, "vec_id", "embedding", s"$dir/ckpt")
+      path, "vec_id", "embedding", s"$dir/ckpt",
+      compactEvery = Some(2))
     try {
       query.processAllAvailable()
       (2 to 3).foreach { p => arrive(p); query.processAllAvailable() }

@@ -21,17 +21,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * cursor.
   *
   * At scale this is the standard "index lags the stream by one trigger"
-  * serving topology: ingest appends increments, a periodic compaction
-  * (same generation fold as [[StreamingDedup.compactIndex]]) would bound
-  * the increment count, and readers always see whole increments because
-  * parquet directories appear atomically at the final rename.
+  * serving topology: ingest appends increments, periodic compaction
+  * ([[HammingIndex.compactIncrements]] — the [[StreamingDedup
+  * .compactIndex]] covered-boundary fold, run in-place every
+  * `compactEvery` batches) bounds the directory count, and readers
+  * always see a consistent code set because folds commit atomically and
+  * shadow the increments they cover even before those are reclaimed.
   */
 object StreamingHammingIndex {
 
   /** Start maintaining `path` (an index with its base build already on
-    * disk) from `stream`. Caller owns the returned query's lifecycle. */
+    * disk) from `stream`. Caller owns the returned query's lifecycle.
+    *
+    * `compactEvery = Some(n)` folds the increment tree in place every n
+    * batches INSIDE the batch hook — safe at that point because it
+    * compacts strictly below the current batch's increment (everything
+    * below it is committed), and a replayed batch re-running the fold
+    * against its own committed generation is a no-op-then-reclaim
+    * ([[HammingIndex.compactIncrements]]'s idempotence contract). A
+    * long-lived maintenance query without it accumulates one directory
+    * per micro-batch until listing cost dominates the serve. */
   def maintain(stream: DataFrame, path: String, idCol: String,
-      vecCol: String, checkpoint: String): StreamingQuery =
+      vecCol: String, checkpoint: String,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(n => require(n > 0,
+      s"compactEvery must be positive, got $n"))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -40,6 +54,12 @@ object StreamingHammingIndex {
         // overwrite its own increment — that IS the exactly-once story
         HammingIndex.append(batch.sparkSession, path, batch.toDF(),
           idCol, vecCol, batchId + 1, replay = true)
+        compactEvery.foreach { n =>
+          if ((batchId + 1) % n == 0)
+            HammingIndex.compactIncrements(batch.sparkSession, path,
+              upTo = batchId + 1)
+        }
       }
       .start()
+  }
 }

@@ -288,4 +288,73 @@ class HammingIndexSpec extends SparkSpec {
       HammingIndex.compact(spark, src, src)
     }
   }
+
+  test("compactIncrements: in-place fold bounds dirs, serving unchanged") {
+    val a = corpus(30, 64, seed = 20)
+    def shifted(seed: Int, off: Long) = corpus(30, 64, seed)
+      .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    val path = tmp()
+    HammingIndex.build(a, "vec_id", "embedding", 64, path)
+    HammingIndex.append(spark, path, shifted(21, 100L), "vec_id",
+      "embedding", 1L)
+    HammingIndex.append(spark, path, shifted(22, 200L), "vec_id",
+      "embedding", 2L)
+    val before = HammingIndex.load(spark, path, "vec_id").codes
+      .select("vec_id", "__code").collect().toSet
+
+    HammingIndex.compactIncrements(spark, path, upTo = 3L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // covered increment dirs reclaimed; one committed fold remains
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+      .count(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch=")) == 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen/gen=3")))
+    val after = HammingIndex.load(spark, path, "vec_id").codes
+      .select("vec_id", "__code").collect().toSet
+    assert(after == before)
+
+    // ids keep flowing after the fold: append resumes ABOVE the boundary
+    assert(HammingIndex.nextBatchId(spark, path) == 3L)
+    HammingIndex.append(spark, path, shifted(23, 300L), "vec_id",
+      "embedding", 3L)
+    assert(HammingIndex.load(spark, path, "vec_id").codes.count() == 120)
+
+    // second fold covers the fold + the new increment
+    HammingIndex.compactIncrements(spark, path, upTo = 4L)
+    assert(HammingIndex.load(spark, path, "vec_id").codes.count() == 120)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen/gen=3")))
+  }
+
+  test("compactIncrements crash window: committed fold SHADOWS covered dirs") {
+    val a = corpus(20, 64, seed = 24)
+    val b = corpus(20, 64, seed = 25)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val path = tmp()
+    HammingIndex.build(a, "vec_id", "embedding", 64, path)
+    HammingIndex.append(spark, path, b, "vec_id", "embedding", 1L)
+    val expect = HammingIndex.load(spark, path, "vec_id").codes
+      .select("vec_id", "__code").collect().toSet
+
+    // simulate the crash BETWEEN the fold's commit and the covered
+    // delete: publish the fold exactly as compactIncrements would,
+    // leaving every covered increment directory in place
+    val folded = spark.read.parquet(s"$path/codes").drop("ingest_batch")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(graft.operators.AtomicCommit
+      .publishParquet(spark, s"$path/gen/gen=2") { tmp =>
+        folded.write.mode("overwrite").parquet(tmp)
+      })
+    // the fold shadows the still-present increments: no double-serving
+    val got = HammingIndex.load(spark, path, "vec_id").codes
+    assert(got.count() == 40)
+    assert(got.select("vec_id", "__code").collect().toSet == expect)
+    // the replayed compaction no-ops on the publish and reclaims
+    HammingIndex.compactIncrements(spark, path, upTo = 2L)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+      .count(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch=")) == 0)
+    assert(HammingIndex.load(spark, path, "vec_id").codes.count() == 40)
+  }
 }
