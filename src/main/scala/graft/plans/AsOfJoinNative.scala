@@ -48,6 +48,73 @@ object AsOfJoinNative {
     join(left, right, keyCols, leftTs, rightTs, prefix,
       toleranceSeconds, forward = true)
 
+  /** Nearest as-of join: for every left row, the right row minimizing
+    * |rightTs − leftTs| — two passes through the SAME exec (the
+    * backward candidate and the forward candidate; each pass is the
+    * one-pass co-partitioned merge, so the whole thing is two sorts of
+    * each side, never a window over the pair volume), then a per-row
+    * pick of the smaller gap. TIE CONTRACT (pinned by spec): an equal
+    * backward/forward gap takes the BACKWARD (earlier) row — "what was
+    * true at the time" beats "what happened next" on a dead heat.
+    * `toleranceSeconds` bounds the |gap| symmetrically; out-of-horizon
+    * degrades to no-match like the directional forms. */
+  def nearest(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      prefix: String = "asof_",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val bPre = "__asofnb_"
+    val fPre = "__asofnf_"
+    val withB = join(left, right, keyCols, leftTs, rightTs, bPre,
+      None, forward = false)
+    val both = join(withB, right, keyCols, leftTs, rightTs, fPre,
+      None, forward = true)
+    val bTs = col(bPre + rightTs)
+    val fTs = col(fPre + rightTs)
+    val gapB = unix_micros(col(leftTs)) - unix_micros(bTs)
+    val gapF = unix_micros(fTs) - unix_micros(col(leftTs))
+    val chooseB = bTs.isNotNull && (fTs.isNull || gapB <= gapF)
+    val within = toleranceSeconds.fold(lit(true))(tol =>
+      when(chooseB, gapB).otherwise(gapF) <= tol * 1000000L)
+    val attached = both.columns.filter(_.startsWith(bPre))
+      .map(_.stripPrefix(bPre))
+    attached.foldLeft(both) { (df, name) =>
+        df.withColumn(prefix + name,
+          when(chooseB && within, col(bPre + name))
+            .otherwise(when(!chooseB && within, col(fPre + name))))
+      }
+      .drop(attached.flatMap(n => Seq(bPre + n, fPre + n)).toIndexedSeq: _*)
+  }
+
+  /** Inner variants: drop left rows with no (in-tolerance) match —
+    * the directional/nearest joins above keep them with nulled
+    * attachments (left-join semantics). Matched-ness is exactly
+    * "the attached right timestamp survived", including the
+    * tolerance degrade. */
+  def backwardInner(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      prefix: String = "asof_",
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    backward(left, right, keyCols, leftTs, rightTs, prefix,
+      toleranceSeconds).filter(col(prefix + rightTs).isNotNull)
+
+  def forwardInner(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      prefix: String = "asof_",
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    forward(left, right, keyCols, leftTs, rightTs, prefix,
+      toleranceSeconds).filter(col(prefix + rightTs).isNotNull)
+
+  def nearestInner(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      prefix: String = "asof_",
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    nearest(left, right, keyCols, leftTs, rightTs, prefix,
+      toleranceSeconds).filter(col(prefix + rightTs).isNotNull)
+
   private def join(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,

@@ -251,6 +251,55 @@ object EventQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON er.user_id = c.user_id AND er.ts <= c.ts""".stripMargin
 
+  /** q195: NEAREST as-of through the native exec — each error matched
+    * to the user's purchase with the smallest |gap| in either
+    * direction (two passes of the one-pass merge, never a window; tie
+    * = equal gaps takes the backward row — the spec-pinned contract).
+    * DuckDB has no nearest ASOF, so the oracle composes its two
+    * directional ASOF joins and replays the pick rule verbatim. */
+  def asofNearestErrorPurchase(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_event_id"))
+    graft.plans.AsOfJoinNative.nearest(errors, purchases,
+        Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        col("asof_purchase_event_id").as("purchase_event_id"),
+        abs(unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+          .as("gap_us"))
+  }
+
+  val asofNearestErrorPurchaseSql: String =
+    """WITH er AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT user_id, ts, event_id AS pid FROM events
+      |  WHERE event_type = 'purchase'),
+      |b AS (
+      |  SELECT er.event_id, er.user_id, er.ts,
+      |    p.pid AS b_pid, p.ts AS b_ts
+      |  FROM er ASOF LEFT JOIN p
+      |    ON er.user_id = p.user_id AND er.ts >= p.ts),
+      |f AS (
+      |  SELECT er.event_id, p.pid AS f_pid, p.ts AS f_ts
+      |  FROM er ASOF LEFT JOIN p
+      |    ON er.user_id = p.user_id AND er.ts <= p.ts),
+      |j AS (
+      |  SELECT b.*, f.f_pid, f.f_ts,
+      |    (b_ts IS NOT NULL AND (f_ts IS NULL OR
+      |       epoch_us(b.ts) - epoch_us(b_ts) <=
+      |       epoch_us(f_ts) - epoch_us(b.ts))) AS choose_b
+      |  FROM b JOIN f USING (event_id))
+      |SELECT event_id, user_id,
+      |  CASE WHEN choose_b THEN b_pid ELSE f_pid END AS purchase_event_id,
+      |  CASE WHEN choose_b THEN epoch_us(ts) - epoch_us(b_ts)
+      |       ELSE epoch_us(f_ts) - epoch_us(ts) END AS gap_us
+      |FROM j""".stripMargin
+
   /** Exact-derived distribution stats: mean/stddev reconstructed from
     * exact integer sums (deterministic, engine-portable — Spark's
     * stddev aggregate uses a streaming algorithm whose result depends
@@ -724,6 +773,8 @@ object EventQueries {
     Q("q33_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
     Q("q179_asof_native", asofNativeErrorPurchase,
       Some(asofNativeErrorPurchaseSql)),
+    Q("q195_asof_nearest", asofNearestErrorPurchase,
+      Some(asofNearestErrorPurchaseSql)),
     Q("q187_asof_forward", asofForwardErrorClick,
       Some(asofForwardErrorClickSql)),
     Q("q34_value_stats", valueStats, Some(valueStatsSql)),

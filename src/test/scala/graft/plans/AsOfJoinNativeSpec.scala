@@ -212,4 +212,81 @@ class AsOfJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(e.getMessage.contains("ambiguous"), e.getMessage)
   }
+
+  test("nearest picks the smaller |gap|; exact tie takes the BACKWARD row") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("key", "ts", "qty")
+    // backward candidate 60s before, forward candidate 30s after
+    val r1 = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 1.0),
+      (1L, ts("2024-01-01 10:00:30"), 2.0)).toDF("key", "ts", "price")
+    val n1 = AsOfJoinNative.nearest(l, r1, Seq("key"), "ts", "ts")
+      .select($"asof_price").as[Option[Double]].head()
+    assert(n1.contains(2.0))
+    // exact tie: 60s both directions -> backward (earlier) row
+    val r2 = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 1.0),
+      (1L, ts("2024-01-01 10:01:00"), 2.0)).toDF("key", "ts", "price")
+    val n2 = AsOfJoinNative.nearest(l, r2, Seq("key"), "ts", "ts")
+      .select($"asof_price").as[Option[Double]].head()
+    assert(n2.contains(1.0))
+  }
+
+  test("nearest property (seeded random): per-row brute force, tie -> backward") {
+    val rnd = new scala.util.Random(11)
+    val lRows = (1 to 120).map(i => (rnd.nextInt(4).toLong,
+      ts(s"2024-01-01 10:${10 + rnd.nextInt(40)}:${10 + rnd.nextInt(50)}"),
+      i.toLong))
+    val rRows = (1 to 80).map(i => (rnd.nextInt(5).toLong,
+      ts(s"2024-01-01 10:${10 + rnd.nextInt(40)}:${10 + rnd.nextInt(50)}"),
+      i.toDouble))
+    val lDf = lRows.toDF("key", "ts", "qty")
+    val rDf = rRows.toDF("key", "ts", "price")
+    val got = AsOfJoinNative.nearest(lDf, rDf, Seq("key"), "ts", "ts")
+      .select($"qty", $"asof_ts".cast("long")).as[(Long, Option[Long])]
+      .collect().toMap
+    lRows.foreach { case (key, t, qty) =>
+      val cands = rRows.filter(_._1 == key)
+      val expected =
+        if (cands.isEmpty) None
+        else {
+          val best = cands.map(c => (math.abs(c._2.getTime - t.getTime),
+            c._2.getTime)).minBy(c => (c._1, c._2))
+          // tie -> backward = the earlier timestamp among equal gaps
+          Some(best._2 / 1000L)
+        }
+      assert(got(qty) == expected, s"left $qty key $key t $t")
+    }
+  }
+
+  test("nearest tolerance bounds |gap| symmetrically") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("key", "ts", "qty")
+    val r = Seq((1L, ts("2024-01-01 10:02:00"), 5.0)).toDF("key", "ts", "price")
+    val within = AsOfJoinNative.nearest(l, r, Seq("key"), "ts", "ts",
+      toleranceSeconds = Some(150L)).select($"asof_price")
+      .as[Option[Double]].head()
+    assert(within.contains(5.0))
+    val outside = AsOfJoinNative.nearest(l, r, Seq("key"), "ts", "ts",
+      toleranceSeconds = Some(60L)).select($"asof_price")
+      .as[Option[Double]].head()
+    assert(outside.isEmpty)
+  }
+
+  test("inner variants drop unmatched left rows (incl. tolerance degrades)") {
+    // trades key 3 has no quotes; key 2 trade at 11:00 has only a
+    // 10:00 quote (out of a 30-min tolerance)
+    val joined = AsOfJoinNative.backwardInner(trades, quotes, Seq("key"),
+      "ts", "ts", toleranceSeconds = Some(1800L))
+    val kept = joined.select($"qty").as[Long].collect().toSet
+    assert(kept == Set(5L, 6L)) // 7 has no prior quote, 8 degraded, 9 no key
+    val leftForm = AsOfJoinNative.backward(trades, quotes, Seq("key"),
+      "ts", "ts", toleranceSeconds = Some(1800L))
+      .filter($"asof_ts".isNotNull)
+    assert(joined.collect().toSet == leftForm.collect().toSet)
+    // nearestInner keeps only in-horizon rows too
+    // qty 6 @10:05 exact (gap 0); qty 7 @09:59 -> 10:00 forward (60s,
+    // at the horizon); qty 5 @10:03's nearest is 10:05 (120s) -> dropped
+    val ni = AsOfJoinNative.nearestInner(trades, quotes, Seq("key"),
+      "ts", "ts", toleranceSeconds = Some(60L))
+    assert(ni.select($"qty").as[Long].collect().toSet == Set(6L, 7L))
+  }
 }
