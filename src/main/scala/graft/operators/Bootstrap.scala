@@ -126,4 +126,33 @@ object Bootstrap {
       .agg(sum(col("__w")).as("n_eff"),
         sum(col("__w") * col("__v")).as("sum_v"))
   }
+
+  /** Per-group bootstrap CONFIDENCE INTERVAL — error bars on a 100 TB
+    * aggregate from parts already on the shelf: one scan builds every
+    * replicate's per-group sum ([[bootstrapGroupSums]]), then the CI
+    * bounds are EXACT rank selections over each group's replicate
+    * distribution via [[Frequency.exactRanks]] (iterative histogram
+    * refinement — zero data-row exchanges, driver state O(groups)).
+    * Bounds are the ⌈q·reps⌉-th smallest replicate sums with q given as
+    * an exact rational qNum/qDen (default 1/40 and 39/40 → a 95% CI),
+    * so both engines derive identical integer ranks. Output: (group,
+    * n_reps, ci_lo, ci_hi). */
+  def bootstrapGroupCi(df: DataFrame, keyCols: Seq[String],
+      groupCol: String, valueCol: String, reps: Int,
+      qNum: Long = 1L, qDen: Long = 40L,
+      portable: Boolean = false): DataFrame = {
+    require(qNum >= 1 && qNum * 2 < qDen,
+      s"need 0 < qNum/qDen < 1/2 for a two-sided CI, got $qNum/$qDen")
+    val sums = bootstrapGroupSums(df, keyCols, Seq(groupCol), valueCol,
+      reps, portable)
+    def rank(num: Long)(n: Long): Long =
+      math.max(1L, (num * n + qDen - 1) / qDen)
+    Frequency.exactRanks(sums.select(col(groupCol), col("sum_v")),
+        groupCol, "sum_v",
+        Seq("ci_lo" -> rank(qNum), "ci_hi" -> rank(qDen - qNum)))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_reps"),
+        max(when(col("tag") === "ci_lo", col("kth"))).as("ci_lo"),
+        max(when(col("tag") === "ci_hi", col("kth"))).as("ci_hi"))
+  }
 }

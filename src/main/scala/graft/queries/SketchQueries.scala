@@ -66,6 +66,45 @@ object SketchQueries {
        |FROM w GROUP BY 1, 2""".stripMargin
   }
 
+  /** q196: per-group bootstrap CONFIDENCE INTERVALS composed from parts
+    * already gated separately — q188's one-scan replicate sums feeding
+    * q186's sortless exact rank selection: error bars on every event
+    * type's total from one scan plus ≤6 histogram re-scans, zero
+    * data-row exchanges. 40 replicates, 95% CI = the 1st and 39th
+    * smallest replicate sums (⌈reps/40⌉ / ⌈39·reps/40⌉ — exact rational
+    * ranks both engines derive identically). The oracle replays draw →
+    * grouped sums → rank selection with a window, the sort-based form
+    * this operator refuses to shuffle for. */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bootstrap.bootstrapGroupCi(
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          cents(col("value")).as("c")),
+      Seq("event_id"), "event_type", "c", reps = 40, portable = true)
+
+  val bootstrapCiSql: String = {
+    val w = graft.operators.Bootstrap.poissonWeightSql("event_id||':'||rep")
+    s"""WITH r AS (SELECT unnest(range(40)) AS rep),
+       |v AS (SELECT event_id, event_type, ${sqlCents("value")} AS c
+       |  FROM events),
+       |w AS (SELECT event_type, rep, $w AS w, c FROM v, r),
+       |sums AS (
+       |  SELECT event_type, rep, sum(w*c)::BIGINT AS sum_v
+       |  FROM w GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT event_type, sum_v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY sum_v)
+       |      AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM sums)
+       |SELECT event_type, max(n)::BIGINT AS n_reps,
+       |  max(CASE WHEN rk = greatest(1, (n + 39) // 40)
+       |      THEN sum_v END) AS ci_lo,
+       |  max(CASE WHEN rk = greatest(1, (39 * n + 39) // 40)
+       |      THEN sum_v END) AS ci_hi
+       |FROM rk GROUP BY 1""".stripMargin
+  }
+
   /** q186: EXACT per-key median with NO global sort
     * ([[graft.operators.Frequency.exactKth]]) — distributed selection
     * by iterative histogram refinement: each pass scans the live range
@@ -824,6 +863,7 @@ object SketchQueries {
     Q("q186_exact_median_selection", exactMedianSelection,
       Some(exactMedianSelectionSql)),
     Q("q188_grouped_bootstrap", groupedBootstrap, Some(groupedBootstrapSql)),
+    Q("q196_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("q190_exact_quartiles", exactQuartiles, Some(exactQuartilesSql)),
     Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),
     Q("q109_knn_pagerank", knnPageRank, Some(knnPageRankSql)),

@@ -126,4 +126,28 @@ class BootstrapSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(again == wOne)
   }
+
+  test("bootstrapGroupCi equals the sort-based rank selection") {
+    val df = (1 to 300).map(i => (i.toLong, s"g${i % 3}", (i % 17).toLong))
+      .toDF("id", "g", "v")
+    val reps = 40
+    val got = Bootstrap.bootstrapGroupCi(df, Seq("id"), "g", "v", reps)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val sums = Bootstrap.bootstrapGroupSums(df, Seq("id"), Seq("g"), "v",
+      reps).as[(String, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._4).sorted.toIndexedSeq).toMap
+    sums.foreach { case (g, sorted) =>
+      val n = sorted.length.toLong
+      val lo = sorted((math.max(1L, (n + 39) / 40) - 1).toInt)
+      val hi = sorted((math.max(1L, (39 * n + 39) / 40) - 1).toInt)
+      assert(got(g) == ((n, lo, hi)), s"group $g")
+      assert(lo <= hi)
+    }
+    assert(got.size == 3)
+    intercept[IllegalArgumentException] { // one-sided q refused
+      Bootstrap.bootstrapGroupCi(df, Seq("id"), "g", "v", 8, qNum = 3,
+        qDen = 5)
+    }
+  }
 }
