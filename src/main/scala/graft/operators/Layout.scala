@@ -65,7 +65,13 @@ object Layout {
     * `path` keeps the data out of the default warehouse root (external
     * table); the catalog entry is what carries the bucket spec, so
     * readers MUST come through `spark.table(name)` — reading the
-    * parquet directory directly loses the co-location guarantee. */
+    * parquet directory directly loses the co-location guarantee.
+    *
+    * SIZE nBuckets AS THE PARALLELISM KNOB: one file per bucket is
+    * load-bearing for the zero-exchange plan (a multi-file bucket loses
+    * the scan's sort order and the join re-sorts), so nBuckets bounds
+    * BOTH scan parallelism and file size — at 100 TB pick nBuckets ≈
+    * table bytes / target file size (~256 MB), not a small constant. */
   def bucketedWrite(df: DataFrame, name: String, bucketCol: String,
       nBuckets: Int, path: String): Unit = {
     val spark = df.sparkSession
