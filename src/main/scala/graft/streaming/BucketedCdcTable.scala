@@ -252,10 +252,13 @@ final class BucketedCdcTable(
     * one schema-bearing (empty) parquet file, keeping every referenced
     * generation readable. `__bkt` survives as a plain column there, so
     * [[assemble]]'s bucket filter and drop behave identically. */
-  private def writeGen(rows: DataFrame, g: Int): Boolean = {
+  private def writeGen(rows: DataFrame, g: Int,
+      preshaped: Boolean = false): Boolean = {
     val won = graft.operators.AtomicCommit
       .publishParquet(spark, s"$dir/data/gen=$g") { tmp =>
         if (rows.isEmpty) rows.write.mode("overwrite").parquet(tmp)
+        else if (preshaped) // caller shaped the partitioning/order
+          rows.write.mode("overwrite").partitionBy(Bkt).parquet(tmp)
         else {
           // widen a narrow plan (publish's single-file base scan arrives
           // as ONE input split) so buckets write in parallel; a plan
@@ -418,6 +421,37 @@ final class BucketedCdcTable(
             "writer that did not own its data — protocol violation")
       gen = next; true
     } else false
+  }
+
+  /** [[compact]] that also RE-CLUSTERS the rows on the stats columns —
+    * the OPTIMIZE step of this table format. Incremental batches write
+    * whatever row order arrives, so after many batches every file's
+    * min/max range is wide and [[scanWhere]]'s skipping decays toward
+    * read-everything; a clustered rewrite range-partitions each bucket
+    * into `nFiles` contiguous stats-column runs (and sorts within), so
+    * per-file ranges become narrow again. Results are identical to
+    * [[compact]] by construction — only the file layout (and therefore
+    * [[pruneFiles]]'s kept-set) changes. Cost: one extra range
+    * exchange over the full-table rewrite compact already pays. */
+  def compactClustered(nFiles: Int): Unit = {
+    require(statsCols.nonEmpty,
+      "compactClustered clusters on statsCols — configure them at " +
+        "construction (plain compact() needs no stats)")
+    require(nFiles >= 1, s"nFiles $nFiles")
+    retrying("compactClustered") { () =>
+      val next = gen + 1
+      val keys = col(Bkt) +: statsCols.map(col)
+      val clustered = snapshot.withColumn(Bkt, bucketOf(col(keyCol)))
+        .repartitionByRange(nFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+      if (writeGen(clustered, next, preshaped = true)) {
+        if (!writeManifest((0 until nBuckets).map((_, next)), next))
+          throw new graft.operators.ConcurrentWriteException(
+            s"BucketedCdcTable $dir: manifest gen=$next committed by a " +
+              "writer that did not own its data — protocol violation")
+        gen = next; true
+      } else false
+    }
   }
 
   def attach(changes: DataFrame): StreamingQuery =

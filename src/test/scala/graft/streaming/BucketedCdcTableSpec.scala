@@ -260,4 +260,38 @@ class BucketedCdcTableSpec extends SparkSpec {
     assert(t.scanWhere("cents", 150L, 250L)
       .select("k").as[Long].collect().toSet == Set(2L))
   }
+
+  test("compactClustered narrows per-file stats ranges; results unchanged") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("bcdc_opt").toString
+    val t = new BucketedCdcTable(spark, dir, keyCol = "k", nBuckets = 2,
+      statsCols = Seq("v"))
+    // interleaved value ranges: every file spans nearly the full domain,
+    // so pre-OPTIMIZE skipping can prune almost nothing
+    t.publish((1L to 400L).map(i => (i, (i * 7919) % 1000))
+      .toDF("k", "v"))
+    t.applyBatch((401L to 800L).map(i => ("insert", i, (i * 104729) % 1000))
+      .toDF("op", "k", "v"))
+    val expected = t.scanWhere("v", 100L, 140L)
+      .select("k").as[Long].collect().toSet
+    val (keptBefore, totalBefore) = t.pruneFiles("v", 100L, 140L)
+
+    t.compactClustered(nFiles = 16)
+    val (keptAfter, totalAfter) = t.pruneFiles("v", 100L, 140L)
+    // clustering produced more, narrower files — and the narrow range
+    // now reads a strictly smaller FRACTION of them
+    assert(totalAfter >= 8, s"expected multiple clustered files, got $totalAfter")
+    assert(keptAfter.size.toDouble / totalAfter <
+      math.max(keptBefore.size, 1).toDouble / totalBefore,
+      s"before $keptBefore/$totalBefore after ${keptAfter.size}/$totalAfter")
+    assert(t.scanWhere("v", 100L, 140L)
+      .select("k").as[Long].collect().toSet == expected)
+    assert(t.snapshot.count() == 800)
+    // guard: clustering needs statsCols
+    val bare = new BucketedCdcTable(spark,
+      java.nio.file.Files.createTempDirectory("bcdc_opt2").toString,
+      keyCol = "k", nBuckets = 2)
+    bare.publish(Seq((1L, 1L)).toDF("k", "v"))
+    intercept[IllegalArgumentException] { bare.compactClustered(4) }
+  }
 }
