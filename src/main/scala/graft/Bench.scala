@@ -45,7 +45,30 @@ object Bench {
     // +8s-per-query regression while actually measuring first-run
     // state-store setup. Net suite cost: 2 full-sf executions instead
     // of 1 tiny + 3 full.
+    // ── calibration probe ────────────────────────────────────────────
+    // The driver environment drifts 1.4-2.9x intra-day with zero code
+    // change (NOTES r11/r12: same tree measured 334s morning / 487s
+    // afternoon; q20's r11 "regression" was a sustained contention
+    // episode). A 2x acceptance gate with a 1.6x env band leaves ~0.4x
+    // of real signal, so every timed phase now opens with a fixed
+    // CPU-bound, data-independent probe — xxhash64 folded over a
+    // deterministic range at full parallelism — whose cost moves with
+    // machine-wide contention and with NOTHING in this repo's plans.
+    // Per-query times are reported raw AND calibrated (raw divided by
+    // the phase's probe inflation over the best observed probe): a
+    // real plan regression moves calibrated numbers, env drift doesn't.
+    val calibProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000000L, 1L, cpus.toInt)
+        .select(sum(xxhash64(col("id")) % 1000000L).as("h")).collect()
+      val c = (System.nanoTime() - t0) / 1e9
+      calibProbes += c
+      c
+    }
     val benchReps = SparkEntry.registered.map(q => q.name -> q.benchReps).toMap
+    calibrate() // probe the warmup phase's env too (single-rep yardstick)
     val warmupT: Map[String, Double] = selected.map { case (name, fn) =>
       val dir = if (benchReps.getOrElse(name, 3) == 1) sfDir else warmupDir
       val t0 = System.nanoTime()
@@ -95,46 +118,76 @@ object Bench {
     val repsOf = selected.map { case (name, _) =>
       name -> benchReps.getOrElse(name, 3)
     }.toMap
-    val runsByName = scala.collection.mutable.Map[String, Vector[Double]]()
-    for (r <- 1 to 3; (name, fn) <- selected if r <= repsOf(name))
-      runsByName(name) = runsByName.getOrElse(name, Vector()) :+
-        timeOne(name, fn)
-    val results = selected.map { case (name, fn) =>
+    // every run is stored with the calibration probe of the phase it ran
+    // in, so calibrated statistics can be formed per run, not per query
+    val runsByName =
+      scala.collection.mutable.Map[String, Vector[(Double, Double)]]()
+    val maxReps = repsOf.values.maxOption.getOrElse(0)
+    for (r <- 1 to maxReps) {
+      val c = calibrate()
+      for ((name, fn) <- selected if r <= repsOf(name))
+        runsByName(name) = runsByName.getOrElse(name, Vector()) :+
+          (timeOne(name, fn), c)
+    }
+    // extra runs (escalations/retries) open their own probe: they run
+    // minutes after the rep that triggered them, under whatever env is
+    // live THEN
+    def extraRun(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      val c = calibrate()
+      (timeOne(name, fn), c)
+    }
+    val allRuns = selected.map { case (name, fn) =>
       val reps = repsOf(name)
-      var times: Seq[Double] = runsByName(name)
+      var times: Vector[(Double, Double)] = runsByName(name)
+      def raws = times.map(_._1)
       // Single-rep guard (streaming family): with one run there is no
       // spread to inspect, so the yardstick is the query's own warmup —
       // the same query at the same sf (see above). >3x warmup (floored
       // at 1s so tiny warmups can't trip it) ⇒ suspected contention ⇒
       // escalate to the standard 3-run median.
-      if (reps == 1 && times.head > 3.0 * math.max(warmupT(name), 1.0)) {
-        System.err.println(f"BENCH ESCALATE $name: single run ${times.head}%.2f" +
+      if (reps == 1 && raws.head > 3.0 * math.max(warmupT(name), 1.0)) {
+        System.err.println(f"BENCH ESCALATE $name: single run ${raws.head}%.2f" +
           f"s > 3x warmup ${warmupT(name)}%.2fs — taking 3-run median")
-        times = times ++ (1 to 2).map(_ => timeOne(name, fn))
+        times = times ++ (1 to 2).map(_ => extraRun(name, fn))
       }
       var retries = 0
       while (times.size >= 3 && retries < 2 &&
-          times.max / math.max(times.min, 1e-9) > OutlierSpread) {
-        System.err.println(f"BENCH RETRY $name: spread [${times.min}%.2f, " +
-          f"${times.max}%.2f] exceeds ${OutlierSpread}%.1fx — rerunning")
-        times = times :+ timeOne(name, fn)
+          raws.max / math.max(raws.min, 1e-9) > OutlierSpread) {
+        System.err.println(f"BENCH RETRY $name: spread [${raws.min}%.2f, " +
+          f"${raws.max}%.2f] exceeds ${OutlierSpread}%.1fx — rerunning")
+        times = times :+ extraRun(name, fn)
         retries += 1
       }
-      val sorted = times.sorted
-      val med = sorted(sorted.size / 2)
-      (name, med, sorted.head, sorted.last)
+      (name, times)
     }
-    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+    // calibrated stats formed AFTER every probe (including extra-run
+    // probes) has landed, so one calRef governs all queries. A probe
+    // BELOW calRef never inflates a query (factor floored at 1).
+    val calRef = math.max(calibProbes.min, 1e-9)
+    val results = allRuns.map { case (name, times) =>
+      val sorted = times.map(_._1).sorted
+      val calSorted = times
+        .map { case (t, c) => t / math.max(c / calRef, 1.0) }.sorted
+      (name, sorted(sorted.size / 2), sorted.head, sorted.last,
+        calSorted(calSorted.size / 2))
+    }
+    val qs = results.map { case (k, med, _, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, lo, _) => s"\"" + k + "\":" + lo }
+    val mins = results.map { case (k, _, lo, _, _) => s"\"" + k + "\":" + lo }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, lo, hi) =>
+    val spread = results.map { case (k, _, lo, hi, _) =>
       s"\"" + k + "\":[" + lo + "," + hi + "]"
     }.mkString("{", ",", "}")
+    val qsCal = results.map { case (k, _, _, _, cm) => s"\"" + k + "\":" + cm }
+      .mkString("{", ",", "}")
+    val calibJson = calibProbes.map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val minTotal = results.map(_._3).sum
+    val calTotal = results.map(_._5).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"mins":$mins,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"cal_total":$calTotal,"calib":$calibJson,"queries":$qs,"mins":$mins,"queries_cal":$qsCal,"spread":$spread,"sf":"$sfDir"}"""
     println(json)
     // The driver's stdout capture keeps only a ~2000-char TAIL, which
     // truncates the full per-query map mid-stream (every BENCH_r*.json
@@ -142,13 +195,13 @@ object Bench {
     // LAST — headline totals + the 10 slowest queries — so whatever
     // tail survives is a complete, parseable JSON line.
     val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+      .map { case (k, med, _, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     // Distinct metric name: consumers keying on "metric" must be able
     // to tell the compact tail-surviving summary from the full line
     // above (same-name duplicates made grep-first pick the wrong one).
     println(
-      s"""{"metric":"total_summary","value":$total,"unit":"sec","min_total":$minTotal,"n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","min_total":$minTotal,"cal_total":$calTotal,"calib":$calibJson,"n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     // Also persist the whole JSON line to a file: the driver's stdout
     // capture head-truncates long lines, which cost round 2 its q01-q19
     // numbers; a file survives whole.

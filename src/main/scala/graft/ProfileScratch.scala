@@ -1345,6 +1345,56 @@ object ProfileScratch {
         }
         println(s"bucketed snapshot rows: ${bkt.snapshot.count()}")
 
+      case "vacuumscale" =>
+        // r13: bytes-on-disk under CONTINUOUS ingest must be BOUNDED
+        // with retention and grow linearly without. Two identical
+        // bucketed CDC tables fold the same update batches; one runs
+        // vacuum(retainLast) every `every` batches. Printed: total
+        // table bytes after each janitor cycle for both, and the final
+        // ratio. Snapshot equality at the end pins that the janitor
+        // never touched a retained row.
+        val nBatches = args.lift(1).map(_.toInt).getOrElse(24)
+        val every = args.lift(2).map(_.toInt).getOrElse(4)
+        val retain = args.lift(3).map(_.toInt).getOrElse(6)
+        val ord = spark.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        def dirBytes(path: String): Long = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+        }
+        val vacDir = java.nio.file.Files
+          .createTempDirectory("vacscale_vac").toString
+        val ctlDir = java.nio.file.Files
+          .createTempDirectory("vacscale_ctl").toString
+        val vac = new streaming.BucketedCdcTable(
+          spark, vacDir, "o_orderkey", nBuckets = 64)
+        val ctl = new streaming.BucketedCdcTable(
+          spark, ctlDir, "o_orderkey", nBuckets = 64)
+        t("publish both")(Seq(vac, ctl).foreach(_.publish(ord)))
+        (1 to nBatches).foreach { i =>
+          val b = ord
+            .filter(col("o_orderkey") % 1000L >= (i * 37) % 1000L &&
+              col("o_orderkey") % 1000L < (i * 37) % 1000L + 10L)
+            .select(lit("update").as("op"), col("o_orderkey"),
+              lit(s"U$i").as("o_orderstatus"), col("o_totalprice"))
+          vac.applyBatch(b); ctl.applyBatch(b)
+          if (i % every == 0) {
+            vac.vacuum(retain)
+            println(f"after batch $i%3d: vacuumed ${dirBytes(vacDir)}%,13d B" +
+              f" (floor ${vac.retentionFloor}%3d)   " +
+              f"control ${dirBytes(ctlDir)}%,13d B")
+          }
+        }
+        vac.vacuum(retain) // final sweep of the last mark
+        val vb = dirBytes(vacDir); val cb = dirBytes(ctlDir)
+        println(f"final: vacuumed $vb%,d B vs control $cb%,d B " +
+          f"(${vb.toDouble / cb}%.3f of unbounded)")
+        val a = vac.snapshot.orderBy("o_orderkey").collect()
+        val c2 = ctl.snapshot.orderBy("o_orderkey").collect()
+        println(s"snapshots equal: ${a.sameElements(c2)} (${a.length} rows)")
+
       case "sdedupscale" =>
         // Scale smoke for the incremental-dedup family under the
         // RECORDED ADAPTIVE shape (verdict r10 #4): the q82 on-disk

@@ -39,11 +39,14 @@ final class ConcurrentWriteException(msg: String)
   *    there, exactly as every transactional table format also requires
   *    (their LOG commit is the same rename-if-absent primitive).
   *  - A TORN destination (crashed writer: directory without a commit
-  *    marker) is reclaimed by the next attempt. Reclamation assumes
-  *    the torn writer is dead — a crashed writer's generation number
-  *    being re-raced by two live writers within the same milliseconds
-  *    is outside the protocol (as it is for every log-based format's
-  *    orphan cleanup).
+  *    marker) is reclaimed by the next attempt — via rename-ASIDE, so
+  *    two live writers re-racing a crashed writer's generation cannot
+  *    double-win: the slower one moves the faster one's just-committed
+  *    dst to its private tomb, DETECTS the commit marker there, restores
+  *    it and loses. Committed data is never deleted on the reclaim path;
+  *    the only residual (a three-writer race on one torn generation,
+  *    restore finding dst re-occupied) leaves the committed content
+  *    parked in a hidden tomb rather than destroyed.
   */
 object AtomicCommit {
 
@@ -79,7 +82,29 @@ object AtomicCommit {
     fs.create(new Path(tmp, marker), true).close()
     if (fs.exists(dst)) {
       if (isCommitted(fs, dst)) { fs.delete(tmp, true); return false }
-      fs.delete(dst, true) // torn leftover of a crashed writer: reclaim
+      // Torn leftover of a crashed writer: reclaim. NOT delete-in-place —
+      // between the isCommitted check above and a delete, a concurrent
+      // writer's rename could have committed dst, and deleting would
+      // erase its just-won data (check-to-delete TOCTOU). Instead the
+      // dst is renamed ASIDE to a hidden tomb (atomic, moves whatever
+      // is there now), re-checked once OFF the racing path: a tomb that
+      // turns out committed was a winner we raced — restore it and lose;
+      // a torn tomb is provably a crashed writer's (no live writer can
+      // touch the uuid'd tomb path) and is safe to drop.
+      val tomb = new Path(dst.getParent, s".torn-${dst.getName}-$uuid")
+      if (fs.rename(dst, tomb)) {
+        if (isCommitted(fs, tomb)) {
+          // restore and lose. A failed restore means a THIRD writer took
+          // dst in the gap — leave the tomb on disk (committed data is
+          // never deleted; a hidden tomb is recoverable, a delete isn't).
+          fs.rename(tomb, dst)
+          fs.delete(tmp, true)
+          return false
+        }
+        fs.delete(tomb, true)
+      }
+      // aside-rename failed: dst vanished or was just replaced — fall
+      // through; the rename-if-absent below still arbitrates.
     }
     fs.rename(tmp, dst)
     if (fs.exists(new Path(dst, marker))) true

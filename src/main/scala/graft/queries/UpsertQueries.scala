@@ -366,8 +366,89 @@ object UpsertQueries {
        |  UNION ALL SELECT CAST(1 AS BIGINT), * FROM g1)
        |GROUP BY 1, 2""".stripMargin
 
+  /** q197: VACUUM + time travel within the retention horizon. q114's
+    * exact on-disk timeline (gens 0/1/2 on the bucketed table), then
+    * two `vacuum(retainLast = 2)` passes — the first MARKS generation
+    * 0 expired (floor rises to 1, reads below it refuse), the second
+    * SWEEPS its manifest and every data generation no retained
+    * manifest references (one janitor cycle of reader grace). The
+    * result unions the two SURVIVING generations, which must still be
+    * byte-exact against the relational replay: retention must reclaim
+    * gen 0's storage without perturbing a single retained row. The
+    * refusal/deletion mechanics are spec-pinned in RetentionSpec; this
+    * gate pins post-vacuum READ correctness under the oracle. */
+  def vacuumTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"))
+    val bkt = DataMix.hashBucket(col("o_orderkey"), Seed)
+    def op(name: String) = lit(name).as("op")
+    val feed1 = base.filter(bkt < 100000)
+      .select(op("delete"), col("o_orderkey"), col("o_orderstatus"),
+        col("price_cents"))
+      .unionByName(base.filter(bkt >= 100000 && bkt < 200000)
+        .select(op("update"), col("o_orderkey"),
+          lit("U").as("o_orderstatus"), col("price_cents")))
+      .unionByName(base.filter(bkt >= 200000 && bkt < 300000)
+        .select(op("insert"), (col("o_orderkey") + 1000000000L)
+          .as("o_orderkey"), lit("N").as("o_orderstatus"),
+          col("price_cents")))
+    val feed2 = base.filter(bkt >= 300000 && bkt < 350000)
+      .select(op("delete"), col("o_orderkey"), col("o_orderstatus"),
+        col("price_cents"))
+      .unionByName(base.filter(bkt >= 350000 && bkt < 400000)
+        .select(op("update"), col("o_orderkey"),
+          lit("V").as("o_orderstatus"), col("price_cents")))
+    val dir = tempWorkDir("graft_q197_")
+    val cdc = new graft.streaming.BucketedCdcTable(
+      s, dir, "o_orderkey", nBuckets = 8)
+    cdc.publish(base)
+    cdc.applyBatch(feed1)
+    cdc.applyBatch(feed2)
+    cdc.vacuum(retainLast = 2) // mark: floor -> 1
+    cdc.vacuum(retainLast = 2) // sweep: gen 0's bytes reclaimed
+    (1 to 2).map(g => cdc.snapshotAt(g).withColumn("gen", lit(g.toLong)))
+      .reduce(_ unionByName _)
+      .groupBy(col("gen"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_cents")).as("price_cents"))
+  }
+
+  val vacuumTimeTravelSql: String =
+    s"""WITH b AS (
+       |  SELECT o_orderkey, o_orderstatus, ${sqlCents("o_totalprice")}
+       |      AS price_cents,
+       |    ('0x'||substr(md5(o_orderkey::VARCHAR || '#$Seed'),1,15))::BIGINT
+       |      % 1000000 AS bkt
+       |  FROM orders),
+       |g1 AS (
+       |  SELECT o_orderkey, o_orderstatus, price_cents FROM b
+       |  WHERE bkt >= 200000
+       |  UNION ALL
+       |  SELECT o_orderkey, 'U', price_cents FROM b
+       |  WHERE bkt >= 100000 AND bkt < 200000
+       |  UNION ALL
+       |  SELECT o_orderkey + 1000000000, 'N', price_cents FROM b
+       |  WHERE bkt >= 200000 AND bkt < 300000),
+       |g2 AS (
+       |  SELECT g1.* FROM g1
+       |  LEFT JOIN (SELECT o_orderkey FROM b
+       |             WHERE bkt >= 300000 AND bkt < 400000) t2
+       |    ON g1.o_orderkey = t2.o_orderkey
+       |  WHERE t2.o_orderkey IS NULL
+       |  UNION ALL
+       |  SELECT o_orderkey, 'V', price_cents FROM b
+       |  WHERE bkt >= 350000 AND bkt < 400000)
+       |SELECT gen, o_orderstatus, count(*) AS n_orders,
+       |  (sum(price_cents))::BIGINT AS price_cents
+       |FROM (
+       |  SELECT CAST(1 AS BIGINT) AS gen, * FROM g1
+       |  UNION ALL SELECT CAST(2 AS BIGINT), * FROM g2)
+       |GROUP BY 1, 2""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q63_merge_upsert", mergeOrders, Some(mergeOrdersSql)),
+    Q("q197_vacuum_time_travel", vacuumTimeTravel, Some(vacuumTimeTravelSql)),
     Q("q194_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     Q("q114_cdc_time_travel", cdcTimeTravel, Some(cdcTimeTravelSql)),
     Q("q107_snapshot_diff", snapshotDiffOrders, Some(snapshotDiffOrdersSql)),

@@ -14,10 +14,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Layout:
   * {{{
-  *   dir/data/gen=G/__bkt=B/   rows of bucket B as rewritten at gen G
-  *                             (only TOUCHED buckets appear under G)
+  *   dir/data/gen=D/__bkt=B/   rows of bucket B as rewritten at data
+  *                             gen D (only TOUCHED buckets appear)
   *   dir/manifest/gen=G/       (__bkt, data_gen): for every bucket, the
-  *                             generation holding its current rows
+  *                             data generation holding its current rows
   * }}}
   *
   * The manifest is the generation's entire commit: data directories
@@ -28,6 +28,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * same write-new-then-flip contract as the flat table, now at bucket
   * granularity. Every old manifest stays readable, so
   * [[snapshotAt]] gives free time travel over all generations.
+  *
+  * DATA generations are allocated independently of manifest
+  * generations (first number above both the highest committed data gen
+  * and the current manifest gen). This is what makes crashed and
+  * racing writers harmless: a data gen whose manifest never landed —
+  * a crash between the two, or a lost manifest race — is simply never
+  * referenced, the next writer allocates PAST it instead of fighting
+  * its committed `_SUCCESS` for the slot (the r12 wedge: the retry
+  * loop lost the data CAS to the crashed writer's own orphan three
+  * times and refused), and [[vacuum]] reclaims it later. The manifest
+  * CAS remains the single arbitration point.
   *
   * Read path: the manifest (≤ nBuckets rows — a bounded config
   * constant, collected driver-side like [[graft.operators.IvfIndex]]'s
@@ -108,15 +119,24 @@ final class BucketedCdcTable(
     * make the per-file min/max ranges narrow — hash bucketing routes
     * KEYS to directories, but the write tasks' row clustering is what
     * [[scanWhere]]'s file skipping feeds on. */
+  /** First data-gen number above both the highest committed data gen
+    * and the current manifest gen: never contends with a crashed
+    * writer's committed orphan, and two LIVE writers picking the same
+    * number are arbitrated by the data CAS (the loser re-allocates
+    * above the winner on retry). */
+  private def allocDataGen(): Int =
+    math.max(CdcCommits.maxCommittedGen(fs, s"$dir/data"), gen) + 1
+
   def publish(df: DataFrame): Unit = retrying("publish") { () =>
     val next = gen + 1
-    if (writeGen(df.withColumn(Bkt, bucketOf(col(keyCol))), next)) {
-      if (!writeManifest((0 until nBuckets).map((_, next)), next))
-        throw new graft.operators.ConcurrentWriteException(
-          s"BucketedCdcTable $dir: manifest gen=$next committed by a " +
-            "writer that did not own data gen=$next — protocol violation")
-      gen = next; true
-    } else false
+    val dg = allocDataGen()
+    // a won data write followed by a LOST manifest race is a plain
+    // retry (a concurrent writer committed the manifest slot first);
+    // our committed data gen is now unreferenced — vacuum food, never
+    // a wedge, because allocation skips past it
+    writeGen(df.withColumn(Bkt, bucketOf(col(keyCol))), dg) &&
+      writeManifest((0 until nBuckets).map((_, dg)), next) &&
+      { gen = next; true }
   }
 
   /** Clamp to an externally-committed generation ([[BucketedCdcAggTable]]
@@ -222,11 +242,81 @@ final class BucketedCdcTable(
     }.reduce(_ unionByName _).drop(Bkt)
   }
 
-  /** The table as of generation `g` — any committed generation, since
-    * manifests and the data they reference are never rewritten. */
+  /** Lowest readable generation ([[vacuum]] raises it; 0 = full
+    * history). Recovered from the retention record on construction. */
+  @volatile private var floor: Int = Retention.floorOf(fs, dir)
+
+  def retentionFloor: Int = floor
+
+  /** The table as of generation `g` — any committed generation within
+    * the retention horizon (manifests and the data they reference are
+    * never rewritten). Below the horizon the request fails LOUDLY:
+    * the generation is expired or already reclaimed, and a read that
+    * happened to find surviving files would be nondeterministic. */
   def snapshotAt(g: Int): DataFrame = {
     require(g >= 0 && g <= gen, s"generation $g not in [0, $gen]")
+    require(g >= floor,
+      s"generation $g expired by retention (floor=$floor) — vacuumed")
     assemble(readManifest(g))
+  }
+
+  /** Data generations referenced by any manifest in [`from`, current]
+    * — the liveness set for retention decisions. Bounded driver work:
+    * retained-generation count × nBuckets manifest rows. */
+  private def liveDataGens(from: Int): Set[Int] =
+    (math.max(from, 0) to gen).flatMap(g => readManifest(g).map(_._2)).toSet
+
+  private def committedDataGens: Set[Int] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/data")
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).toSeq.flatMap { s =>
+      val suffix = s.getPath.getName.stripPrefix("gen=")
+      if (s.isDirectory && s.getPath.getName.startsWith("gen=") &&
+          suffix.nonEmpty && suffix.forall(_.isDigit)) Some(suffix.toInt)
+      else None
+    }.toSet
+  }
+
+  /** Expire time travel older than the newest `retainLast` generations
+    * and reclaim the bytes ([[Retention]] mark-then-sweep — this pass
+    * marks, the NEXT pass deletes, so a reader whose scan was planned
+    * before the mark survives one full janitor cycle). Expired units:
+    * manifests below the new floor, plus every data generation (and
+    * its stats file) referenced by NO retained manifest — which also
+    * collects the unreferenced orphans that crashed or CAS-losing
+    * writers leave behind ([[allocDataGen]]). Data liveness is
+    * RE-CHECKED at sweep time: a data gen marked while its writer's
+    * manifest was still in flight has become referenced since, and the
+    * manifest tree — not the mark — is the truth. Racing janitors are
+    * idempotent (CAS-published records; double-delete is a no-op). */
+  def vacuum(retainLast: Int): Unit = {
+    require(retainLast >= 1, s"retainLast $retainLast must be >= 1")
+    val st = Retention.load(fs, dir)
+    if (st.pending.nonEmpty) {
+      val live = liveDataGens(st.floor)
+      st.pending.foreach { p =>
+        if (p.startsWith("data/gen=")) {
+          val dg = p.stripPrefix("data/gen=").toInt
+          if (!live(dg)) {
+            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), true)
+            fs.delete(
+              new org.apache.hadoop.fs.Path(s"$dir/stats/gen=$dg"), true)
+          }
+        } else fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$p"), true)
+      }
+    }
+    val floorNew = math.max(st.floor, math.max(gen - retainLast + 1, 0))
+    val retained = liveDataGens(floorNew)
+    val newly = (st.floor until floorNew).map(g => s"manifest/gen=$g") ++
+      (committedDataGens -- retained).toSeq.sorted.map(d => s"data/gen=$d")
+    if (newly.nonEmpty || st.pending.nonEmpty) {
+      if (!Retention.tryPublish(fs, dir,
+          Retention.State(st.idx + 1, floorNew, newly))) {
+        floor = math.max(floorNew, Retention.floorOf(fs, dir))
+        return // racing janitor advanced: accept its (equivalent) state
+      }
+    }
+    floor = floorNew
   }
 
   /** Buckets the batch's keys hash to — the bounded driver-side
@@ -386,16 +476,13 @@ final class BucketedCdcTable(
           // a batch from a pre-evolution producer folds under the
           // merged schema too (normalize is a no-op otherwise)
           val chN = normalize(ch, readSchemaOps())
-          if (writeGen(Upsert.applyChanges(affected, chN, keyCol, opCol,
-              seqCol).withColumn(Bkt, bucketOf(col(keyCol))), next)) {
-            if (!writeManifest(
-                m.map { case (b, dg) => (b, if (touched(b)) next else dg) },
-                next))
-              throw new graft.operators.ConcurrentWriteException(
-                s"BucketedCdcTable $dir: manifest gen=$next committed by " +
-                  "a writer that did not own its data — protocol violation")
-            gen = next; true
-          } else false
+          val dg = allocDataGen()
+          writeGen(Upsert.applyChanges(affected, chN, keyCol, opCol,
+              seqCol).withColumn(Bkt, bucketOf(col(keyCol))), dg) &&
+            writeManifest(
+              m.map { case (b, old) => (b, if (touched(b)) dg else old) },
+              next) &&
+            { gen = next; true }
         }
       }
       if (referencedGens > autoCompactAt) compact()
@@ -414,13 +501,10 @@ final class BucketedCdcTable(
     * not per batch. Old generations stay readable for time travel. */
   def compact(): Unit = retrying("compact") { () =>
     val next = gen + 1
-    if (writeGen(snapshot.withColumn(Bkt, bucketOf(col(keyCol))), next)) {
-      if (!writeManifest((0 until nBuckets).map((_, next)), next))
-        throw new graft.operators.ConcurrentWriteException(
-          s"BucketedCdcTable $dir: manifest gen=$next committed by a " +
-            "writer that did not own its data — protocol violation")
-      gen = next; true
-    } else false
+    val dg = allocDataGen()
+    writeGen(snapshot.withColumn(Bkt, bucketOf(col(keyCol))), dg) &&
+      writeManifest((0 until nBuckets).map((_, dg)), next) &&
+      { gen = next; true }
   }
 
   /** [[compact]] that also RE-CLUSTERS the rows on the stats columns —
@@ -440,17 +524,14 @@ final class BucketedCdcTable(
     require(nFiles >= 1, s"nFiles $nFiles")
     retrying("compactClustered") { () =>
       val next = gen + 1
+      val dg = allocDataGen()
       val keys = col(Bkt) +: statsCols.map(col)
       val clustered = snapshot.withColumn(Bkt, bucketOf(col(keyCol)))
         .repartitionByRange(nFiles, keys: _*)
         .sortWithinPartitions(keys: _*)
-      if (writeGen(clustered, next, preshaped = true)) {
-        if (!writeManifest((0 until nBuckets).map((_, next)), next))
-          throw new graft.operators.ConcurrentWriteException(
-            s"BucketedCdcTable $dir: manifest gen=$next committed by a " +
-              "writer that did not own its data — protocol violation")
-        gen = next; true
-      } else false
+      writeGen(clustered, dg, preshaped = true) &&
+        writeManifest((0 until nBuckets).map((_, dg)), next) &&
+        { gen = next; true }
     }
   }
 
@@ -485,8 +566,17 @@ final class BucketedCdcAggTable(
   private def fs = new org.apache.hadoop.fs.Path(dir)
     .getFileSystem(spark.sessionState.newHadoopConf())
 
-  CdcCommits.latest(fs, s"$dir/commits").foreach {
-    case (b, tg, ag) => lastBatchId = b; table.resetTo(tg); aggGen = ag
+  // commit record = the pair's truth ([[CdcAggTable]]): reclaim the
+  // protocol-torn generations beyond it at construction. For the
+  // bucketed table the MANIFEST tree is its commit point; orphan DATA
+  // gens need no reclaim — allocation skips past them and vacuum
+  // collects them.
+  locally {
+    val (b, tg, ag) = CdcCommits.latest(fs, s"$dir/commits")
+      .getOrElse((-1L, -1, -1))
+    lastBatchId = b; table.resetTo(tg); aggGen = ag
+    CdcCommits.reclaimAbove(fs, s"$dir/table/manifest", tg)
+    CdcCommits.reclaimAbove(fs, s"$dir/agg", ag)
   }
 
   private def commit(batchId: Long): Unit =
@@ -540,6 +630,15 @@ final class BucketedCdcAggTable(
         if (id > lastBatchId) applyBatch(batch, id)
       }
       .start()
+
+  /** Retention across the whole pair ([[CdcAggTable.vacuum]]): table
+    * manifests + data + stats, aggregate generations, and the
+    * per-batch commit-record files. */
+  def vacuum(retainLast: Int): Unit = {
+    table.vacuum(retainLast)
+    Retention.vacuumFlat(fs, s"$dir/agg", aggGen, retainLast)
+    Retention.pruneCommitRecords(fs, s"$dir/commits", retainLast)
+  }
 }
 
 /** Commit-state recovery shared by the CDC tables: a generation COUNTS
@@ -562,6 +661,27 @@ private[streaming] object CdcCommits {
         Some(suffix.toInt)
       else None
     }.maxOption.getOrElse(-1)
+  }
+
+  /** Delete every `gen=N` child of `root` with N > `keep` — committed
+    * or torn. Recovery-time reclaim for the PAIR protocol (table +
+    * aggregate + commit record): there the commit RECORD is the truth,
+    * so a gen directory beyond the latest record is protocol-torn even
+    * when its own `_SUCCESS` landed (the writer crashed between the gen
+    * write and the record). Without the reclaim, a redelivered batch
+    * loses the CAS to its own orphan forever (the r12 crash-loop).
+    * Single-logical-writer context only — construction, before any
+    * writes — which is exactly the pair protocol's contract. */
+  def reclaimAbove(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, keep: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(p)) fs.listStatus(p).foreach { s =>
+      val suffix = s.getPath.getName.stripPrefix("gen=")
+      if (s.isDirectory && s.getPath.getName.startsWith("gen=") &&
+          suffix.nonEmpty && suffix.forall(_.isDigit) &&
+          suffix.toInt > keep)
+        fs.delete(s.getPath, true)
+    }
   }
 
   /** Read the latest commit record under `root` (tiny JSON-ish CSV

@@ -70,10 +70,34 @@ final class CdcTable(
 
   def generation: Int = gen
 
+  /** Lowest readable generation ([[vacuum]] raises it; 0 = full
+    * history). Recovered from the retention record on construction. */
+  @volatile private var floor: Int = Retention.floorOf(fs, dir)
+
+  def retentionFloor: Int = floor
+
   def snapshot: DataFrame = {
     require(gen >= 0, "CdcTable has no snapshot yet — publish a base first")
     spark.read.parquet(s"$dir/gen=$gen")
   }
+
+  /** The table as of generation `g` — any generation within the
+    * retention horizon. Past-horizon requests fail loudly (the
+    * generation is expired or already reclaimed), never wrong. */
+  def snapshotAt(g: Int): DataFrame = {
+    require(g >= 0 && g <= gen, s"generation $g not in [0, $gen]")
+    require(g >= floor,
+      s"generation $g expired by retention (floor=$floor) — vacuumed")
+    spark.read.parquet(s"$dir/gen=$g")
+  }
+
+  /** Expire every generation older than the newest `retainLast`
+    * ([[Retention]] mark-then-sweep: this pass marks, the NEXT pass
+    * reclaims the bytes — one janitor cycle of reader grace). Time
+    * travel within the horizon stays exact; below it, [[snapshotAt]]
+    * refuses. Racing janitors are idempotent. */
+  def vacuum(retainLast: Int): Unit =
+    floor = Retention.vacuumFlat(fs, dir, gen, retainLast)
 
   /** Fold one change batch into the table. Concurrent-writer safe: the
     * upsert is RECOMPUTED against the winner's snapshot on a lost race
@@ -110,10 +134,14 @@ final class CdcTable(
   * `dir/commits` — temp-file + rename, so a record is whole or
   * absent — and construction recovers all three from the latest
   * record. A crash between the table/aggregate writes and the commit
-  * leaves orphan gen directories that recovery never flips to; the
-  * redelivered batch then re-applies against the PRE-batch pair and
-  * overwrites the orphans idempotently. The maintain ≡ recompute
-  * invariant over any batch sequence is pinned by CdcTableSpec. */
+  * leaves orphan gen directories that recovery never flips to; they
+  * are protocol-torn even though internally committed (the record is
+  * the pair's commit point), so construction RECLAIMS every gen
+  * directory beyond the recovered record before any write — without
+  * that, the redelivered batch's conditional publish would lose the
+  * CAS to its own orphan on every restart (a permanent crash loop).
+  * The maintain ≡ recompute invariant over any batch sequence is
+  * pinned by CdcTableSpec. */
 final class CdcAggTable(
     spark: SparkSession, dir: String, keyCol: String, groupCol: String,
     countCol: String, sumCols: Seq[String], opCol: String = "op") {
@@ -126,10 +154,17 @@ final class CdcAggTable(
     .getFileSystem(spark.sessionState.newHadoopConf())
 
   // recover the last COMMITTED (batchId, tableGen, aggGen) triple: the
-  // commit record is the truth for the pair — bare gen directories
-  // beyond it are torn attempts and stay orphaned
-  CdcCommits.latest(fs, s"$dir/commits").foreach {
-    case (b, tg, ag) => lastBatchId = b; table.resetTo(tg); aggGen = ag
+  // commit record is the truth for the pair — gen directories beyond
+  // it are torn at the protocol level (a crash landed between a gen
+  // write and its record) and are reclaimed HERE, while the protocol
+  // is provably single-writer, so the redelivered batch republishes
+  // into clean slots instead of losing the CAS to its own orphans
+  locally {
+    val (b, tg, ag) = CdcCommits.latest(fs, s"$dir/commits")
+      .getOrElse((-1L, -1, -1))
+    lastBatchId = b; table.resetTo(tg); aggGen = ag
+    CdcCommits.reclaimAbove(fs, s"$dir/table", tg)
+    CdcCommits.reclaimAbove(fs, s"$dir/agg", ag)
   }
 
   private def commit(batchId: Long): Unit =
@@ -190,4 +225,14 @@ final class CdcAggTable(
         if (id > lastBatchId) applyBatch(batch, id)
       }
       .start()
+
+  /** Retention across the whole pair: table generations, aggregate
+    * generations, and the per-batch commit-record files (recovery
+    * reads only the latest; an unbounded record directory makes
+    * LISTING the recovery cost). Mark-then-sweep ([[Retention]]). */
+  def vacuum(retainLast: Int): Unit = {
+    table.vacuum(retainLast)
+    Retention.vacuumFlat(fs, s"$dir/agg", aggGen, retainLast)
+    Retention.pruneCommitRecords(fs, s"$dir/commits", retainLast)
+  }
 }

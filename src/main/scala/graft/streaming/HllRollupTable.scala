@@ -33,9 +33,21 @@ final class HllRollupTable(
 
   def generation: Int = gen
 
+  @volatile private var floor: Int = Retention.floorOf(fs, dir)
+
+  def retentionFloor: Int = floor
+
+  /** Expire timeline points older than the newest `retainLast`
+    * generations ([[Retention]] mark-then-sweep; the latest register
+    * file — the one [[maintain]] folds into — is always retained). */
+  def vacuum(retainLast: Int): Unit =
+    floor = Retention.vacuumFlat(fs, dir, gen, retainLast)
+
   /** The register file as of generation `g` (default: latest). */
   def registers(g: Int = gen): DataFrame = {
     require(g >= 0 && g <= gen, s"no committed generation $g (latest $gen)")
+    require(g >= floor,
+      s"generation $g expired by retention (floor=$floor) — vacuumed")
     spark.read.parquet(s"$dir/gen=$g")
   }
 

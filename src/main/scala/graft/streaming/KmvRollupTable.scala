@@ -38,10 +38,23 @@ final class KmvRollupTable(
 
   def generation: Int = gen
 
+  @volatile private var floor: Int = Retention.floorOf(fs, dir)
+
+  def retentionFloor: Int = floor
+
+  /** Expire timeline points older than the newest `retainLast`
+    * generations ([[Retention]] mark-then-sweep; the latest sketch is
+    * always retained, so estimates are unaffected — only how far back
+    * [[overlapTimeline]] reaches). */
+  def vacuum(retainLast: Int): Unit =
+    floor = Retention.vacuumFlat(fs, dir, gen, retainLast)
+
   /** The sketch table as of generation `g` (default: latest):
     * one row per group, columns (groupCol, sketch). */
   def sketches(g: Int = gen): DataFrame = {
     require(g >= 0 && g <= gen, s"no committed generation $g (latest $gen)")
+    require(g >= floor,
+      s"generation $g expired by retention (floor=$floor) — vacuumed")
     spark.read.parquet(s"$dir/gen=$g")
   }
 
@@ -109,7 +122,7 @@ final class KmvRollupTable(
     * over ≤k-long arrays. */
   def overlapTimeline(registry: DataFrame, setCol: String): DataFrame = {
     require(gen >= 0, s"no committed generations under $dir")
-    (0 to gen).map { g =>
+    (floor to gen).map { g =>
       overlapWithRegistry(registry, setCol, g)
         .withColumn("gen", org.apache.spark.sql.functions.lit(g))
     }.reduce(_ unionByName _)

@@ -294,4 +294,82 @@ class BucketedCdcTableSpec extends SparkSpec {
     bare.publish(Seq((1L, 1L)).toDF("k", "v"))
     intercept[IllegalArgumentException] { bare.compactClustered(4) }
   }
+
+  // simulate a crash between a gen write and its commit record: the gen
+  // directories landed (with their own _SUCCESS) but the record didn't
+  private def dropLatestCommitRecord(dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/commits")
+    val latest = fs.listStatus(commits).toSeq
+      .filter(s => !s.isDirectory && s.getPath.getName.forall(_.isDigit))
+      .maxBy(_.getPath.getName.toLong)
+    fs.delete(latest.getPath, false)
+  }
+
+  test("CdcAggTable: redelivery after crash-before-commit does not wedge") {
+    val dir = tmp("cdcaggcrash")
+    val t = new CdcAggTable(spark, dir, "k", "g", "n", Seq("v"))
+    t.publish(base)
+    t.applyBatch(batches.head, batchId = 0L)
+    // crash: batch 0's table+agg generations are on disk, record gone.
+    // Pre-fix this wedged forever: the redelivered writeAgg lost the
+    // CAS to its own committed orphan and threw on every restart.
+    dropLatestCommitRecord(dir)
+    val t2 = new CdcAggTable(spark, dir, "k", "g", "n", Seq("v"))
+    t2.applyBatch(batches.head, batchId = 0L) // redelivery, must not throw
+    val recomputed = t2.table.snapshot.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(t2.aggSnapshot.as[(String, Long, Long)].collect().toSet
+      === recomputed)
+    // and the timeline continues normally
+    t2.applyBatch(batches(1), batchId = 1L)
+    val recomputed2 = t2.table.snapshot.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(t2.aggSnapshot.as[(String, Long, Long)].collect().toSet
+      === recomputed2)
+  }
+
+  test("BucketedCdcAggTable: redelivery after crash-before-commit recovers") {
+    val dir = tmp("bcdcaggcrash")
+    val t = new BucketedCdcAggTable(spark, dir, "k", "g", "n", Seq("v"),
+      nBuckets = 4)
+    t.publish(base)
+    t.applyBatch(batches.head, batchId = 0L)
+    dropLatestCommitRecord(dir)
+    val t2 = new BucketedCdcAggTable(spark, dir, "k", "g", "n", Seq("v"),
+      nBuckets = 4)
+    t2.applyBatch(batches.head, batchId = 0L)
+    t2.applyBatch(batches(1), batchId = 1L)
+    val recomputed = t2.table.snapshot.groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(t2.aggSnapshot.as[(String, Long, Long)].collect().toSet
+      === recomputed)
+  }
+
+  test("a committed data gen without a manifest never wedges the table") {
+    val dir = tmp("bcdcorphan")
+    val t = new BucketedCdcTable(spark, dir, "k", nBuckets = 4)
+    t.publish(base)
+    // crashed writer's leftover: data committed (own _SUCCESS), no
+    // manifest. Pre-fix, every later write lost the data CAS to this
+    // orphan 3 times and refused with a misleading live-writer error.
+    Seq((999L, "zz", 0L)).toDF("k", "g", "v")
+      .withColumn("__bkt", lit(0))
+      .write.partitionBy("__bkt").parquet(s"$dir/data/gen=7")
+    t.applyBatch(batches.head) // must allocate PAST the orphan
+    assert(t.generation == 1)
+    // the orphan is unreferenced: snapshot equals the flat equivalent
+    val flat = new CdcTable(spark, tmp("bcdcorphanflat"), "k")
+    flat.publish(base); flat.applyBatch(batches.head)
+    assert(t.snapshot.as[(Long, String, Long)].collect().toSet ===
+      flat.snapshot.as[(Long, String, Long)].collect().toSet)
+    // data landed above the orphan's number, not at manifest-gen pace
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/gen=8")))
+  }
 }
