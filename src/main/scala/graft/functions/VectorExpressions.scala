@@ -296,8 +296,15 @@ object VectorFunctions {
   val dotLongName = "graft_vector_dot_long"
   val pqNearestName = "graft_pq_nearest"
   val fastRoundName = "graft_round"
+  val ieeeSortableName = "graft_ieee_sortable"
 
   def register(spark: SparkSession): Unit = {
+    if (!spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier(ieeeSortableName))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ieeeSortableName,
+        exprs => DoubleSortableBits(exprs.head), "built-in")
+    }
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier(dotName))) {
       reg.createOrReplaceTempFunction(dotName,

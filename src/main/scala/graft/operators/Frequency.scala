@@ -239,6 +239,123 @@ object Frequency {
     * whose live range contains it (ranges disjoin quickly after pass
     * 1, so the per-tag overlap collapses). Output: (key, tag, n, kth),
     * one row per (key, tag). */
+  /** [[exactRanks]] over DOUBLE values — exact selection on floats with
+    * no caller-side cents lifting. The integral machinery can't be
+    * reused directly: the order-preserving IEEE-754 bit lift
+    * ([[graft.functions.IeeeSortable]]) spans nearly the whole 64-bit
+    * domain, so `hi - lo` range arithmetic overflows. Instead the
+    * refinement is a RADIX descent over the lifted UNSIGNED bit-string:
+    * pass p histograms the next `bits`-wide window
+    * (`shiftrightunsigned` + mask — shift/compare only, overflow-free
+    * by construction over the full domain), the driver picks the
+    * bucket holding the target rank and extends the prefix, and after
+    * exactly 64/bits passes the prefix IS the answer's lifted value,
+    * un-lifted back to the exact double the data contains. Same scale
+    * contract as [[exactRanks]]: zero data-row exchanges, one scan per
+    * pass, ≤ keys·2^bits histogram rows to the driver per pass.
+    *
+    * Value order is the IEEE total order (pinned in FrequencySpec):
+    * -Inf < … < -0.0 < +0.0 < … < +Inf < NaN, with -0.0 and +0.0
+    * distinct — engines that collapse the two (or sort NaN first)
+    * need upstream normalization for oracle parity.
+    */
+  def exactRanksDouble(df: DataFrame, keyCol: String, valCol: String,
+      ranks: Seq[(String, Long => Long)],
+      bits: Int = 16): DataFrame = {
+    require(Seq(8, 16).contains(bits),
+      s"bits must divide 64 and keep the histogram bounded (8 or 16), " +
+        s"got $bits")
+    require(ranks.nonEmpty && ranks.map(_._1).distinct.size == ranks.size,
+      "ranks need at least one entry with distinct tags")
+    require(Seq("double", "float").contains(
+      df.schema(valCol).dataType.typeName),
+      s"exactRanksDouble selects over double values; '$valCol' is " +
+        s"${df.schema(valCol).dataType} — use exactRanks for integrals")
+    val spark = df.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val keyField = df.schema(keyCol)
+    val src = df.select(col(keyCol),
+      call_function(graft.functions.VectorFunctions.ieeeSortableName,
+        col(valCol).cast("double")).as("__u"))
+    val buckets = 1L << bits
+
+    // pass 0: per-key count + the same loud NULL rejection as the
+    // integral path (a silently skipped NULL shifts every rank)
+    val initRows = src.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__u").isNull, 1)).as("nNullVals"))
+      .collect()
+    require(initRows.length.toLong * buckets <= (64L << 20),
+      s"exactRanksDouble driver histogram would hold ${initRows.length} " +
+        s"keys x $buckets buckets rows per pass; keys are a grouping, " +
+        "not an id space — reduce key cardinality or lower bits")
+    case class St(key: Any, tag: String, prefix: Long, rank: Long, n: Long)
+    var states = initRows.toSeq.flatMap { r =>
+      require(r.get(0) != null,
+        s"exactRanksDouble: NULL values in key column '$keyCol' — " +
+          "selection keys must be non-null (filter or fill upstream)")
+      require(r.getLong(2) == 0L,
+        s"exactRanksDouble: ${r.getLong(2)} NULL '$valCol' rows under " +
+          s"key ${r.get(0)} — values must be non-null (filter upstream)")
+      val n = r.getLong(1)
+      ranks.map { case (tag, rankOf) =>
+        val rank = rankOf(n)
+        require(rank >= 1 && rank <= n,
+          s"rank '$tag'($n) = $rank out of [1, $n] for key ${r.get(0)}")
+        St(r.get(0), tag, 0L, rank, n)
+      }
+    }
+
+    import org.apache.spark.sql.types._
+    val stSchema = StructType(Seq(keyField.copy(name = "__k"),
+      StructField("__tag", StringType), StructField("__pfx", LongType)))
+    val passes = 64 / bits
+    for (p <- 0 until passes) {
+      val shift = 64 - (p + 1) * bits
+      // tags sharing a (key, prefix) histogram ONCE (all of them in
+      // pass 0); __tag carries the group's first tag as its identity
+      val groups = states.groupBy(s => (s.key, s.prefix))
+      val groupTag = groups.map { case (gk, ss) => gk -> ss.head.tag }
+      val stRows = groups.keys.toSeq.map { case gk @ (k, pfx) =>
+        org.apache.spark.sql.Row(k, groupTag(gk), pfx)
+      }
+      val stDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(stRows.toIndexedSeq, 1), stSchema)
+      val hist = src
+        .join(broadcast(stDf), col(keyCol) === col("__k"))
+        // pass 0 has an empty prefix (and a 64-shift would be a Java
+        // shift-count no-op): every row of the key participates
+        .filter(if (p == 0) lit(true)
+          else expr(s"shiftrightunsigned(__u, ${shift + bits})")
+            === col("__pfx"))
+        .groupBy(col(keyCol), col("__tag"),
+          expr(s"shiftrightunsigned(__u, $shift) & ${buckets - 1}L")
+            .as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect()
+        .groupBy(r => (r.get(0), r.getString(1)))
+      states = states.map { s =>
+        val bs = hist((s.key, groupTag((s.key, s.prefix))))
+          .map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+        var acc = 0L
+        val (bStar, inBucket) =
+          bs.collectFirst { case (b, c) if { acc += c; acc >= s.rank } =>
+            (b, s.rank - (acc - c))
+          }.get
+        s.copy(prefix = (s.prefix << bits) | bStar, rank = inBucket)
+      }
+    }
+    val outSchema = StructType(Seq(keyField.copy(name = keyCol),
+      StructField("tag", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("kth", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        states.map(s => org.apache.spark.sql.Row(s.key, s.tag, s.n,
+          graft.functions.IeeeSortable.unlift(s.prefix))).toIndexedSeq,
+        1), outSchema)
+  }
+
   def exactRanks(df: DataFrame, keyCol: String, valCol: String,
       ranks: Seq[(String, Long => Long)],
       bits: Int = 12): DataFrame = {

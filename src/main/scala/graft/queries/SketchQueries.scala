@@ -157,6 +157,37 @@ object SketchQueries {
        |SELECT key, tag, nn::BIGINT AS n, v AS kth
        |FROM r, t WHERE rn = (num * nn + 3) // 4""".stripMargin
 
+  /** q198: q190's exact quartiles over the RAW DOUBLE column — no
+    * caller-side cents lifting
+    * ([[graft.operators.Frequency.exactRanksDouble]]). The machinery is
+    * a radix descent over the order-preserving IEEE-754 bit lift
+    * (shift/mask windows over the lifted unsigned bit-string — exact
+    * over the full double domain, where range arithmetic would
+    * overflow), still with zero data-row exchanges. Selection returns a
+    * VALUE THE DATA CONTAINS, so the result bit-matches DuckDB's
+    * sort-based replay on the same parquet doubles with no rounding
+    * discipline needed — the one aggregate family where double columns
+    * can be hash-compared directly. */
+  def exactDoubleQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Frequency.exactRanksDouble(
+      Tables.lineitem(s, d).select(col("l_returnflag").as("key"),
+        col("l_extendedprice").as("v")),
+      "key", "v",
+      Seq("p25" -> ((n: Long) => (n + 3) / 4),
+        "p50" -> ((n: Long) => (2 * n + 3) / 4),
+        "p75" -> ((n: Long) => (3 * n + 3) / 4)))
+
+  val exactDoubleQuantilesSql: String =
+    """WITH r AS (SELECT l_returnflag AS key, l_extendedprice AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS nn
+      |  FROM lineitem),
+      |t AS (SELECT * FROM (VALUES ('p25', 1), ('p50', 2), ('p75', 3))
+      |      q(tag, num))
+      |SELECT key, tag, nn::BIGINT AS n, v AS kth
+      |FROM r, t WHERE rn = (num * nn + 3) // 4""".stripMargin
+
   /** Approximate distinct users per event type via the KMV Aggregator,
     * alongside the exact count. */
   def kmvDistinctUsers(s: SparkSession, d: String): DataFrame =
@@ -865,6 +896,8 @@ object SketchQueries {
     Q("q188_grouped_bootstrap", groupedBootstrap, Some(groupedBootstrapSql)),
     Q("q196_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("q190_exact_quartiles", exactQuartiles, Some(exactQuartilesSql)),
+    Q("q198_exact_double_quantiles", exactDoubleQuantiles,
+      Some(exactDoubleQuantilesSql)),
     Q("q70_knn_graph", knnGraph, Some(knnGraphSql)),
     Q("q109_knn_pagerank", knnPageRank, Some(knnPageRankSql)),
     Q("q96_countmin_tokens", countMinTokens, Some(countMinTokensSql)),

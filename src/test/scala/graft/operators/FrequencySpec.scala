@@ -294,4 +294,80 @@ class FrequencySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("grouping"), e.getMessage)
   }
+
+  test("exactRanksDouble: quartiles over signed doubles equal the sort") {
+    val rnd = new scala.util.Random(29)
+    val data = Seq.tabulate(4000)(i =>
+      (s"k${i % 3}", (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(7))))
+    val df = data.toDF("key", "v").repartition(7)
+    val tags = Seq(
+      "p25" -> ((n: Long) => (n + 3) / 4),
+      "p50" -> ((n: Long) => (2 * n + 3) / 4),
+      "p75" -> ((n: Long) => (3 * n + 3) / 4))
+    val got = Frequency.exactRanksDouble(df, "key", "v", tags)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    data.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.map(_._2).sorted
+      tags.foreach { case (tag, rankOf) =>
+        val expected = sorted((rankOf(rows.length.toLong) - 1).toInt)
+        val (n, kth) = got((k, tag))
+        assert(n == rows.length.toLong && kth == expected,
+          s"($k,$tag): got $kth expected $expected")
+      }
+    }
+  }
+
+  test("exactRanksDouble: bits=8 (8 passes) bit-identical to bits=16") {
+    val rnd = new scala.util.Random(31)
+    val df = Seq.tabulate(1500)(_ => ("a", rnd.nextGaussian() * 1e-3))
+      .toDF("key", "v")
+    val tags = Seq("med" -> ((n: Long) => (n + 1) / 2))
+    val a = Frequency.exactRanksDouble(df, "key", "v", tags, bits = 16)
+      .as[(String, String, Long, Double)].head()
+    val b = Frequency.exactRanksDouble(df, "key", "v", tags, bits = 8)
+      .as[(String, String, Long, Double)].head()
+    assert(java.lang.Double.doubleToLongBits(a._4) ==
+      java.lang.Double.doubleToLongBits(b._4))
+  }
+
+  test("exactRanksDouble: IEEE total-order edges pinned (NaN, ±0.0, ±Inf)") {
+    // lift order: -Inf < -1.5 < -0.0 < +0.0 < 1.5 < +Inf < NaN
+    val vals = Seq(Double.NaN, Double.PositiveInfinity, 1.5, 0.0, -0.0,
+      -1.5, Double.NegativeInfinity)
+    val df = vals.map(("a", _)).toDF("key", "v")
+    val ranks = (1 to 7).map(i => s"r$i" -> ((_: Long) => i.toLong))
+    val got = Frequency.exactRanksDouble(df, "key", "v", ranks)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    assert(got("r1") == Double.NegativeInfinity)
+    assert(got("r2") == -1.5)
+    assert(bits(got("r3")) == bits(-0.0), "rank 3 must be -0.0, not +0.0")
+    assert(bits(got("r4")) == bits(0.0))
+    assert(got("r5") == 1.5)
+    assert(got("r6") == Double.PositiveInfinity)
+    assert(got("r7").isNaN, "NaN sorts above +Inf")
+    // the lift round-trips every edge bit-exactly
+    for (v <- vals.filterNot(_.isNaN))
+      assert(bits(graft.functions.IeeeSortable.unlift(
+        graft.functions.IeeeSortable.lift(v))) == bits(v))
+  }
+
+  test("exactRanksDouble: NULLs and integral columns refused loudly") {
+    val withNull = Seq(("a", java.lang.Double.valueOf(1.0)),
+      ("a", null.asInstanceOf[java.lang.Double]))
+      .toDF("key", "v")
+    val e = intercept[IllegalArgumentException] {
+      Frequency.exactRanksDouble(withNull, "key", "v",
+        Seq("m" -> ((n: Long) => (n + 1) / 2)))
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    val ints = Seq(("a", 1L)).toDF("key", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Frequency.exactRanksDouble(ints, "key", "v",
+        Seq("m" -> ((n: Long) => 1L)))
+    }
+    assert(e2.getMessage.contains("exactRanks for integrals"), e2.getMessage)
+  }
 }
