@@ -54,6 +54,80 @@ object Upsert {
     base.join(touched, Seq(keyCol), "left_anti").unionByName(upserts)
   }
 
+  /** One WHEN clause of a multi-clause [[merge]]. `cond` is a SQL
+    * boolean over the aliases `t` (target/base) and `s` (source) —
+    * e.g. `"t.status = 'O' AND s.price > t.price"`; None ⇒
+    * unconditional. Actions are SET-star / VALUES-star: `update` and
+    * `insert` take the source row's payload verbatim (the MERGE form
+    * CDC pipelines use; computed SET lists compose by projecting the
+    * source first). */
+  final case class MergeClause(cond: Option[String], action: String)
+  object MergeClause {
+    def update(cond: String = null): MergeClause =
+      MergeClause(Option(cond), "update")
+    def delete(cond: String = null): MergeClause =
+      MergeClause(Option(cond), "delete")
+    def insert(cond: String = null): MergeClause =
+      MergeClause(Option(cond), "insert")
+  }
+
+  /** Multi-clause MERGE: SQL MERGE's full clause surface over the same
+    * one-join dataflow as [[applyChanges]].
+    *
+    *   - `whenMatched` (update/delete): evaluated IN ORDER on rows
+    *     present in both sides; first true condition wins; no match ⇒
+    *     the base row is kept unchanged.
+    *   - `whenNotMatched` (insert): source-only rows; no match ⇒ row
+    *     not inserted.
+    *   - `whenNotMatchedBySource` (delete): base-only rows — the
+    *     "prune stale rows" form; no match ⇒ kept.
+    *
+    * Contract: `source` carries `keyCol` plus every base column
+    * (SET-star), and is UNIQUE per key (collapse upstream with the
+    * [[applyChanges]] latest-wins window; SQL MERGE makes multiple
+    * matches an error for the same reason — the result would depend on
+    * join order).
+    *
+    * Scale: ONE full-outer join on the key — broadcast when the source
+    * is dimension-sized, shuffle otherwise — then a single projected
+    * CASE; the base is never scanned twice and nothing driver-side
+    * touches data. Clause conditions compile into the same projection,
+    * so adding clauses costs zero extra passes. */
+  def merge(base: DataFrame, source: DataFrame, keyCol: String,
+      whenMatched: Seq[MergeClause] = Nil,
+      whenNotMatched: Seq[MergeClause] = Nil,
+      whenNotMatchedBySource: Seq[MergeClause] = Nil): DataFrame = {
+    val payload = base.columns.toIndexedSeq
+    require(payload.forall(source.columns.contains),
+      s"SET-star merge: source must carry every base column; missing " +
+        s"${payload.filterNot(source.columns.contains).mkString(", ")}")
+    def validate(cs: Seq[MergeClause], allowed: Set[String], fam: String) =
+      cs.foreach(c => require(allowed(c.action),
+        s"$fam clause cannot ${c.action} (allowed: ${allowed.mkString("/")})"))
+    validate(whenMatched, Set("update", "delete"), "WHEN MATCHED")
+    validate(whenNotMatched, Set("insert"), "WHEN NOT MATCHED")
+    validate(whenNotMatchedBySource, Set("delete"),
+      "WHEN NOT MATCHED BY SOURCE")
+    val tK = col(s"t.`$keyCol`"); val sK = col(s"s.`$keyCol`")
+    val j = base.alias("t").join(source.alias("s"), tK === sK, "full_outer")
+    // first-match-wins fold; the default is the SQL MERGE no-clause
+    // behavior for each family (keep / don't insert / keep)
+    def chain(cs: Seq[MergeClause], dflt: String) =
+      cs.foldRight(lit(dflt)) { (c, els) =>
+        when(c.cond.map(expr).getOrElse(lit(true)), lit(c.action))
+          .otherwise(els)
+      }
+    val act = when(tK.isNotNull && sK.isNotNull, chain(whenMatched, "keep"))
+      .when(tK.isNull, chain(whenNotMatched, "skip"))
+      .otherwise(chain(whenNotMatchedBySource, "keep"))
+    j.withColumn("__act", act)
+      .filter(col("__act") === "keep" || col("__act") === "update" ||
+        col("__act") === "insert")
+      .select(payload.map(c =>
+        when(col("__act") === "keep", col(s"t.`$c`"))
+          .otherwise(col(s"s.`$c`")).as(c)): _*)
+  }
+
   /** History-preserving (SCD type-2) apply: instead of overwriting,
     * every change CLOSES the key's current version (stamps `validTo`
     * with the change timestamp) and — unless it is a delete — appends

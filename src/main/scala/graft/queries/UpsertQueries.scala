@@ -446,9 +446,75 @@ object UpsertQueries {
        |  UNION ALL SELECT CAST(2 AS BIGINT), * FROM g2)
        |GROUP BY 1, 2""".stripMargin
 
+  /** q199: multi-clause MERGE ([[graft.operators.Upsert.merge]]) —
+    * SQL MERGE's full clause surface in one full-outer join + one
+    * projected CASE. The source rewrites a deterministic key slice of
+    * orders; the clauses exercise every family AND in-family ordering:
+    * WHEN MATCHED AND t.status='O' THEN UPDATE, WHEN MATCHED THEN
+    * DELETE, WHEN NOT MATCHED AND s.price>5M¢ THEN INSERT, WHEN NOT
+    * MATCHED BY SOURCE AND t.price<2M¢ THEN DELETE (prune-stale). The
+    * oracle rebuilds the merged state as four relational branches. */
+  def multiClauseMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Upsert.MergeClause._
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"))
+    val bkt = DataMix.hashBucket(col("o_orderkey"), Seed)
+    val source = base.filter(bkt < 300000)
+      .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+        (col("price_cents") + 1000L).as("price_cents"))
+      .unionByName(base.filter(bkt >= 900000 && bkt < 950000)
+        .select((col("o_orderkey") + 2000000000L).as("o_orderkey"),
+          lit("I").as("o_orderstatus"), col("price_cents")))
+    graft.operators.Upsert.merge(base, source, "o_orderkey",
+      whenMatched = Seq(
+        update("t.o_orderstatus = 'O'"),
+        delete()),
+      whenNotMatched = Seq(insert("s.price_cents > 5000000")),
+      whenNotMatchedBySource = Seq(delete("t.price_cents < 2000000")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_cents")).as("price_cents"))
+  }
+
+  val multiClauseMergeSql: String =
+    s"""WITH b AS (
+       |  SELECT o_orderkey, o_orderstatus, ${sqlCents("o_totalprice")}
+       |      AS price_cents,
+       |    ('0x'||substr(md5(o_orderkey::VARCHAR || '#$Seed'),1,15))::BIGINT
+       |      % 1000000 AS bkt
+       |  FROM orders),
+       |src AS (
+       |  SELECT o_orderkey, 'M' AS o_orderstatus,
+       |    price_cents + 1000 AS price_cents
+       |  FROM b WHERE bkt < 300000
+       |  UNION ALL
+       |  SELECT o_orderkey + 2000000000, 'I', price_cents
+       |  FROM b WHERE bkt >= 900000 AND bkt < 950000),
+       |merged AS (
+       |  -- WHEN MATCHED AND t.status='O' THEN UPDATE (else DELETE)
+       |  SELECT s.o_orderkey, s.o_orderstatus, s.price_cents
+       |  FROM b t JOIN src s ON t.o_orderkey = s.o_orderkey
+       |  WHERE t.o_orderstatus = 'O'
+       |  UNION ALL
+       |  -- WHEN NOT MATCHED AND s.price>5M THEN INSERT
+       |  SELECT s.o_orderkey, s.o_orderstatus, s.price_cents
+       |  FROM src s LEFT JOIN b t ON t.o_orderkey = s.o_orderkey
+       |  WHERE t.o_orderkey IS NULL AND s.price_cents > 5000000
+       |  UNION ALL
+       |  -- WHEN NOT MATCHED BY SOURCE AND t.price<2M THEN DELETE
+       |  -- (i.e. keep the rest)
+       |  SELECT t.o_orderkey, t.o_orderstatus, t.price_cents
+       |  FROM b t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+       |  WHERE s.o_orderkey IS NULL AND NOT (t.price_cents < 2000000))
+       |SELECT o_orderstatus, count(*) AS n_orders,
+       |  (sum(price_cents))::BIGINT AS price_cents
+       |FROM merged GROUP BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q63_merge_upsert", mergeOrders, Some(mergeOrdersSql)),
     Q("q197_vacuum_time_travel", vacuumTimeTravel, Some(vacuumTimeTravelSql)),
+    Q("q199_multi_clause_merge", multiClauseMerge, Some(multiClauseMergeSql)),
     Q("q194_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     Q("q114_cdc_time_travel", cdcTimeTravel, Some(cdcTimeTravelSql)),
     Q("q107_snapshot_diff", snapshotDiffOrders, Some(snapshotDiffOrdersSql)),

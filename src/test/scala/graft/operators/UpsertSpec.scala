@@ -62,4 +62,55 @@ class UpsertSpec extends SparkSpec {
       (2L, "b0", 3, 0L, Some(7L)),  // delete closes, opens nothing
       (3L, "c0", 4, 0L, None)))     // untouched
   }
+
+  test("merge: every clause family fires; defaults match SQL MERGE") {
+    import Upsert.MergeClause._
+    val b = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30),
+      (4L, "d", 40)).toDF("k", "name", "v")
+    val s = Seq((1L, "A", 11), (2L, "B", 21), (9L, "i", 90),
+      (10L, "j", 5)).toDF("k", "name", "v")
+    val got = Upsert.merge(b, s, "k",
+      whenMatched = Seq(update("t.v < 15"), delete()),
+      whenNotMatched = Seq(insert("s.v >= 50")),
+      whenNotMatchedBySource = Seq(delete("t.v >= 40")))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set(
+      (1L, "A", 11),  // matched, t.v < 15 -> updated from source
+      // 2 matched, second clause (unconditional delete) -> gone
+      (3L, "c", 30),  // not matched by source, cond false -> kept
+      // 4 not matched by source, t.v >= 40 -> deleted
+      (9L, "i", 90)   // not matched, s.v >= 50 -> inserted; 10 skipped
+    ))
+  }
+
+  test("merge: clause order is first-match-wins") {
+    import Upsert.MergeClause._
+    val b = Seq((1L, "a", 10)).toDF("k", "name", "v")
+    val s = Seq((1L, "A", 99)).toDF("k", "name", "v")
+    // delete-first ordering deletes even though update also matches
+    val d = Upsert.merge(b, s, "k",
+      whenMatched = Seq(delete("s.v > 50"), update()))
+    assert(d.count() == 0)
+    val u = Upsert.merge(b, s, "k",
+      whenMatched = Seq(update(), delete("s.v > 50")))
+      .as[(Long, String, Int)].collect().toSet
+    assert(u == Set((1L, "A", 99)))
+  }
+
+  test("merge: no clauses is the identity; wrong action families refuse") {
+    import Upsert.MergeClause._
+    val s = Seq((1L, "A", 99)).toDF("k", "name", "v")
+    val got = Upsert.merge(base, s, "k")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == base.as[(Long, String, Int)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Upsert.merge(base, s, "k", whenMatched = Seq(insert()))
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.merge(base, s, "k", whenNotMatched = Seq(update()))
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.merge(base, s, "k", whenNotMatchedBySource = Seq(update()))
+    }
+  }
 }
