@@ -790,6 +790,42 @@ object ProfileScratch {
         println(s"  native=$viaNative composed=$viaWindow (must match)")
         require(viaNative == viaWindow, "native != composed")
 
+      case "asofbcast" =>
+        // r13: broadcast-right as-of at the dimension-right shape —
+        // N left rows (default 20M) against a ~1k-row timeline. The
+        // merge exec shuffles+sorts the whole left side for a right
+        // side that fits in one broadcast block; the broadcast exec
+        // probes left IN PLACE. Equality-gated like asofscale.
+        import graft.plans.AsOfJoinNative
+        val n = args.lift(1).map(_.toLong).getOrElse(20000000L)
+        val rN = args.lift(2).map(_.toLong).getOrElse(1000L)
+        val keys = 16L
+        val lSrc = spark.range(n).select(
+          col("id").as("lid"), pmod(xxhash64(col("id")), lit(keys)).as("key"),
+          timestamp_micros(pmod(xxhash64(col("id"), lit(1)), lit(86400000000L))).as("ts"))
+        val rSrc = spark.range(rN).select(
+          col("id").as("rid"), pmod(xxhash64(col("id"), lit(2)), lit(keys)).as("key"),
+          timestamp_micros(pmod(xxhash64(col("id"), lit(3)), lit(86400000000L))).as("ts"),
+          xxhash64(col("id"), lit(4)).as("payload"))
+        def check(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(
+            count(col("asof_ts")).as("matched"),
+            coalesce(sum(unix_micros(col("asof_ts"))), lit(0L)).as("sum_ts"))
+            .head()
+          (r.getLong(0), r.getLong(1))
+        }
+        var viaBcast: (Long, Long) = null
+        var viaMerge: (Long, Long) = null
+        for (i <- 1 to 2) {
+          viaBcast = t(s"broadcast asof $n x $rN run$i")(
+            check(AsOfJoinNative.backward(lSrc, rSrc, Seq("key"), "ts", "ts",
+              broadcastRight = true)))
+          viaMerge = t(s"merge asof $n x $rN run$i")(
+            check(AsOfJoinNative.backward(lSrc, rSrc, Seq("key"), "ts", "ts")))
+        }
+        println(s"  broadcast=$viaBcast merge=$viaMerge (must match)")
+        require(viaBcast == viaMerge, "broadcast != merge")
+
       case "asofdebug" =>
         import graft.operators.AsOfJoin
         import graft.plans.AsOfJoinNative

@@ -31,9 +31,10 @@ object AsOfJoinNative {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       prefix: String = "asof_",
-      toleranceSeconds: Option[Long] = None): DataFrame =
+      toleranceSeconds: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame =
     join(left, right, keyCols, leftTs, rightTs, prefix,
-      toleranceSeconds, forward = false)
+      toleranceSeconds, forward = false, broadcastRight)
 
   /** Forward (earliest-following) as-of join: for every left row, the
     * right row with ordering-equal key whose `rightTs` is the SMALLEST
@@ -44,9 +45,10 @@ object AsOfJoinNative {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       prefix: String = "asof_",
-      toleranceSeconds: Option[Long] = None): DataFrame =
+      toleranceSeconds: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame =
     join(left, right, keyCols, leftTs, rightTs, prefix,
-      toleranceSeconds, forward = true)
+      toleranceSeconds, forward = true, broadcastRight)
 
   /** Nearest as-of join: for every left row, the right row minimizing
     * |rightTs − leftTs| — two passes through the SAME exec (the
@@ -62,13 +64,14 @@ object AsOfJoinNative {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       prefix: String = "asof_",
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame = {
     val bPre = "__asofnb_"
     val fPre = "__asofnf_"
     val withB = join(left, right, keyCols, leftTs, rightTs, bPre,
-      None, forward = false)
+      None, forward = false, broadcastRight)
     val both = join(withB, right, keyCols, leftTs, rightTs, fPre,
-      None, forward = true)
+      None, forward = true, broadcastRight)
     val bTs = col(bPre + rightTs)
     val fTs = col(fPre + rightTs)
     val gapB = unix_micros(col(leftTs)) - unix_micros(bTs)
@@ -95,32 +98,39 @@ object AsOfJoinNative {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       prefix: String = "asof_",
-      toleranceSeconds: Option[Long] = None): DataFrame =
+      toleranceSeconds: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame =
     backward(left, right, keyCols, leftTs, rightTs, prefix,
-      toleranceSeconds).filter(col(prefix + rightTs).isNotNull)
+      toleranceSeconds, broadcastRight)
+      .filter(col(prefix + rightTs).isNotNull)
 
   def forwardInner(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       prefix: String = "asof_",
-      toleranceSeconds: Option[Long] = None): DataFrame =
+      toleranceSeconds: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame =
     forward(left, right, keyCols, leftTs, rightTs, prefix,
-      toleranceSeconds).filter(col(prefix + rightTs).isNotNull)
+      toleranceSeconds, broadcastRight)
+      .filter(col(prefix + rightTs).isNotNull)
 
   def nearestInner(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       prefix: String = "asof_",
-      toleranceSeconds: Option[Long] = None): DataFrame =
+      toleranceSeconds: Option[Long] = None,
+      broadcastRight: Boolean = false): DataFrame =
     nearest(left, right, keyCols, leftTs, rightTs, prefix,
-      toleranceSeconds).filter(col(prefix + rightTs).isNotNull)
+      toleranceSeconds, broadcastRight)
+      .filter(col(prefix + rightTs).isNotNull)
 
   private def join(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       prefix: String,
       toleranceSeconds: Option[Long],
-      forward: Boolean): DataFrame = {
+      forward: Boolean,
+      broadcastRight: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
 
@@ -169,7 +179,7 @@ object AsOfJoinNative {
 
     val joined = GraftSqlShim.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTsA, rTsA, rightVals,
-        rightOutAttrs, forward))
+        rightOutAttrs, forward, broadcastRight))
 
     toleranceSeconds match {
       case None => joined

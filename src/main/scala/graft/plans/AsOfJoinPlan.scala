@@ -30,6 +30,13 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   * @param forward   false = most-recent-prior (`rightTs ≤ leftTs`,
   *                  greatest wins); true = earliest-following
   *                  (`rightTs ≥ leftTs`, smallest wins)
+  * @param broadcastRight plan the broadcast-right physical path
+  *                  ([[BroadcastAsOfJoinExec]]): the right side ships
+  *                  whole to every executor and the left side is
+  *                  probed IN PLACE — zero exchange, zero sort on the
+  *                  big side. Set when the right side is
+  *                  dimension-sized (the same judgment as a broadcast
+  *                  hash join's build side).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -40,7 +47,8 @@ case class AsOfJoinPlan(
     rightTs: Attribute,
     rightVals: Seq[Attribute],
     rightOut: Seq[Attribute],
-    forward: Boolean = false)
+    forward: Boolean = false,
+    broadcastRight: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ rightOut

@@ -251,6 +251,45 @@ object EventQueries {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON er.user_id = c.user_id AND er.ts <= c.ts""".stripMargin
 
+  /** q200: BROADCAST as-of join ([[graft.plans.BroadcastAsOfJoinExec]])
+    * — the dimension-right shape where the merge exec overpays: every
+    * event (the 100 TB side) matched to its type's most recent hourly
+    * mark, a timeline of ~types×hours rows. `broadcastRight = true`
+    * plans the right side through a BroadcastExchange and probes the
+    * left IN PLACE — zero Exchange and zero Sort on the event stream
+    * (plan-pinned in AsOfJoinNativeSpec). Same DuckDB native-ASOF
+    * oracle family as q179. */
+  def asofBroadcastDim(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val marks = e.groupBy(col("event_type"),
+        date_trunc("HOUR", col("ts")).as("mark_ts"))
+      .agg(count(lit(1)).as("n_hour"),
+        sum(cents(col("value"))).as("cents_hour"))
+    graft.plans.AsOfJoinNative.backward(
+        e.select(col("event_id"), col("event_type"), col("ts")),
+        marks, Seq("event_type"), "ts", "mark_ts",
+        broadcastRight = true)
+      .select(col("event_id"), col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_mark_ts")))
+          .as("gap_us"),
+        col("asof_n_hour").as("n_hour"),
+        col("asof_cents_hour").as("cents_hour"))
+  }
+
+  val asofBroadcastDimSql: String =
+    s"""WITH m AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS mark_ts,
+       |    count(*) AS n_hour, (sum(${sqlCents("value")}))::BIGINT
+       |      AS cents_hour
+       |  FROM events GROUP BY 1, 2)
+       |SELECT e.event_id, e.event_type,
+       |  epoch_us(e.ts) - epoch_us(m.mark_ts) AS gap_us,
+       |  m.n_hour, m.cents_hour
+       |FROM events e
+       |ASOF LEFT JOIN m
+       |  ON e.event_type = m.event_type AND e.ts >= m.mark_ts""".stripMargin
+
   /** q195: NEAREST as-of through the native exec — each error matched
     * to the user's purchase with the smallest |gap| in either
     * direction (two passes of the one-pass merge, never a window; tie
@@ -775,6 +814,8 @@ object EventQueries {
       Some(asofNativeErrorPurchaseSql)),
     Q("q195_asof_nearest", asofNearestErrorPurchase,
       Some(asofNearestErrorPurchaseSql)),
+    Q("q200_asof_broadcast_dim", asofBroadcastDim,
+      Some(asofBroadcastDimSql)),
     Q("q187_asof_forward", asofForwardErrorClick,
       Some(asofForwardErrorClickSql)),
     Q("q34_value_stats", valueStats, Some(valueStatsSql)),

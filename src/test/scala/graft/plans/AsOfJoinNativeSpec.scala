@@ -289,4 +289,70 @@ class AsOfJoinNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "ts", "ts", toleranceSeconds = Some(60L))
     assert(ni.select($"qty").as[Long].collect().toSet == Set(6L, 7L))
   }
+
+  test("broadcast path: BroadcastExchange on right, ZERO exchange/sort on left") {
+    val df = AsOfJoinNative.backward(trades, quotes, Seq("key"), "ts", "ts",
+      broadcastRight = true)
+    df.collect()
+    val plan = executed(df)
+    assert(collectWithSubqueries(plan) {
+      case e: BroadcastAsOfJoinExec => e }.size == 1)
+    assert(collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => e
+    }.size == 1, plan.toString)
+    assert(collectWithSubqueries(plan) {
+      case e: ShuffleExchangeLike => e }.isEmpty, plan.toString)
+    assert(collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      plan.toString)
+  }
+
+  test("broadcast path: row-identical to the merge exec on adversarial shapes") {
+    val rnd = new scala.util.Random(43)
+    val lDf = Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextInt(13).toLong, rnd.nextInt(400).toLong))
+      .toDF("lid", "key", "t")
+      .select($"lid", $"key", timestamp_micros($"t").as("ts"))
+      .repartition(7)
+    val rDf = Seq.tabulate(600)(i =>
+      (i.toLong, (rnd.nextInt(13) + 3).toLong, rnd.nextInt(400).toLong))
+      .toDF("rid", "key", "t")
+      .select($"rid", $"key", timestamp_micros($"t").as("ts"),
+        ($"rid" * 2).as("payload"))
+    def det(df: DataFrame) = df
+      .withColumn("m", unix_micros($"asof_ts"))
+      .select($"lid", $"m").as[(Long, Option[Long])].collect().toMap
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(40L))) {
+      val run = if (fwd) AsOfJoinNative.forward _ else AsOfJoinNative.backward _
+      val shuffled = det(run(lDf, rDf, Seq("key"), "ts", "ts", "asof_",
+        tol, false))
+      val broadcast = det(run(lDf, rDf, Seq("key"), "ts", "ts", "asof_",
+        tol, true))
+      assert(broadcast == shuffled, s"fwd=$fwd tol=$tol")
+    }
+    // nearest composes two broadcast passes; tie contract unchanged
+    val nS = det(AsOfJoinNative.nearest(lDf, rDf, Seq("key"), "ts", "ts"))
+    val nB = det(AsOfJoinNative.nearest(lDf, rDf, Seq("key"), "ts", "ts",
+      broadcastRight = true))
+    assert(nB == nS)
+  }
+
+  test("broadcast path: null keys and null timestamps match the merge exec") {
+    val l = Seq((1L, Option(5L), Option(100L)), (2L, None, Option(100L)),
+      (3L, Option(5L), None), (4L, Option(9L), Option(50L)))
+      .toDF("lid", "key", "t")
+      .select($"lid", $"key", timestamp_micros($"t").as("ts"))
+    val r = Seq((10L, Option(5L), Option(90L)), (11L, None, Option(80L)),
+      (12L, Option(5L), None), (13L, Option(9L), Option(60L)))
+      .toDF("rid", "key", "t")
+      .select($"rid", $"key", timestamp_micros($"t").as("ts"))
+    def got(df: DataFrame) = df.select($"lid", $"asof_rid")
+      .as[(Long, Option[Long])].collect().toMap
+    for (fwd <- Seq(false, true)) {
+      val run = if (fwd) AsOfJoinNative.forward _ else AsOfJoinNative.backward _
+      assert(got(run(l, r, Seq("key"), "ts", "ts", "asof_", None, true)) ==
+        got(run(l, r, Seq("key"), "ts", "ts", "asof_", None, false)),
+        s"fwd=$fwd")
+    }
+  }
 }
