@@ -449,6 +449,90 @@ object StreamingQueries {
       |FROM v JOIN p USING (user_id) CROSS JOIN bounds
       |WHERE p_us >= v_us AND p_us <= v_us + 3600000000""".stripMargin
 
+  /** q201: [[EventStreams.viewPurchaseLeftJoin]] — watermarked
+    * stream-stream LEFT OUTER join under the replay gate: a view with
+    * no in-window purchase must EVENTUALLY emit a null-padded row, and
+    * only the watermark can prove "no future purchase can match". The
+    * mechanics the timeline relies on are pinned empirically in
+    * StreamingOuterJoinSpec (the q193 playbook): null-emission requires
+    * the watermark STRICTLY past `v_ts + 1h` (tie holds), the emission
+    * rides an ASYNC no-data batch that `processAllAvailable` does not
+    * await — so the timeline ends with two far-future watermark-PUSHER
+    * purchases under a sentinel user (-1, matches nothing, emits
+    * nothing): pusher 1 advances the watermark past every view's
+    * horizon, pusher 2's data batch is the sequential barrier that
+    * forces pusher 1's eviction output to disk. Every view therefore
+    * resolves — matched (same emission rules as q160) or null-emitted —
+    * and the gated result equals DuckDB's plain batch LEFT JOIN, which
+    * only the correctly-firing eviction path can reproduce in append
+    * mode. Cross-half pairs can't be lost: a view evicted after drain 0
+    * (v_ts + 1h < wm0 = half − 1h) can't match any drain-1 purchase
+    * (p_ts > half) under the 1h window — by margin. */
+  def streamingOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val Row(halfUs: Long, maxUs: Long) = events
+      .agg((min(unix_micros(col("ts"))) +
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 2)
+          .cast("long")).as("h"),
+        max(unix_micros(col("ts"))).as("m"))
+      .head()
+    val dir = tempWorkDir("graft_q201_")
+    val srcDir = s"$dir/in"
+    def arrive(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(srcDir)
+    def half(cond: org.apache.spark.sql.Column): DataFrame =
+      events.filter(cond && col("event_type").isin("view", "purchase"))
+    def pusher(us: Long): DataFrame =
+      events.sparkSession.range(1).select(
+        lit(-1L).as("event_id"), timestamp_micros(lit(us)).as("ts"),
+        lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    arrive(half(unix_micros(col("ts")) <= halfUs))
+    val query = EventStreams.viewPurchaseLeftJoin(
+        EventStreams.readJsonStream(s, srcDir))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (emitted: Dataset[Row], _: Long) =>
+        if (!emitted.isEmpty)
+          emitted.coalesce(1).write.mode("append").parquet(s"$dir/snap")
+        ()
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      arrive(half(unix_micros(col("ts")) > halfUs))
+      query.processAllAvailable()
+      // pusher 1: watermark strictly past every view's horizon
+      // (max + 2h + 1s, minus the 1h delay > any v_ts + 1h)
+      arrive(pusher(maxUs + 7201000000L))
+      query.processAllAvailable()
+      // pusher 2: the sequential data-batch barrier (pinned mechanic 3)
+      arrive(pusher(maxUs + 7202000000L))
+      query.processAllAvailable()
+    } finally query.stop()
+    s.read.parquet(s"$dir/snap")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        unix_micros(col("v_ts")).as("v_us"),
+        unix_micros(col("p_ts")).as("p_us"))
+  }
+
+  val streamingOuterJoinSql: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.view_id, p.purchase_id, v.v_us, p.p_us
+      |FROM v LEFT JOIN p
+      |  ON v.user_id = p.user_id
+      | AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000""".stripMargin
+
   /** q191: [[graft.operators.Observe]]'s CollectMetrics surface on a
     * LIVE stream — per-micro-batch data-quality metrics (row count,
     * exact value sum, error-event count) observed during the batch's
@@ -630,6 +714,8 @@ object StreamingQueries {
   def all: Seq[Q] = Seq(
     Q("q193_streaming_dedup", streamingDedup,
       Some(streamingDedupSql), benchReps = 1),
+    Q("q201_streaming_outer_join", streamingOuterJoin,
+      Some(streamingOuterJoinSql), benchReps = 1),
     Q("q191_streaming_observe", streamingObserved,
       Some(streamingObservedSql), benchReps = 1),
     Q("q160_streaming_join", streamingJoin, Some(streamingJoinSql),

@@ -174,6 +174,35 @@ object EventStreams {
         col("purchase_id"), col("v_ts"), col("p_ts"))
   }
 
+  /** Watermarked STREAM-STREAM left-OUTER join: [[viewPurchaseJoin]]'s
+    * pairing, but a view with NO in-window purchase eventually emits a
+    * null-padded row instead of vanishing — the enrichment-pipeline
+    * contract when the other side may simply never arrive. The null
+    * row can only emit once the watermark PROVES no future purchase
+    * can match (wm past `v_ts + 1h`): matched pairs emit in the batch
+    * delivering the later side exactly like the inner join, and null
+    * rows emit at eviction time, one watermark horizon later —
+    * mechanics pinned empirically in StreamingOuterJoinSpec before the
+    * q201 oracle was written (the q193 playbook). State stays bounded
+    * by window × arrival rate; unmatched views don't leak, they
+    * retire through the null path. */
+  def viewPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "1 hour")
+      else events
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("p_value"))
+    views.join(purchases, expr(
+        "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("v_ts"), col("p_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double, props: String)
   final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
