@@ -533,6 +533,87 @@ object StreamingQueries {
       |  ON v.user_id = p.user_id
       | AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000""".stripMargin
 
+  /** q202: streaming ingest EXPECTATIONS
+    * ([[graft.streaming.IngestExpectations]]) — the DLT-style quality
+    * contract in front of a training-data ingest, fully replay-gated
+    * on BOTH surfaces: failing rows are ROUTED to a quarantine sink
+    * with the names of the expectations they failed (never silently
+    * dropped), and per-micro-batch metrics (row count + per-expectation
+    * violation counters) ride each batch via `observe` and are read
+    * back from the progress events, never a second pass. Timeline =
+    * q191's three deterministic one-file drains; expectations =
+    * known event type (the 'error' rows quarantine) and value ≤ $400
+    * (the long tail quarantines). The oracle recomputes every per-step
+    * number relationally — observed metrics, quarantine contents, and
+    * clean contents must all agree to the cent. */
+  def streamingExpectations(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.IngestExpectations
+    import graft.streaming.IngestExpectations.Expectation
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val dir = tempWorkDir("graft_q202_")
+    val srcDir = s"$dir/in"
+    def arrive(step: Int): Unit =
+      events.filter(pmod(col("event_id"), lit(3)) === step)
+        .coalesce(1).write.mode("append").json(srcDir)
+    arrive(0)
+    val exps = Seq(
+      Expectation("known_type", col("event_type") =!= "error"),
+      Expectation("value_in_range", cents(col("value")) <= 40000L))
+    val step = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = IngestExpectations.attach(
+      EventStreams.readJsonStream(s, srcDir), exps,
+      s"$dir/clean", s"$dir/quar", s"$dir/ckpt", () => step.get())
+    try {
+      query.processAllAvailable()
+      (1 to 2).foreach { i => step.set(i); arrive(i); query.processAllAvailable() }
+    } finally query.stop()
+    val metrics = query.recentProgress.toSeq
+      .filter(p => p.numInputRows > 0 &&
+        p.observedMetrics.containsKey("expectations"))
+      .map(_.observedMetrics.get("expectations"))
+    require(metrics.length == 3,
+      s"expected 3 observed micro-batches, got ${metrics.length}")
+    import s.implicits._
+    val observed = metrics.zipWithIndex.map { case (m, i) =>
+      (i.toLong, m.getAs[Long]("n_rows"), m.getAs[Long]("viol_known_type"),
+        m.getAs[Long]("viol_value_in_range"))
+    }.toDF("step", "n_rows", "viol_known_type", "viol_value_in_range")
+    val quar = s.read.parquet(s"$dir/quar")
+      .groupBy(col("step").cast("long").as("step"))
+      .agg(count(lit(1)).as("n_quarantined"),
+        sum(cents(col("value"))).as("quarantine_cents"))
+    val clean = s.read.parquet(s"$dir/clean")
+      .groupBy(col("step").cast("long").as("step"))
+      .agg(count(lit(1)).as("n_clean"),
+        sum(cents(col("value"))).as("clean_cents"))
+    observed.join(quar, Seq("step"), "left").join(clean, Seq("step"), "left")
+      .select(col("step"), col("n_rows"), col("viol_known_type"),
+        col("viol_value_in_range"),
+        coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"),
+        coalesce(col("quarantine_cents"), lit(0L)).as("quarantine_cents"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("clean_cents"), lit(0L)).as("clean_cents"))
+  }
+
+  val streamingExpectationsSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id % 3 AS step,
+       |    (event_type = 'error') AS v1,
+       |    (${sqlCents("value")} > 40000) AS v2,
+       |    ${sqlCents("value")} AS c
+       |  FROM events)
+       |SELECT step, count(*) AS n_rows,
+       |  count(*) FILTER (v1) AS viol_known_type,
+       |  count(*) FILTER (v2) AS viol_value_in_range,
+       |  count(*) FILTER (v1 OR v2) AS n_quarantined,
+       |  coalesce(sum(c) FILTER (v1 OR v2), 0)::BIGINT AS quarantine_cents,
+       |  count(*) FILTER (NOT v1 AND NOT v2) AS n_clean,
+       |  coalesce(sum(c) FILTER (NOT v1 AND NOT v2), 0)::BIGINT
+       |    AS clean_cents
+       |FROM e GROUP BY 1""".stripMargin
+
   /** q191: [[graft.operators.Observe]]'s CollectMetrics surface on a
     * LIVE stream — per-micro-batch data-quality metrics (row count,
     * exact value sum, error-event count) observed during the batch's
@@ -716,6 +797,8 @@ object StreamingQueries {
       Some(streamingDedupSql), benchReps = 1),
     Q("q201_streaming_outer_join", streamingOuterJoin,
       Some(streamingOuterJoinSql), benchReps = 1),
+    Q("q202_streaming_expectations", streamingExpectations,
+      Some(streamingExpectationsSql), benchReps = 1),
     Q("q191_streaming_observe", streamingObserved,
       Some(streamingObservedSql), benchReps = 1),
     Q("q160_streaming_join", streamingJoin, Some(streamingJoinSql),
