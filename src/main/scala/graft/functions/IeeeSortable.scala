@@ -54,4 +54,12 @@ object IeeeSortable {
   def unlift(u: Long): Double =
     java.lang.Double.longBitsToDouble(
       if (u < 0) u ^ Long.MinValue else ~u)
+
+  /** [[lift]] shifted into SIGNED long order (top bit flipped): use
+    * when the lifted values flow through ordinary `<`/min/max rather
+    * than bit windows — e.g. min/max file statistics. Same total
+    * order, same bijection. */
+  def liftSigned(d: Double): Long = lift(d) ^ Long.MinValue
+
+  def unliftSigned(s: Long): Double = unlift(s ^ Long.MinValue)
 }

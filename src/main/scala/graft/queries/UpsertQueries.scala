@@ -303,6 +303,56 @@ object UpsertQueries {
        |WHERE price_cents BETWEEN 5000000 AND 10000000
        |GROUP BY 1""".stripMargin
 
+  /** q203: q143's stats-pruned scan on a RAW DOUBLE stats column — no
+    * cents lifting anywhere. Per-file min/max stats are stored through
+    * the order-preserving IEEE-754 bit lift
+    * ([[graft.functions.IeeeSortable.liftSigned]]), so file skipping on
+    * a float metric is exactly as tight as on integers; the scan's
+    * bounds lift through the same map and the ORIGINAL double
+    * predicate is still applied to the kept files
+    * (`scanWhereDouble ≡ snapshot.filter` by construction — pinned with
+    * negatives and NaNs in BucketedCdcTableSpec). Selection-free
+    * aggregate output keeps the money exact via cents at the END. */
+  def statsPrunedDoubleScan(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val bkt = DataMix.hashBucket(col("o_orderkey"), Seed)
+    val changes = base.filter(bkt < 100000)
+      .select(lit("delete").as("op"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .unionByName(base.filter(bkt >= 100000 && bkt < 200000)
+        .select(lit("update").as("op"), col("o_orderkey"),
+          lit("U").as("o_orderstatus"), col("o_totalprice")))
+    val dir = tempWorkDir("graft_q203_")
+    val t = new graft.streaming.BucketedCdcTable(
+      s, dir, "o_orderkey", nBuckets = 8,
+      statsCols = Seq("o_totalprice"))
+    t.publish(base.repartitionByRange(8, col("o_totalprice")))
+    t.applyBatch(changes)
+    t.scanWhereDouble("o_totalprice", 50000.25, 100000.75)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("price_cents"))
+  }
+
+  val statsPrunedDoubleScanSql: String =
+    s"""WITH b AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+       |    ('0x'||substr(md5(o_orderkey::VARCHAR || '#$Seed'),1,15))::BIGINT
+       |      % 1000000 AS bkt
+       |  FROM orders),
+       |g1 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM b
+       |  WHERE bkt >= 200000
+       |  UNION ALL
+       |  SELECT o_orderkey, 'U', o_totalprice FROM b
+       |  WHERE bkt >= 100000 AND bkt < 200000)
+       |SELECT o_orderstatus, count(*) AS n_orders,
+       |  (sum(${sqlCents("o_totalprice")}))::BIGINT AS price_cents
+       |FROM g1
+       |WHERE o_totalprice BETWEEN 50000.25 AND 100000.75
+       |GROUP BY 1""".stripMargin
+
   /** q194: SCHEMA EVOLUTION on the bucketed CDC table, gated across a
     * time-travel boundary. Generation 0 publishes `price_cents` as INT
     * with no `src` column; the table then records two evolution ops
@@ -520,5 +570,7 @@ object UpsertQueries {
     Q("q107_snapshot_diff", snapshotDiffOrders, Some(snapshotDiffOrdersSql)),
     Q("q111_incremental_agg", incrementalAgg, Some(mergeOrdersSql)),
     Q("q134_bucketed_cdc_agg", bucketedCdcAgg, Some(mergeOrdersSql)),
-    Q("q143_stats_pruned_scan", statsPrunedScan, Some(statsPrunedScanSql)))
+    Q("q143_stats_pruned_scan", statsPrunedScan, Some(statsPrunedScanSql)),
+    Q("q203_stats_pruned_double", statsPrunedDoubleScan,
+      Some(statsPrunedDoubleScanSql)))
 }

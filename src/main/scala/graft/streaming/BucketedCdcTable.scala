@@ -373,18 +373,41 @@ final class BucketedCdcTable(
     * written at `g` carrying `(file, __bkt, min_c, max_c …)` for every
     * stats column — the data-skipping layer of the manifest. Cost ∝
     * the generation just written (one re-read of the new files), never
-    * the table. Stats columns are cast to LONG: integral min/max is
-    * the portability contract (the cents discipline), and it keeps the
-    * stats file one flat typed schema for any column set. Stats land
+    * the table. Stats columns are stored as LONG — integral columns
+    * cast (the cents discipline), DOUBLE/FLOAT columns through the
+    * order-preserving IEEE-754 bit lift
+    * ([[graft.functions.IeeeSortable]]): min/max of the lifted values
+    * IS the lift of min/max (monotone bijection), so file skipping on
+    * float metrics is exactly as tight as on integers while the stats
+    * file keeps one flat typed schema for any column set. Stats land
     * BEFORE the manifest flips ([[writeGen]] precedes
     * [[writeManifest]] everywhere), so a committed manifest always has
     * its stats and a torn attempt's stats are orphans recovery never
     * reads — the same crash contract as the data files. */
+  private def statExpr(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType.typeName match {
+      case "double" | "float" =>
+        graft.functions.VectorFunctions.register(spark)
+        // signed-order variant (top bit flipped): these stats flow
+        // through ordinary min/max/< — see IeeeSortable.liftSigned
+        call_function(graft.functions.VectorFunctions.ieeeSortableName,
+          col(c).cast("double")).bitwiseXOR(lit(Long.MinValue))
+      case _ => col(c).cast("long")
+    }
+
+  private def isFloating(c: String): Boolean = {
+    val m = readManifest(gen)
+    val dg = m.map(_._2).max
+    Seq("double", "float").contains(
+      spark.read.parquet(s"$dir/data/gen=$dg").schema(c).dataType.typeName)
+  }
+
   private def writeStats(g: Int): Unit = {
+    val genDf = spark.read.parquet(s"$dir/data/gen=$g")
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"min_$c"),
-      max(col(c).cast("long")).as(s"max_$c")))
-    spark.read.parquet(s"$dir/data/gen=$g")
+      min(statExpr(genDf, c)).as(s"min_$c"),
+      max(statExpr(genDf, c)).as(s"max_$c")))
+    genDf
       // relative to $dir/data: manifests stay valid if the table moves
       .withColumn("file",
         substring_index(input_file_name(), "/data/", -1))
@@ -403,6 +426,26 @@ final class BucketedCdcTable(
     * have been configured from the table's first write (every
     * referenced generation carries a stats file). */
   def pruneFiles(statsCol: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    require(!isFloating(statsCol),
+      s"$statsCol is floating-point — use pruneFilesDouble/scanWhereDouble")
+    pruneBounds(statsCol, lo, hi)
+  }
+
+  /** [[pruneFiles]] over a DOUBLE/FLOAT stats column: bounds are
+    * lifted through the same order-preserving IEEE-754 map the stats
+    * were written with, so skipping is exactly as tight as on
+    * integers (a file with NaNs keeps a +max stat and is never
+    * wrongly skipped). */
+  def pruneFilesDouble(statsCol: String, lo: Double,
+      hi: Double): (Seq[String], Int) = {
+    require(isFloating(statsCol),
+      s"$statsCol is integral — use pruneFiles/scanWhere")
+    pruneBounds(statsCol, graft.functions.IeeeSortable.liftSigned(lo),
+      graft.functions.IeeeSortable.liftSigned(hi))
+  }
+
+  private def pruneBounds(statsCol: String, lo: Long,
+      hi: Long): (Seq[String], Int) = {
     require(statsCols.contains(statsCol),
       s"$statsCol not in statsCols $statsCols")
     val m = readManifest(gen)
@@ -434,16 +477,25 @@ final class BucketedCdcTable(
     * `snapshot.filter(col(statsCol).between(lo, hi))` by construction
     * (the exact predicate is still applied; stats only drop files that
     * cannot contain a match). */
-  def scanWhere(statsCol: String, lo: Long, hi: Long): DataFrame = {
-    val (files, _) = pruneFiles(statsCol, lo, hi)
-    val pred = col(statsCol).cast("long").between(lo, hi)
+  def scanWhere(statsCol: String, lo: Long, hi: Long): DataFrame =
+    scanKept(pruneFiles(statsCol, lo, hi)._1,
+      col(statsCol).cast("long").between(lo, hi))
+
+  /** [[scanWhere]] over a DOUBLE/FLOAT stats column — equivalent to
+    * `snapshot.filter(col(statsCol).between(lo, hi))` by construction,
+    * reading only files whose lifted min/max range intersects. */
+  def scanWhereDouble(statsCol: String, lo: Double, hi: Double): DataFrame =
+    scanKept(pruneFilesDouble(statsCol, lo, hi)._1,
+      col(statsCol).cast("double").between(lo, hi))
+
+  private def scanKept(files: Seq[String],
+      pred: org.apache.spark.sql.Column): DataFrame =
     if (files.isEmpty) snapshot.limit(0).filter(pred)
     // normalize BEFORE the predicate: kept files may predate an
     // evolution (a filter on an added column must see its default;
     // a widened column compares at the merged width)
     else normalize(spark.read.parquet(files.map(f => s"$dir/data/$f"): _*),
       readSchemaOps()).filter(pred)
-  }
 
   /** Fold one change batch in, rewriting only the buckets its keys
     * hash to. Write volume per batch ∝ touched buckets (≈ batch size ×

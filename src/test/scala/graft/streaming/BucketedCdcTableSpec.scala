@@ -295,6 +295,36 @@ class BucketedCdcTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { bare.compactClustered(4) }
   }
 
+  test("double stats: scanWhereDouble ≡ filter, negatives + NaN, real skipping") {
+    val dir = tmp("bcdc_dbl")
+    val t = new BucketedCdcTable(spark, dir, "k", nBuckets = 2,
+      statsCols = Seq("v"))
+    // signed doubles spanning zero (the lift's hard case) + NaN rows
+    val rows = (1L to 800L).map(k => (k, (k - 400L) * 1.25)) ++
+      Seq((900L, Double.NaN), (901L, Double.NaN))
+    t.publish(rows.toDF("k", "v").repartitionByRange(8, col("v")))
+    val expected = rows.filter { case (_, v) => v >= -100.5 && v <= 100.5 }
+      .map(_._1).toSet
+    assert(t.scanWhereDouble("v", -100.5, 100.5)
+      .select("k").as[Long].collect().toSet == expected)
+    // the narrow range must actually skip files on clustered data
+    val (kept, total) = t.pruneFilesDouble("v", -100.5, 100.5)
+    assert(total >= 8 && kept.size < total, s"kept ${kept.size}/$total")
+    // NaN sorts above +Inf in the lift: a NaN-only file is never
+    // wrongly skipped by a high range, and the predicate drops NaNs
+    assert(t.scanWhereDouble("v", 400.0, Double.PositiveInfinity)
+      .select("k").as[Long].collect().toSet ==
+      rows.filter { case (_, v) => v >= 400.0 && !v.isNaN }.map(_._1).toSet)
+    // family guards: integral API refuses double columns and vice versa
+    intercept[IllegalArgumentException] { t.pruneFiles("v", 0L, 1L) }
+    val ti = new BucketedCdcTable(spark, tmp("bcdc_dbl2"), "k",
+      nBuckets = 2, statsCols = Seq("v"))
+    ti.publish(Seq((1L, 10L)).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      ti.pruneFilesDouble("v", 0.0, 1.0)
+    }
+  }
+
   // simulate a crash between a gen write and its commit record: the gen
   // directories landed (with their own _SUCCESS) but the record didn't
   private def dropLatestCommitRecord(dir: String): Unit = {
