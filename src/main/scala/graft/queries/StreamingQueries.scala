@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
+  /** Run `body` with the session's shuffle-partition count — which is
+    * also every stateful operator's STATE-STORE partition count —
+    * sized for a replay-gate stream instead of the batch default.
+    * Every micro-batch commits one store file per state partition (×4
+    * stores for a symmetric stream-stream join), so at gate scale the
+    * 32-partition batch default turns wall time into pure store-commit
+    * fixed cost: q201 measured 51 s isolated at 32 partitions vs ~20 s
+    * at 8, identical results (state semantics are partition-count
+    * independent; a checkpoint pins its count at first start, and each
+    * gate query owns a fresh checkpoint). Production sizes this knob
+    * to key volume × executor count. Restored after. */
+  private def withStateParts[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** q125: [[EventStreams.valueHistograms]] — the mergeable log2
     * quantile sketch — maintained by a REAL streaming query over a
     * 3-step file timeline. Step i's events (event_id mod 3 = i) land
@@ -40,23 +57,25 @@ object StreamingQueries {
     // at a time with a full drain between — a deterministic timeline
     arrive(0)
     val step = new java.util.concurrent.atomic.AtomicInteger(0)
-    val query = EventStreams.valueHistograms(
-        EventStreams.readJsonStream(s, srcDir))
-      .writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (state: Dataset[Row], _: Long) =>
-        if (!state.isEmpty) {
-          val g = step.getAndIncrement()
-          state.coalesce(1).write.mode("overwrite")
-            .parquet(s"$dir/snap/step=$g")
+    withStateParts(s) {
+      val query = EventStreams.valueHistograms(
+          EventStreams.readJsonStream(s, srcDir))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (state: Dataset[Row], _: Long) =>
+          if (!state.isEmpty) {
+            val g = step.getAndIncrement()
+            state.coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/snap/step=$g")
+          }
         }
-      }
-      .start()
-    try {
-      query.processAllAvailable()
-      (1 to 2).foreach { i => arrive(i); query.processAllAvailable() }
-    } finally query.stop()
+        .start()
+      try {
+        query.processAllAvailable()
+        (1 to 2).foreach { i => arrive(i); query.processAllAvailable() }
+      } finally query.stop()
+    }
     require(step.get() == 3, s"expected 3 snapshots, got ${step.get()}")
     (0 until 3).map(g => s.read.parquet(s"$dir/snap/step=$g")
         .withColumn("step", lit(g)))
@@ -112,24 +131,26 @@ object StreamingQueries {
         .json(srcDir)
     arrive(unix_micros(col("ts")) <= half)
     val step = new java.util.concurrent.atomic.AtomicInteger(0)
-    val query = EventStreams.sessionWindows(
-        EventStreams.readJsonStream(s, srcDir))
-      .writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (state: Dataset[Row], _: Long) =>
-        if (!state.isEmpty) {
-          val g = step.getAndIncrement()
-          state.coalesce(1).write.mode("overwrite")
-            .parquet(s"$dir/snap/step=$g")
+    withStateParts(s) {
+      val query = EventStreams.sessionWindows(
+          EventStreams.readJsonStream(s, srcDir))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (state: Dataset[Row], _: Long) =>
+          if (!state.isEmpty) {
+            val g = step.getAndIncrement()
+            state.coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/snap/step=$g")
+          }
         }
-      }
-      .start()
-    try {
-      query.processAllAvailable()
-      arrive(unix_micros(col("ts")) > half)
-      query.processAllAvailable()
-    } finally query.stop()
+        .start()
+      try {
+        query.processAllAvailable()
+        arrive(unix_micros(col("ts")) > half)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
     require(step.get() == 2, s"expected 2 snapshots, got ${step.get()}")
     (0 until 2).map(g => s.read.parquet(s"$dir/snap/step=$g")
         .withColumn("step", lit(g)))
@@ -192,23 +213,25 @@ object StreamingQueries {
         .coalesce(1).write.mode("append").json(srcDir)
     arrive(0)
     val step = new java.util.concurrent.atomic.AtomicInteger(0)
-    val query = EventStreams.spendingMilestones(
-        EventStreams.readJsonStream(s, srcDir).as[EventStreams.Event])
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (emitted: Dataset[EventStreams.Milestone], _: Long) =>
-        if (!emitted.isEmpty) {
-          val g = step.getAndIncrement()
-          emitted.coalesce(1).write.mode("overwrite")
-            .parquet(s"$dir/snap/step=$g")
+    withStateParts(s) {
+      val query = EventStreams.spendingMilestones(
+          EventStreams.readJsonStream(s, srcDir).as[EventStreams.Event])
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (emitted: Dataset[EventStreams.Milestone], _: Long) =>
+          if (!emitted.isEmpty) {
+            val g = step.getAndIncrement()
+            emitted.coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/snap/step=$g")
+          }
         }
-      }
-      .start()
-    try {
-      query.processAllAvailable()
-      (1 to 2).foreach { i => arrive(i); query.processAllAvailable() }
-    } finally query.stop()
+        .start()
+      try {
+        query.processAllAvailable()
+        (1 to 2).foreach { i => arrive(i); query.processAllAvailable() }
+      } finally query.stop()
+    }
     require(step.get() == 3, s"expected 3 emission batches, got ${step.get()}")
     (0 until 3).map(g => s.read.parquet(s"$dir/snap/step=$g")
         .withColumn("step", lit(g)))
@@ -287,32 +310,34 @@ object StreamingQueries {
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      withStateParts(s) {
       val query = EventStreams.timerSessions(
-          EventStreams.readJsonStream(s, srcDir)
-            .withWatermark("ts", "1 hour").as[EventStreams.Event],
-          gapMs = 30L * 60 * 1000)
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$dir/ckpt")
-        .foreachBatch {
-          (emitted: Dataset[EventStreams.SessionSummary], _: Long) =>
-            if (!emitted.isEmpty) {
-              val g = step.getAndIncrement()
-              emitted.coalesce(1).write.mode("overwrite")
-                .parquet(s"$dir/snap/step=$g")
-            }
-        }
-        .start()
-      try {
-        query.processAllAvailable()
-        arrive(events.filter(unix_micros(col("ts")) > half))
-        query.processAllAvailable()
-        arrive(s.range(1).select(lit(-1L).as("event_id"),
-          timestamp_micros(lit(gmaxUs + 7L * 86400000000L)).as("ts"),
-          lit(-1L).as("user_id"), lit("flush").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props")))
-        query.processAllAvailable()
-      } finally query.stop()
+            EventStreams.readJsonStream(s, srcDir)
+              .withWatermark("ts", "1 hour").as[EventStreams.Event],
+            gapMs = 30L * 60 * 1000)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .foreachBatch {
+            (emitted: Dataset[EventStreams.SessionSummary], _: Long) =>
+              if (!emitted.isEmpty) {
+                val g = step.getAndIncrement()
+                emitted.coalesce(1).write.mode("overwrite")
+                  .parquet(s"$dir/snap/step=$g")
+              }
+          }
+          .start()
+        try {
+          query.processAllAvailable()
+          arrive(events.filter(unix_micros(col("ts")) > half))
+          query.processAllAvailable()
+          arrive(s.range(1).select(lit(-1L).as("event_id"),
+            timestamp_micros(lit(gmaxUs + 7L * 86400000000L)).as("ts"),
+            lit(-1L).as("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props")))
+          query.processAllAvailable()
+        } finally query.stop()
+    }
     } finally prevProv match {
       case Some(v) => s.conf.set(provKey, v)
       case None => s.conf.unset(provKey)
@@ -406,24 +431,26 @@ object StreamingQueries {
         .json(srcDir)
     arrive(unix_micros(col("ts")) <= half)
     val step = new java.util.concurrent.atomic.AtomicInteger(0)
-    val query = EventStreams.viewPurchaseJoin(
-        EventStreams.readJsonStream(s, srcDir))
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (emitted: Dataset[Row], _: Long) =>
-        if (!emitted.isEmpty) {
-          val g = step.getAndIncrement()
-          emitted.coalesce(1).write.mode("overwrite")
-            .parquet(s"$dir/snap/step=$g")
+    withStateParts(s) {
+      val query = EventStreams.viewPurchaseJoin(
+          EventStreams.readJsonStream(s, srcDir))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (emitted: Dataset[Row], _: Long) =>
+          if (!emitted.isEmpty) {
+            val g = step.getAndIncrement()
+            emitted.coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/snap/step=$g")
+          }
         }
-      }
-      .start()
-    try {
-      query.processAllAvailable()
-      arrive(unix_micros(col("ts")) > half)
-      query.processAllAvailable()
-    } finally query.stop()
+        .start()
+      try {
+        query.processAllAvailable()
+        arrive(unix_micros(col("ts")) > half)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
     require(step.get() == 2, s"expected 2 emission batches, got ${step.get()}")
     (0 until 2).map(g => s.read.parquet(s"$dir/snap/step=$g")
         .withColumn("step", lit(g)))
@@ -492,29 +519,31 @@ object StreamingQueries {
         lit(-1L).as("user_id"), lit("purchase").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
     arrive(half(unix_micros(col("ts")) <= halfUs))
-    val query = EventStreams.viewPurchaseLeftJoin(
-        EventStreams.readJsonStream(s, srcDir))
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (emitted: Dataset[Row], _: Long) =>
-        if (!emitted.isEmpty)
-          emitted.coalesce(1).write.mode("append").parquet(s"$dir/snap")
-        ()
-      }
-      .start()
-    try {
-      query.processAllAvailable()
-      arrive(half(unix_micros(col("ts")) > halfUs))
-      query.processAllAvailable()
-      // pusher 1: watermark strictly past every view's horizon
-      // (max + 2h + 1s, minus the 1h delay > any v_ts + 1h)
-      arrive(pusher(maxUs + 7201000000L))
-      query.processAllAvailable()
-      // pusher 2: the sequential data-batch barrier (pinned mechanic 3)
-      arrive(pusher(maxUs + 7202000000L))
-      query.processAllAvailable()
-    } finally query.stop()
+    withStateParts(s) {
+      val query = EventStreams.viewPurchaseLeftJoin(
+          EventStreams.readJsonStream(s, srcDir))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (emitted: Dataset[Row], _: Long) =>
+          if (!emitted.isEmpty)
+            emitted.coalesce(1).write.mode("append").parquet(s"$dir/snap")
+          ()
+        }
+        .start()
+      try {
+        query.processAllAvailable()
+        arrive(half(unix_micros(col("ts")) > halfUs))
+        query.processAllAvailable()
+        // pusher 1: watermark strictly past every view's horizon
+        // (max + 2h + 1s, minus the 1h delay > any v_ts + 1h)
+        arrive(pusher(maxUs + 7201000000L))
+        query.processAllAvailable()
+        // pusher 2: the sequential data-batch barrier (pinned mechanic 3)
+        arrive(pusher(maxUs + 7202000000L))
+        query.processAllAvailable()
+      } finally query.stop()
+    }
     s.read.parquet(s"$dir/snap")
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         unix_micros(col("v_ts")).as("v_us"),
@@ -562,17 +591,19 @@ object StreamingQueries {
       Expectation("known_type", col("event_type") =!= "error"),
       Expectation("value_in_range", cents(col("value")) <= 40000L))
     val step = new java.util.concurrent.atomic.AtomicInteger(0)
-    val query = IngestExpectations.attach(
-      EventStreams.readJsonStream(s, srcDir), exps,
-      s"$dir/clean", s"$dir/quar", s"$dir/ckpt", () => step.get())
-    try {
-      query.processAllAvailable()
-      (1 to 2).foreach { i => step.set(i); arrive(i); query.processAllAvailable() }
-    } finally query.stop()
-    val metrics = query.recentProgress.toSeq
-      .filter(p => p.numInputRows > 0 &&
-        p.observedMetrics.containsKey("expectations"))
-      .map(_.observedMetrics.get("expectations"))
+    val metrics = withStateParts(s) {
+      val query = IngestExpectations.attach(
+        EventStreams.readJsonStream(s, srcDir), exps,
+        s"$dir/clean", s"$dir/quar", s"$dir/ckpt", () => step.get())
+      try {
+        query.processAllAvailable()
+        (1 to 2).foreach { i => step.set(i); arrive(i); query.processAllAvailable() }
+      } finally query.stop()
+      query.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 &&
+          p.observedMetrics.containsKey("expectations"))
+        .map(_.observedMetrics.get("expectations"))
+    }
     require(metrics.length == 3,
       s"expected 3 observed micro-batches, got ${metrics.length}")
     import s.implicits._
@@ -640,19 +671,21 @@ object StreamingQueries {
         count(lit(1)).as("n_rows"),
         sum(cents(col("value"))).as("value_cents"),
         count(when(col("event_type") === "error", 1)).as("n_error"))
-    val query = observed.writeStream
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
-        b.write.format("noop").mode("overwrite").save()
-      }
-      .start()
-    try {
-      query.processAllAvailable()
-      (1 to 2).foreach { i => arrive(i); query.processAllAvailable() }
-    } finally query.stop()
-    val metrics = query.recentProgress.toSeq
-      .filter(p => p.numInputRows > 0 && p.observedMetrics.containsKey("scan"))
-      .map(_.observedMetrics.get("scan"))
+    val metrics = withStateParts(s) {
+      val query = observed.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      try {
+        query.processAllAvailable()
+        (1 to 2).foreach { i => arrive(i); query.processAllAvailable() }
+      } finally query.stop()
+      query.recentProgress.toSeq
+        .filter(p => p.numInputRows > 0 && p.observedMetrics.containsKey("scan"))
+        .map(_.observedMetrics.get("scan"))
+    }
     require(metrics.length == 3,
       s"expected 3 observed micro-batches, got ${metrics.length}")
     import s.implicits._
@@ -721,25 +754,27 @@ object StreamingQueries {
     // driver-set step label (not increment-on-nonempty): a drain whose
     // arrivals are all dropped duplicates legitimately emits nothing
     val step = new java.util.concurrent.atomic.AtomicInteger(0)
-    val query = s.readStream
-      .schema("user_id LONG, ts TIMESTAMP").json(srcDir)
-      .withWatermark("ts", s"$dSec seconds")
-      .dropDuplicatesWithinWatermark("user_id")
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (out: Dataset[Row], _: Long) =>
-        if (!out.isEmpty)
-          out.coalesce(1).write.mode("append")
-            .parquet(s"$dir/snap/step=${step.get()}")
-        ()
-      }
-      .start()
-    try {
-      query.processAllAvailable()
-      (1 to 2).foreach { i =>
-        step.set(i); arrive(i); query.processAllAvailable()
-      }
-    } finally query.stop()
+    withStateParts(s) {
+      val query = s.readStream
+        .schema("user_id LONG, ts TIMESTAMP").json(srcDir)
+        .withWatermark("ts", s"$dSec seconds")
+        .dropDuplicatesWithinWatermark("user_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (out: Dataset[Row], _: Long) =>
+          if (!out.isEmpty)
+            out.coalesce(1).write.mode("append")
+              .parquet(s"$dir/snap/step=${step.get()}")
+          ()
+        }
+        .start()
+      try {
+        query.processAllAvailable()
+        (1 to 2).foreach { i =>
+          step.set(i); arrive(i); query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
     (0 until 3).map { g =>
       val p = s"$dir/snap/step=$g"
       if (new java.io.File(p).exists())
