@@ -46,7 +46,10 @@ final class ConcurrentWriteException(msg: String)
   *    it and loses. Committed data is never deleted on the reclaim path;
   *    the only residual (a three-writer race on one torn generation,
   *    restore finding dst re-occupied) leaves the committed content
-  *    parked in a hidden tomb rather than destroyed.
+  *    parked in a hidden tomb rather than destroyed — and throws
+  *    [[ConcurrentWriteException]] naming the tomb, because two writers
+  *    have then both observed a successful publish for one generation
+  *    and arbitration is ambiguous.
   */
 object AtomicCommit {
 
@@ -96,9 +99,21 @@ object AtomicCommit {
         if (isCommitted(fs, tomb)) {
           // restore and lose. A failed restore means a THIRD writer took
           // dst in the gap — leave the tomb on disk (committed data is
-          // never deleted; a hidden tomb is recoverable, a delete isn't).
-          fs.rename(tomb, dst)
+          // never deleted; a hidden tomb is recoverable, a delete isn't)
+          // but REFUSE loudly: two writers have then both seen a true
+          // publish for this generation, so arbitration is ambiguous and
+          // silence would let both proceed as winners.
+          val restored = fs.rename(tomb, dst)
           fs.delete(tmp, true)
+          if (!restored && fs.exists(tomb)) {
+            throw new ConcurrentWriteException(
+              s"AtomicCommit: committed content of $dst was moved aside " +
+                s"during torn-destination reclaim and could not be " +
+                s"restored (a third writer re-committed the destination " +
+                s"in the gap). The original winner's committed data is " +
+                s"PARKED at $tomb — recover it before trusting $dst; " +
+                s"generation arbitration for this slot is ambiguous.")
+          }
           return false
         }
         fs.delete(tomb, true)

@@ -49,18 +49,72 @@ object FuzzyJoin {
     * deletion), and it would also collapse duplicate input rows — so
     * with duplicated (id, str) rows the pair multiplicity diverges
     * from the naive all-pairs scan, which preserves them. Dedup
-    * upstream if input rows can repeat. */
+    * upstream if input rows can repeat.
+    *
+    * `maxBucket` caps the candidate term per variant bucket (the
+    * [[Dedup.cappedBandPairs]] anchor discipline, adapted two-sided):
+    * only each side's `maxBucket` smallest-id members per bucket
+    * ("anchors") pair with the OTHER side's full membership, so a hot
+    * bucket of m_a × m_b candidate slots emits at most
+    * maxBucket · (m_a + m_b) — linear in bucket population instead of
+    * quadratic. Deletion-neighborhood buckets go hot on low-entropy
+    * key regions (shared prefixes, digit runs), and that term is the
+    * measured super-linear tail at 10× data. A pair is lost only if
+    * BOTH members rank past the cap in EVERY bucket they share —
+    * size the cap above the hot-bucket population at which real ed≤1
+    * matches still rank (and NEVER silently: surface
+    * [[ed1JoinDropped]] next to any capped run). The default is
+    * uncapped — exact FastSS. */
   def ed1Join(a: DataFrame, b: DataFrame,
-      idA: String, strA: String, idB: String, strB: String): DataFrame = {
+      idA: String, strA: String, idB: String, strB: String,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket $maxBucket")
     val va = a.select(col(idA), col(strA),
       explode(deletionVariants(col(strA))).as("__v"))
     val vb = b.select(col(idB), col(strB),
       explode(deletionVariants(col(strB))).as("__v"))
-    va.join(vb, "__v")
+    val candidates =
+      if (maxBucket == Int.MaxValue) va.join(vb, "__v")
+      else {
+        // anchors × all, each direction — the join INPUT is bounded, so
+        // the pair volume never materializes quadratically (a post-join
+        // rank filter would still generate every slot before dropping it)
+        import org.apache.spark.sql.expressions.Window
+        val ra = va.withColumn("__rka", row_number().over(
+          Window.partitionBy(col("__v")).orderBy(col(idA))))
+        val rb = vb.withColumn("__rkb", row_number().over(
+          Window.partitionBy(col("__v")).orderBy(col(idB))))
+        ra.filter(col("__rka") <= maxBucket).drop("__rka")
+          .join(rb.drop("__rkb"), "__v")
+          .unionByName(
+            ra.drop("__rka")
+              .join(rb.filter(col("__rkb") <= maxBucket).drop("__rkb"), "__v"))
+      }
+    candidates
       .select(col(idA), col(strA), col(idB), col(strB))
       .distinct()
       .withColumn("dist", levenshtein(col(strA), col(strB)))
       .filter(col("dist") <= 1)
       .select(col(idA), col(idB), col("dist"))
+  }
+
+  /** Upper bound on candidate SLOTS a capped [[ed1Join]] drops:
+    * Σ_buckets max(0, m_a − cap) · max(0, m_b − cap) — the slots where
+    * both members rank past the cap. An upper bound on dropped PAIRS
+    * (a pair recurs across shared buckets and survives if ANY of them
+    * keeps it). One keyed aggregate over the variant rows — the price
+    * of never capping silently ([[Dedup.cappedBandDropped]]). */
+  def ed1JoinDropped(a: DataFrame, b: DataFrame,
+      idA: String, strA: String, idB: String, strB: String,
+      maxBucket: Int): Long = {
+    val ca = a.select(explode(deletionVariants(col(strA))).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("ma"))
+    val cb = b.select(explode(deletionVariants(col(strB))).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("mb"))
+    ca.join(cb, "__v")
+      .agg(coalesce(sum(
+        greatest(col("ma") - maxBucket, lit(0L)) *
+          greatest(col("mb") - maxBucket, lit(0L))), lit(0L)))
+      .head().getLong(0)
   }
 }

@@ -57,18 +57,27 @@ object Upsert {
   /** One WHEN clause of a multi-clause [[merge]]. `cond` is a SQL
     * boolean over the aliases `t` (target/base) and `s` (source) —
     * e.g. `"t.status = 'O' AND s.price > t.price"`; None ⇒
-    * unconditional. Actions are SET-star / VALUES-star: `update` and
-    * `insert` take the source row's payload verbatim (the MERGE form
-    * CDC pipelines use; computed SET lists compose by projecting the
-    * source first). */
-  final case class MergeClause(cond: Option[String], action: String)
+    * unconditional.
+    *
+    * `set` is the clause's SET / VALUES list: column → SQL expression
+    * over the same `t`/`s` aliases. Empty ⇒ star semantics (`update`
+    * and `insert` take the source row's payload verbatim — the MERGE
+    * form CDC pipelines use). Non-empty follows SQL MERGE: an update
+    * leaves unlisted columns at their TARGET value (`SET c = expr`
+    * touches only `c`); an insert leaves unlisted columns NULL (an
+    * explicit insert column list). With explicit sets the source need
+    * not carry the base schema at all — only the join key. */
+  final case class MergeClause(cond: Option[String], action: String,
+      set: Map[String, String] = Map.empty)
   object MergeClause {
-    def update(cond: String = null): MergeClause =
-      MergeClause(Option(cond), "update")
+    def update(cond: String = null,
+        set: Map[String, String] = Map.empty): MergeClause =
+      MergeClause(Option(cond), "update", set)
     def delete(cond: String = null): MergeClause =
       MergeClause(Option(cond), "delete")
-    def insert(cond: String = null): MergeClause =
-      MergeClause(Option(cond), "insert")
+    def insert(cond: String = null,
+        set: Map[String, String] = Map.empty): MergeClause =
+      MergeClause(Option(cond), "insert", set)
   }
 
   /** Multi-clause MERGE: SQL MERGE's full clause surface over the same
@@ -82,25 +91,42 @@ object Upsert {
     *   - `whenNotMatchedBySource` (delete): base-only rows — the
     *     "prune stale rows" form; no match ⇒ kept.
     *
-    * Contract: `source` carries `keyCol` plus every base column
-    * (SET-star), and is UNIQUE per key (collapse upstream with the
-    * [[applyChanges]] latest-wins window; SQL MERGE makes multiple
-    * matches an error for the same reason — the result would depend on
-    * join order).
+    * Contract: `source` carries `keyCol`; clauses with star semantics
+    * (empty `set`) additionally require every base column on the
+    * source (SET-star / VALUES-star), while explicit `set` lists lift
+    * that — source and base schemas may differ arbitrarily. Source is
+    * UNIQUE per key (collapse upstream with the [[applyChanges]]
+    * latest-wins window; SQL MERGE makes multiple matches an error for
+    * the same reason — the result would depend on join order).
+    *
+    * Matched-ness is discriminated by presence MARKER columns, not key
+    * nullness: a base row whose key is NULL never equi-joins, and
+    * classifying it by `t.key IS NULL` would misroute it to the
+    * NOT-MATCHED family and silently drop it. With markers it lands in
+    * WHEN NOT MATCHED BY SOURCE exactly as SQL MERGE routes it (and a
+    * null-key source row is NOT MATCHED — insertable, never matched).
     *
     * Scale: ONE full-outer join on the key — broadcast when the source
     * is dimension-sized, shuffle otherwise — then a single projected
     * CASE; the base is never scanned twice and nothing driver-side
-    * touches data. Clause conditions compile into the same projection,
-    * so adding clauses costs zero extra passes. */
+    * touches data. Clause conditions and SET lists compile into the
+    * same projection, so adding clauses costs zero extra passes. */
   def merge(base: DataFrame, source: DataFrame, keyCol: String,
       whenMatched: Seq[MergeClause] = Nil,
       whenNotMatched: Seq[MergeClause] = Nil,
       whenNotMatchedBySource: Seq[MergeClause] = Nil): DataFrame = {
     val payload = base.columns.toIndexedSeq
-    require(payload.forall(source.columns.contains),
-      s"SET-star merge: source must carry every base column; missing " +
-        s"${payload.filterNot(source.columns.contains).mkString(", ")}")
+    require(source.columns.contains(keyCol),
+      s"merge: source must carry the join key $keyCol")
+    val starClauses = (whenMatched ++ whenNotMatched)
+      .filter(c => c.action != "delete" && c.set.isEmpty)
+    if (starClauses.nonEmpty)
+      require(payload.forall(source.columns.contains),
+        s"SET-star merge clause: source must carry every base column; " +
+          s"missing ${payload.filterNot(source.columns.contains).mkString(", ")}")
+    (whenMatched ++ whenNotMatched).foreach(c => c.set.keys.foreach(k =>
+      require(payload.contains(k),
+        s"merge SET list names $k, not a base column")))
     def validate(cs: Seq[MergeClause], allowed: Set[String], fam: String) =
       cs.foreach(c => require(allowed(c.action),
         s"$fam clause cannot ${c.action} (allowed: ${allowed.mkString("/")})"))
@@ -108,24 +134,46 @@ object Upsert {
     validate(whenNotMatched, Set("insert"), "WHEN NOT MATCHED")
     validate(whenNotMatchedBySource, Set("delete"),
       "WHEN NOT MATCHED BY SOURCE")
-    val tK = col(s"t.`$keyCol`"); val sK = col(s"s.`$keyCol`")
-    val j = base.alias("t").join(source.alias("s"), tK === sK, "full_outer")
+    // presence markers (see scaladoc): non-null iff that side has a row
+    val t = base.withColumn("__t", lit(true)).alias("t")
+    val s = source.withColumn("__s", lit(true)).alias("s")
+    val j = t.join(s,
+      col(s"t.`$keyCol`") === col(s"s.`$keyCol`"), "full_outer")
+    // clause ids: KEEP/DROP sentinels + a global index per update/insert
+    // clause (each may carry its own SET list, so the projection must
+    // know WHICH clause fired, not just the action family)
+    val Keep = -1; val Drop = -2
+    val matchedIdx = whenMatched.zipWithIndex
+    val notMatchedIdx =
+      whenNotMatched.zipWithIndex.map { case (c, i) => (c, i + whenMatched.length) }
     // first-match-wins fold; the default is the SQL MERGE no-clause
     // behavior for each family (keep / don't insert / keep)
-    def chain(cs: Seq[MergeClause], dflt: String) =
-      cs.foldRight(lit(dflt)) { (c, els) =>
-        when(c.cond.map(expr).getOrElse(lit(true)), lit(c.action))
-          .otherwise(els)
+    def chain(cs: Seq[(MergeClause, Int)], dflt: Int) =
+      cs.foldRight(lit(dflt)) { case ((c, id), els) =>
+        when(c.cond.map(expr).getOrElse(lit(true)),
+          lit(if (c.action == "delete") Drop else id)).otherwise(els)
       }
-    val act = when(tK.isNotNull && sK.isNotNull, chain(whenMatched, "keep"))
-      .when(tK.isNull, chain(whenNotMatched, "skip"))
-      .otherwise(chain(whenNotMatchedBySource, "keep"))
+    val tP = col("t.`__t`"); val sP = col("s.`__s`")
+    val act = when(tP.isNotNull && sP.isNotNull, chain(matchedIdx, Keep))
+      .when(tP.isNull, chain(notMatchedIdx, Drop))
+      .otherwise(chain(whenNotMatchedBySource.map((_, Keep)), Keep))
+    val applying = (matchedIdx ++ notMatchedIdx).filter(_._1.action != "delete")
+    val projected = payload.map { c =>
+      val dt = base.schema(c).dataType
+      val tC = col(s"t.`$c`")
+      val sC = if (source.columns.contains(c)) col(s"s.`$c`")
+               else lit(null).cast(dt)
+      applying.foldRight(tC) { case ((cl, id), els) =>
+        val v =
+          if (cl.set.isEmpty) sC
+          else cl.set.get(c).map(e => expr(e).cast(dt)).getOrElse(
+            if (cl.action == "update") tC else lit(null).cast(dt))
+        when(col("__act") === id, v).otherwise(els)
+      }.as(c)
+    }
     j.withColumn("__act", act)
-      .filter(col("__act") === "keep" || col("__act") === "update" ||
-        col("__act") === "insert")
-      .select(payload.map(c =>
-        when(col("__act") === "keep", col(s"t.`$c`"))
-          .otherwise(col(s"s.`$c`")).as(c)): _*)
+      .filter(col("__act") =!= Drop)
+      .select(projected: _*)
   }
 
   /** History-preserving (SCD type-2) apply: instead of overwriting,

@@ -57,34 +57,56 @@ object Validation {
 
   /** Column profile (ANALYZE-style stats collection): per requested
     * column — row count, null count, exact distinct count, typed
-    * min/max rendered through the column's formatter. One aggregation
-    * branch PER COLUMN, each over a scan pruned to exactly that column.
+    * min/max rendered through the column's formatter.
     *
-    * Why per-column branches and not one multi-distinct aggregate: on
-    * columnar storage "one scan of the table" is the wrong objective —
-    * k pruned scans read each column's bytes exactly once, the same
-    * total I/O as one k-column scan. What the single-scan plan adds is
-    * pure cost: k exact distincts in one Aggregate force an Expand
-    * (k+1 rows per input row) and a SortAggregate chain — measured
-    * 7.5 s vs 1-2 s for the branch form on the same 600k-row profile.
-    * Per branch, the single distinct plans as a two-phase hash
-    * aggregate (group-by-value partial, no Expand, no sort), and every
-    * non-distinct metric rides the same pass map-side.
+    * Pass structure (the 100 TB shape): ALL non-distinct stats — row
+    * count plus per-column null count / min / max — fold into ONE
+    * k-column scan (every one partial-aggregates map-side to a single
+    * row; zero shuffle beyond the 1-row final), and each exact
+    * distinct gets its own scan pruned to exactly that column.
+    *
+    * Why per-column branches for the distincts and not one
+    * multi-distinct aggregate: k exact distincts in one Aggregate
+    * force an Expand (k+1 rows per input row) and a SortAggregate
+    * chain — measured 7.5 s vs 1-2 s for the branch form on the same
+    * 600k-row profile. Per branch, the single distinct plans as a
+    * two-phase hash aggregate (group-by-value partial, no Expand, no
+    * sort). The distinct branches carry NOTHING but the bare column —
+    * min/max/null work rides the one shared scan instead of being
+    * recomputed k times (the r13 shape ran k full stat passes; the
+    * distinct value shuffle that remains is the irreducible exact-
+    * distinct term — swap in HLL upstream when exactness isn't
+    * required).
     *
     * Output is long-format: one (col_name, n_rows, n_nulls,
     * n_distinct, min_val, max_val) row per column. */
-  def profile(df: DataFrame, cols: Seq[ProfileCol]): DataFrame =
-    cols.map { c =>
+  def profile(df: DataFrame, cols: Seq[ProfileCol]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       val v = col(c.name)
-      df.select(v)
-        .agg(
-          count(lit(1)).as("n_rows"),
-          coalesce(sum(when(v.isNull, 1L).otherwise(0L)), lit(0L))
-            .as("n_nulls"),
-          countDistinct(v).as("n_distinct"),
-          c.fmt(min(v)).cast("string").as("min_val"),
-          c.fmt(max(v)).cast("string").as("max_val"))
-        .select(lit(c.name).as("col_name"), col("n_rows"),
-          col("n_nulls"), col("n_distinct"), col("min_val"), col("max_val"))
+      Seq(
+        coalesce(sum(when(v.isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__nn_${c.name}"),
+        c.fmt(min(v)).cast("string").as(s"__mn_${c.name}"),
+        c.fmt(max(v)).cast("string").as(s"__mx_${c.name}"))
+    }
+    // one scan → one row of every non-distinct stat, exploded to long
+    // format (k tiny rows, broadcast below)
+    val basicLong = df
+      .select(cols.map(c => col(c.name)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c.name).as("col_name"), col("n_rows"),
+        col(s"__nn_${c.name}").as("n_nulls"),
+        col(s"__mn_${c.name}").as("min_val"),
+        col(s"__mx_${c.name}").as("max_val"))): _*)).as("s"))
+      .select(col("s.*"))
+    val distincts = cols.map { c =>
+      df.select(col(c.name))
+        .agg(countDistinct(col(c.name)).as("n_distinct"))
+        .select(lit(c.name).as("col_name"), col("n_distinct"))
     }.reduce(_ unionAll _)
+    distincts.join(broadcast(basicLong), Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
 }

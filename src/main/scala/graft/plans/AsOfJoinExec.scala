@@ -229,9 +229,17 @@ case class BroadcastAsOfJoinExec(
     val fwd = forward
 
     val bcast = right.executeBroadcast[Array[InternalRow]]()
+    // ReuseExchange can hand the SAME IdentityBroadcastMode exchange to
+    // two different as-of joins over one right-side plan; the cache key
+    // must therefore carry the index-shaping projections, not just the
+    // broadcast id, or join #2 would probe join #1's index. Expression
+    // toString (name#exprId) is deterministic and identical across the
+    // joins exactly when the built index would be identical.
+    val indexKey = s"${bcast.id}:" +
+      (rKeysB ++ (rTsB +: rValsB)).map(_.toString).mkString("|")
     left.execute().mapPartitions { lIter =>
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
-      val index = BroadcastAsOfJoinExec.indexFor(bcast.id, {
+      val index = BroadcastAsOfJoinExec.indexFor(indexKey, {
         val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
         val rTsProj = UnsafeProjection.create(Seq(rTsB), rOut)
         val rValProj = UnsafeProjection.create(rValsB, rOut)
@@ -296,18 +304,20 @@ case class BroadcastAsOfJoinExec(
 }
 
 object BroadcastAsOfJoinExec {
-  // per-executor probe-index memoization, keyed by broadcast id. Small
-  // LRU (not unbounded): a finished query's index must not pin executor
+  // per-executor probe-index memoization, keyed by broadcast id PLUS
+  // the key/ts/val projection signature (ReuseExchange shares one
+  // exchange across distinct as-of joins — see doExecute). Small LRU
+  // (not unbounded): a finished query's index must not pin executor
   // memory forever, and concurrent as-of stages rarely exceed a handful
   // of live dimension broadcasts. Built under the lock so exactly one
   // task per executor pays the group+sort.
   private val cache =
-    new java.util.LinkedHashMap[Long, AnyRef](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, AnyRef]): Boolean = size > 8
+          e: java.util.Map.Entry[String, AnyRef]): Boolean = size > 8
     }
 
-  private def indexFor[T <: AnyRef](id: Long, build: => T): T =
+  private def indexFor[T <: AnyRef](id: String, build: => T): T =
     cache.synchronized {
       val got = cache.get(id)
       if (got != null) got.asInstanceOf[T]

@@ -466,7 +466,18 @@ object DedupQueries {
     * (deletion-neighborhood blocking — never the all-pairs Levenshtein
     * scan). The oracle IS the all-pairs scan (`ON levenshtein ≤ 1`):
     * the blocked join must reproduce it exactly, including incidental
-    * matches to OTHER reference names one edit away. */
+    * matches to OTHER reference names one edit away.
+    *
+    * Deliberately UNCAPPED ([[graft.operators.FuzzyJoin.ed1Join]]'s
+    * `maxBucket` stays at its exact default): the measured sf1.0
+    * candidate set is 4,094,320 distinct pairs of which 4,094,320 —
+    * every one — verify as genuine ed≤1 matches (digit-run name
+    * collisions make the true answer grow ~quadratically in customer
+    * count). The blocking emits ZERO junk here, so this query's
+    * super-linear 10×-data ratio is the RESULT SIZE, not a candidate
+    * blowup — an anchor cap could only shrink it by dropping true
+    * matches. Reach for the cap on distributions whose hot buckets are
+    * collision junk (transposition-heavy keys), not this one. */
   def fuzzyEntityMatch(s: SparkSession, d: String): DataFrame = {
     import graft.operators.FuzzyJoin
     val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))

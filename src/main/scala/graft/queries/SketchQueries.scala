@@ -219,7 +219,18 @@ object SketchQueries {
        |FROM sk JOIN ex USING (event_type)""".stripMargin
 
   private val Dim = 64
-  private val NBits = 8
+
+  /** Bucket width pinned to what [[Similarity.adaptiveHyperplaneBits]]
+    * chooses at the LARGEST corpus the driver benches (sf1.0, 20k
+    * embeddings → 11 bits): an oracle pin must be a fixed bucket
+    * function (static SQL can't read the corpus count), and the q79
+    * lesson (r9→r10: 15.3× wall at 10× data) is that a pinned LSH
+    * shape must be sized for the biggest corpus it will ever see —
+    * under-sized fixed buckets saturate and the within-bucket pair
+    * volume grows quadratically. q38 was the last fixed-width family
+    * (8 bits → 6.2× at 10× data); at 11 bits the bucket population
+    * scales with the corpus instead. */
+  private val NBits = Similarity.adaptiveHyperplaneBits(20000L)
   private val MinSim = 0.25
 
   /** Embedding near-dup pairs inside hyperplane-LSH buckets — the

@@ -291,6 +291,12 @@ final class BucketedCdcTable(
     * idempotent (CAS-published records; double-delete is a no-op). */
   def vacuum(retainLast: Int): Unit = {
     require(retainLast >= 1, s"retainLast $retainLast must be >= 1")
+    // liveness must span the CURRENT committed manifest tree, not this
+    // instance's possibly-stale view — a long-lived janitor vacuuming
+    // while another writer advances the table would otherwise treat
+    // data gens referenced only by newer manifests as orphans and (on
+    // the next pass, under the same stale cap) delete committed data
+    reloadGen()
     val st = Retention.load(fs, dir)
     if (st.pending.nonEmpty) {
       val live = liveDataGens(st.floor)
@@ -618,17 +624,28 @@ final class BucketedCdcAggTable(
   private def fs = new org.apache.hadoop.fs.Path(dir)
     .getFileSystem(spark.sessionState.newHadoopConf())
 
-  // commit record = the pair's truth ([[CdcAggTable]]): reclaim the
-  // protocol-torn generations beyond it at construction. For the
-  // bucketed table the MANIFEST tree is its commit point; orphan DATA
-  // gens need no reclaim — allocation skips past them and vacuum
-  // collects them.
+  // commit record = the pair's truth ([[CdcAggTable]]): recovery flips
+  // to it, never past it. For the bucketed table the MANIFEST tree is
+  // its commit point; orphan DATA gens need no reclaim — allocation
+  // skips past them and vacuum collects them.
   locally {
     val (b, tg, ag) = CdcCommits.latest(fs, s"$dir/commits")
       .getOrElse((-1L, -1, -1))
     lastBatchId = b; table.resetTo(tg); aggGen = ag
-    CdcCommits.reclaimAbove(fs, s"$dir/table/manifest", tg)
-    CdcCommits.reclaimAbove(fs, s"$dir/agg", ag)
+  }
+
+  // Torn-generation reclaim is deferred to the first WRITE through this
+  // instance ([[CdcAggTable.reclaimTorn]]): a pure reader constructed
+  // mid-commit must never delete the writer's committed-but-unrecorded
+  // generation. The boundary is re-read at reclaim time — generations
+  // recorded since our recovery are live, and deleting them would turn
+  // a must-lose CAS into a silent win.
+  private lazy val reclaimTorn: Unit = {
+    val (_, tg, ag) = CdcCommits.latest(fs, s"$dir/commits")
+      .getOrElse((-1L, -1, -1))
+    CdcCommits.reclaimAbove(fs, s"$dir/table/manifest",
+      math.max(tg, table.generation))
+    CdcCommits.reclaimAbove(fs, s"$dir/agg", math.max(ag, aggGen))
   }
 
   private def commit(batchId: Long): Unit =
@@ -651,6 +668,7 @@ final class BucketedCdcAggTable(
   }
 
   def publish(base: DataFrame): Unit = {
+    reclaimTorn
     table.publish(base)
     writeAgg(base.groupBy(col(groupCol))
       .agg(count(lit(1)).as(countCol),
@@ -667,6 +685,7 @@ final class BucketedCdcAggTable(
   /** Fold one change batch in: aggregate first (old images from the
     * PRE-change touched buckets only), table second, commit last. */
   def applyBatch(changes: DataFrame, batchId: Long = -1L): Unit = {
+    reclaimTorn
     writeAgg(graft.operators.Ivm.maintainSumCountAgg(
       aggSnapshot, table.snapshotOf(table.touchedBuckets(changes)),
       changes, keyCol, opCol, groupCol, countCol, sumCols))

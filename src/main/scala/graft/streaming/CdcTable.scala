@@ -136,10 +136,14 @@ final class CdcTable(
   * record. A crash between the table/aggregate writes and the commit
   * leaves orphan gen directories that recovery never flips to; they
   * are protocol-torn even though internally committed (the record is
-  * the pair's commit point), so construction RECLAIMS every gen
-  * directory beyond the recovered record before any write — without
+  * the pair's commit point), so the FIRST WRITE through an instance
+  * reclaims every gen directory beyond the recovered record — without
   * that, the redelivered batch's conditional publish would lose the
   * CAS to its own orphan on every restart (a permanent crash loop).
+  * Reclaim is deliberately NOT done at construction: a read-only
+  * instance (monitoring, ad-hoc snapshot) built while the writer sits
+  * between a gen write and its commit record must never delete that
+  * in-flight generation.
   * The maintain ≡ recompute invariant over any batch sequence is
   * pinned by CdcTableSpec. */
 final class CdcAggTable(
@@ -163,8 +167,26 @@ final class CdcAggTable(
     val (b, tg, ag) = CdcCommits.latest(fs, s"$dir/commits")
       .getOrElse((-1L, -1, -1))
     lastBatchId = b; table.resetTo(tg); aggGen = ag
-    CdcCommits.reclaimAbove(fs, s"$dir/table", tg)
-    CdcCommits.reclaimAbove(fs, s"$dir/agg", ag)
+  }
+
+  // Reclaiming the torn generations is a WRITE-path action, deferred to
+  // the first write through this instance: a pure reader (a monitoring
+  // process constructing an instance for aggSnapshot) while the single
+  // writer sits between a gen write and its commit record must NOT
+  // delete that committed-but-unrecorded generation — construction
+  // recovery above already refuses to flip to it, which is all a reader
+  // needs. At first write the single-writer contract makes the orphans
+  // provably this writer's own crash debris, safe to reclaim so the
+  // republish lands in clean slots instead of losing the CAS forever.
+  // The boundary is RE-READ here, not taken from construction: another
+  // writer may have advanced the pair since, and generations recorded
+  // after our recovery are live data — deleting them would hand this
+  // instance a CAS win it must instead LOSE (and refuse) on.
+  private lazy val reclaimTorn: Unit = {
+    val (_, tg, ag) = CdcCommits.latest(fs, s"$dir/commits")
+      .getOrElse((-1L, -1, -1))
+    CdcCommits.reclaimAbove(fs, s"$dir/table", math.max(tg, table.generation))
+    CdcCommits.reclaimAbove(fs, s"$dir/agg", math.max(ag, aggGen))
   }
 
   private def commit(batchId: Long): Unit =
@@ -193,6 +215,7 @@ final class CdcAggTable(
     * computed ONCE from it (the last full scan this table needs). */
   def publish(base: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
+    reclaimTorn
     table.publish(base)
     writeAgg(base.groupBy(col(groupCol))
       .agg(count(lit(1)).as(countCol),
@@ -210,6 +233,7 @@ final class CdcAggTable(
     * record lands only after BOTH writes, so a crash anywhere before
     * it re-applies against the pre-batch pair idempotently. */
   def applyBatch(changes: DataFrame, batchId: Long = -1L): Unit = {
+    reclaimTorn
     writeAgg(graft.operators.Ivm.maintainSumCountAgg(
       aggSnapshot, table.snapshot, changes, keyCol, opCol, groupCol,
       countCol, sumCols))

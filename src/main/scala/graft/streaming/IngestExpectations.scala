@@ -23,7 +23,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Scale: [[annotate]] is one projected CASE per expectation (codegen,
   * no shuffle); the split is two filtered writes of each micro-batch.
   * The batch is cached for the two passes — cost ∝ batch, the same
-  * contract as every foreachBatch sink in this package.
+  * contract as every foreachBatch sink in this package. The CLEAN side
+  * — the full ingest volume — writes at the batch's own parallelism by
+  * default (a `coalesce(1)` there would serialize every ingested byte
+  * through one task's parquet encoder, capping throughput at one core
+  * regardless of cluster size); only the expected-tiny quarantine side
+  * defaults to a single file, and both are tunable per sink.
   */
 object IngestExpectations {
 
@@ -55,10 +60,20 @@ object IngestExpectations {
     * expectation names) to `quarantineDir`, metrics to the query's
     * progress events. `label(batch)` stamps each written row — pass
     * the drain/step label for replay-gated tests, or a batch-id cast
-    * for production lineage. */
+    * for production lineage.
+    *
+    * Writer parallelism: `cleanParts`/`quarantineParts` cap the write
+    * task count per sink (`None` = the batch's own partitioning). The
+    * clean path defaults to full parallelism — it carries the entire
+    * ingest volume; the quarantine defaults to one file per batch —
+    * it is expected-tiny and read by humans. */
   def attach(stream: DataFrame, exps: Seq[Expectation],
       cleanDir: String, quarantineDir: String, checkpointDir: String,
-      label: () => Int = () => 0): StreamingQuery = {
+      label: () => Int = () => 0,
+      cleanParts: Option[Int] = None,
+      quarantineParts: Option[Int] = Some(1)): StreamingQuery = {
+    def capped(df: DataFrame, parts: Option[Int]): DataFrame =
+      parts.fold(df)(df.coalesce)
     val observed = stream.observe("expectations", metricCols(exps).head,
       metricCols(exps).tail: _*)
     observed.writeStream
@@ -68,12 +83,13 @@ object IngestExpectations {
         val ann = annotate(batch, exps)
           .withColumn("step", lit(label())).persist()
         try {
-          ann.filter(size(col(FailedCol)) > 0)
+          capped(ann.filter(size(col(FailedCol)) > 0)
             .withColumn("failed", concat_ws(",", col(FailedCol)))
-            .drop(FailedCol)
-            .coalesce(1).write.mode("append").parquet(quarantineDir)
-          ann.filter(size(col(FailedCol)) === 0).drop(FailedCol)
-            .coalesce(1).write.mode("append").parquet(cleanDir)
+            .drop(FailedCol), quarantineParts)
+            .write.mode("append").parquet(quarantineDir)
+          capped(ann.filter(size(col(FailedCol)) === 0).drop(FailedCol),
+            cleanParts)
+            .write.mode("append").parquet(cleanDir)
         } finally ann.unpersist()
         ()
       }

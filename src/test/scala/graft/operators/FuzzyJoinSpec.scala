@@ -43,6 +43,35 @@ class FuzzyJoinSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("anchor cap: lossless when buckets fit; loses only " +
+      "both-past-cap pairs; dropped-slot count matches") {
+    // a hot bucket by construction: many strings sharing variant "aa"
+    // (all "aa"+suffix-free forms: "aaX"/"Xaa" collapse via deletions)
+    val a = (1L to 12L).map(i => (i, "aa")).toDF("pid", "pname")
+    val b = (101L to 112L).map(i => (i, "aab")).toDF("rid", "rname")
+    val full = FuzzyJoin.ed1Join(a, b, "pid", "pname", "rid", "rname")
+      .select($"pid", $"rid").as[(Long, Long)].collect().toSet
+    assert(full.size === 144) // every pair is a genuine ed-1 match
+    // cap ≥ bucket population on either side → identical result
+    val capped12 = FuzzyJoin.ed1Join(a, b, "pid", "pname", "rid", "rname",
+      maxBucket = 12).select($"pid", $"rid").as[(Long, Long)].collect().toSet
+    assert(capped12 === full)
+    assert(FuzzyJoin.ed1JoinDropped(
+      a, b, "pid", "pname", "rid", "rname", maxBucket = 12) === 0L)
+    // cap = 4: anchors (4 smallest ids per side) still pair with the
+    // full other side; only non-anchor × non-anchor pairs are dropped
+    val capped4 = FuzzyJoin.ed1Join(a, b, "pid", "pname", "rid", "rname",
+      maxBucket = 4).select($"pid", $"rid").as[(Long, Long)].collect().toSet
+    assert(capped4 === full.filter { case (p, r) => p <= 4L || r <= 104L })
+    // dropped-slot surface: the one shared bucket ("aa": a-side selves ×
+    // b-side deletions) drops max(0,12-4) * max(0,12-4) = 64 slots —
+    // exactly the pairs lost here (single shared bucket, no recurrence)
+    val dropped = FuzzyJoin.ed1JoinDropped(
+      a, b, "pid", "pname", "rid", "rname", maxBucket = 4)
+    assert(dropped === (full.size - capped4.size).toLong)
+    assert(dropped === 64L)
+  }
+
   test("null strings join nothing") {
     val a = Seq((1L, Option.empty[String]), (2L, Some("ok")))
       .toDF("pid", "pname")

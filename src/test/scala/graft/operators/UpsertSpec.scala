@@ -97,6 +97,66 @@ class UpsertSpec extends SparkSpec {
     assert(u == Set((1L, "A", 99)))
   }
 
+  test("merge: null-key rows route by PRESENCE, not key nullness") {
+    import Upsert.MergeClause._
+    // a base row with a NULL merge key never equi-joins; it must land in
+    // the NOT MATCHED BY SOURCE family (kept by default, like SQL MERGE)
+    // — not be silently dropped as a failed insert
+    val b = Seq((Some(1L), "a", 10), (None, "nk", 77))
+      .toDF("k", "name", "v")
+    val s = Seq((Some(1L), "A", 11), (None, "snk", 55))
+      .toDF("k", "name", "v")
+    val kept = Upsert.merge(b, s, "k",
+      whenMatched = Seq(update()),
+      whenNotMatched = Seq(insert()))
+      .as[(Option[Long], String, Int)].collect().toSet
+    // null-key base row KEPT (by-source default); null-key source row is
+    // NOT MATCHED -> inserted with its null key
+    assert(kept == Set(
+      (Some(1L), "A", 11), (None, "nk", 77), (None, "snk", 55)))
+    // and the by-source family can SEE the null-key base row
+    val swept = Upsert.merge(b, s, "k",
+      whenNotMatchedBySource = Seq(delete("t.v > 50")))
+      .as[(Option[Long], String, Int)].collect().toSet
+    assert(swept == Set((Some(1L), "a", 10)))
+  }
+
+  test("merge: per-column SET updates touch only listed columns") {
+    import Upsert.MergeClause._
+    val b = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "name", "v")
+    val s = Seq((1L, "A", 100), (2L, "B", 200)).toDF("k", "name", "v")
+    // SET v = t.v + s.v leaves name at the TARGET value
+    val got = Upsert.merge(b, s, "k",
+      whenMatched = Seq(update(set = Map("v" -> "t.v + s.v"))))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 110), (2L, "b", 220)))
+  }
+
+  test("merge: explicit SET/VALUES lists work with a source schema " +
+      "that differs from the base") {
+    import Upsert.MergeClause._
+    val b = Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "name", "v")
+    // source carries only the key and a delta column — no base payload
+    val s = Seq((1L, 5), (9L, 90)).toDF("k", "dv")
+    val got = Upsert.merge(b, s, "k",
+      whenMatched = Seq(update(set = Map("v" -> "t.v + s.dv"))),
+      whenNotMatched = Seq(insert(set =
+        Map("k" -> "s.k", "v" -> "s.dv"))))
+      .as[(Long, Option[String], Int)].collect().toSet
+    // matched: v bumped, name kept; inserted: unlisted name is NULL
+    assert(got == Set(
+      (1L, Some("a"), 15), (2L, Some("b"), 20), (9L, None, 90)))
+    // a STAR clause still demands the full base schema on the source
+    intercept[IllegalArgumentException] {
+      Upsert.merge(b, s, "k", whenMatched = Seq(update()))
+    }
+    // SET lists naming a non-base column refuse
+    intercept[IllegalArgumentException] {
+      Upsert.merge(b, s, "k",
+        whenMatched = Seq(update(set = Map("nope" -> "s.dv"))))
+    }
+  }
+
   test("merge: no clauses is the identity; wrong action families refuse") {
     import Upsert.MergeClause._
     val s = Seq((1L, "A", 99)).toDF("k", "name", "v")

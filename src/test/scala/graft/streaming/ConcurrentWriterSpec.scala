@@ -152,6 +152,38 @@ class ConcurrentWriterSpec extends SparkSpec {
       Set(("x", 2L, 30L)))
   }
 
+  test("CdcAggTable: construction is read-only — an unrecorded " +
+      "generation survives a reader and is reclaimed by the next WRITER") {
+    val dir = tmp("cdcagg_reader")
+    val fs = hfs(dir)
+    val a = new CdcAggTable(spark, dir, keyCol = "k", groupCol = "g",
+      countCol = "n", sumCols = Seq("sv"))
+    a.publish(Seq((1L, "x", 10L)).toDF("k", "g", "sv")) // gen 0 + record
+    // simulate a writer crashed between its gen write and its commit
+    // record: a committed-looking table generation beyond the record
+    val orphan = new Path(s"$dir/table/gen=1")
+    fs.mkdirs(orphan)
+    fs.create(new Path(orphan, "_SUCCESS"), true).close()
+    // a PURE READER constructed now must not delete it (it may be a
+    // live writer's in-flight commit, not crash debris)
+    val r = new CdcAggTable(spark, dir, keyCol = "k", groupCol = "g",
+      countCol = "n", sumCols = Seq("sv"))
+    assert(r.aggSnapshot.as[(String, Long, Long)].collect().toSet ==
+      Set(("x", 1L, 10L)))
+    assert(fs.exists(orphan), "reader construction deleted an " +
+      "unrecorded generation — construction must be read-only")
+    // the recovered writer's first write reclaims the torn slot and
+    // republishes into it (no permanent CAS crash loop)
+    val w = new CdcAggTable(spark, dir, keyCol = "k", groupCol = "g",
+      countCol = "n", sumCols = Seq("sv"))
+    w.applyBatch(Seq(("insert", 2L, "x", 20L)).toDF("op", "k", "g", "sv"))
+    assert(w.aggSnapshot.as[(String, Long, Long)].collect().toSet ==
+      Set(("x", 2L, 30L)))
+    assert(new CdcAggTable(spark, dir, keyCol = "k", groupCol = "g",
+      countCol = "n", sumCols = Seq("sv"))
+      .table.snapshot.count() == 2)
+  }
+
   test("HammingIndex: raced increment id refuses; checkpoint replay overwrites") {
     val dir = tmp("ham_two") + "/idx"
     val vecs = (1 to 8).map(i => (i.toLong, Array.fill(16)(i * 0.1f)))

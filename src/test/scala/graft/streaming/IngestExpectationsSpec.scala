@@ -30,6 +30,32 @@ class IngestExpectationsSpec extends SparkSpec {
     }
   }
 
+  test("clean path writes at the batch's parallelism (no single-task " +
+      "funnel); quarantine stays one file per batch") {
+    val dir = java.nio.file.Files.createTempDirectory("ingexpp").toString
+    val srcDir = s"$dir/in"
+    // a multi-file arrival => a multi-partition micro-batch
+    (1L to 40L).map(i => (i, if (i % 10 == 0) -1 else 1)).toDF("id", "v")
+      .repartition(4).write.mode("append").json(srcDir)
+    val q = attach(
+      spark.readStream.schema("id LONG, v INT").json(srcDir),
+      exps, s"$dir/clean", s"$dir/quar", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    // the ingest volume fanned out across write tasks...
+    assert(parquetFiles(s"$dir/clean") > 1,
+      "clean side must not serialize through one writer task")
+    // ...the tiny quarantine did not
+    assert(parquetFiles(s"$dir/quar") == 1)
+    // and the routed CONTENTS are identical to the single-file protocol
+    assert(spark.read.parquet(s"$dir/clean").select($"id")
+      .as[Long].collect().toSet == (1L to 40L).filter(_ % 10 != 0).toSet)
+    assert(spark.read.parquet(s"$dir/quar").select($"id", $"failed")
+      .as[(Long, String)].collect().toSet ==
+      (1L to 40L).filter(_ % 10 == 0).map((_, "pos")).toSet)
+  }
+
   test("streaming: routing + per-batch observed metrics over a drain timeline") {
     val dir = java.nio.file.Files.createTempDirectory("ingexp").toString
     val srcDir = s"$dir/in"
