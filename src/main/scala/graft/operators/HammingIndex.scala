@@ -226,7 +226,11 @@ object HammingIndex {
       .filter(_._1 < upTo)
     val live = allIncs.filter(_._1 >= boundary)
     val srcs = genDir.map(_.toString).toSeq ++ live.map(_._2.toString)
-    if (srcs.nonEmpty && (live.nonEmpty || allIncs.nonEmpty)) {
+    // replay/race with gen=upTo already committed: skip the re-fold and
+    // proceed to the marks (sweeping an earlier pass's marks on the way)
+    val dstCommitted = boundary == upTo
+    if (!dstCommitted && srcs.nonEmpty &&
+        (live.nonEmpty || allIncs.nonEmpty)) {
       val folded = srcs.map(p => spark.read.parquet(p))
         .map(df => if (df.columns.contains("ingest_batch"))
           df.drop("ingest_batch") else df)
@@ -246,13 +250,27 @@ object HammingIndex {
         throw new ConcurrentWriteException(
           s"HammingIndex.compactIncrements: gen=$upTo at $path lost its " +
             "publish and the destination is not committed")
-      // reclaim: covered increments + superseded folds (torn ones too)
-      (allIncs.map(_._2) ++
-        listNumDirs(fs, new org.apache.hadoop.fs.Path(s"$path/gen"), "gen=")
-          .filter(_._1 < upTo).map(_._2))
-        .foreach(p => fs.delete(p, true))
     }
+    // retention, not deletion: covered increments + superseded folds
+    // (torn ones too) are MARKED now and swept by the NEXT compaction
+    // or [[vacuum]] pass ([[graft.streaming.Retention.markSweepUnits]])
+    // — a reader that planned its scan against the pre-fold tree keeps
+    // its files for one full janitor cycle. Serving correctness never
+    // depended on the delete: readCodes shadows covered increments by
+    // boundary predicate and ignores non-newest folds.
+    if (dstCommitted || srcs.nonEmpty)
+      graft.streaming.Retention.markSweepUnits(fs, path,
+        allIncs.map { case (n, _) => s"codes/ingest_batch=$n" } ++
+          listNumDirs(fs, new org.apache.hadoop.fs.Path(s"$path/gen"), "gen=")
+            .filter(_._1 < upTo).map { case (g, _) => s"gen/gen=$g" })
   }
+
+  /** Sweep whatever an earlier [[compactIncrements]] marked without
+    * folding anything new — the standalone janitor tick for an index
+    * whose ingest has gone quiet (marked directories otherwise wait for
+    * the next compaction forever). */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    graft.streaming.Retention.markSweepUnits(hfs(spark, path), path, Nil)
 
   /** Serve top-k off the STORED codes: pass 1 scans ⌈dim/64⌉ longs per
     * row (never a vector), shortlists per query through the bounded

@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   * Layout (mirrors IvfIndex's contract exactly):
   *
   *   path/postings/ingest_batch=N/bucket=B/   (term, doc_id, tf)
+  *   path/gen/gen=G/{postings/bucket=B, stats} (committed compaction folds)
   *   path/meta                                (n_buckets)
   *
   * `bucket = portable_hash(term) mod n_buckets` is a DISCOVERED
@@ -110,9 +111,12 @@ object InvertedIndex {
     // stats increments of the previous index must die with it too —
     // load() sums the whole stats dir, so a stale stats/ingest_batch=N
     // from before the rebuild would inflate n_docs/tot_len and skew
-    // every bm25Search score
-    val statsRoot = new org.apache.hadoop.fs.Path(s"$path/stats")
-    if (fs.exists(statsRoot)) fs.delete(statsRoot, true)
+    // every bm25Search score — and so must compaction folds and
+    // retention marks of the previous index
+    Seq("stats", "gen", "retention").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     writeIncrement(corpus, idCol, textCol, nBuckets, positions, path,
       batchId = 0L)
     import spark.implicits._
@@ -131,19 +135,48 @@ object InvertedIndex {
   }
 
   def nextBatchId(spark: SparkSession, path: String): Long = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) 0L
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap { s =>
-        val name = s.getPath.getName
-        val suffix = name.stripPrefix("ingest_batch=")
-        if (name.startsWith("ingest_batch=") && suffix.nonEmpty &&
-          suffix.forall(_.isDigit))
-          scala.util.Try(suffix.toLong).toOption
-        else None
-      }.maxOption.map(_ + 1).getOrElse(0L)
+    val fs = hfs(spark, path)
+    val maxInc = listNumDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/postings"), "ingest_batch=")
+      .map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+    // ids below a committed fold are COVERED (their directories are
+    // retention-reclaimed) and must never be reissued
+    val (boundary, _) = coveredBoundary(spark, path)
+    math.max(maxInc, if (boundary == Long.MinValue) 0L else boundary)
+  }
+
+  private def listNumDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, prefix: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { s =>
+      val name = s.getPath.getName
+      val suffix = name.stripPrefix(prefix)
+      if (name.startsWith(prefix) && suffix.nonEmpty &&
+        suffix.forall(_.isDigit))
+        scala.util.Try(suffix.toLong).toOption.map(n => (n, s.getPath))
+      else None
+    }
+
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The compaction boundary: increments strictly below it are folded
+    * into (and shadowed by) the newest COMMITTED `gen=` fold under
+    * `path/gen` ([[HammingIndex]]'s covered-boundary contract).
+    * Long.MinValue when never compacted. */
+  private def coveredBoundary(spark: SparkSession, path: String)
+      : (Long, Option[org.apache.hadoop.fs.Path]) = {
+    val fs = hfs(spark, path)
+    listNumDirs(fs, new org.apache.hadoop.fs.Path(s"$path/gen"), "gen=")
+      .filter { case (_, p) =>
+        Seq("_SUCCESS", "_GRAFT_COMMITTED").exists(m =>
+          fs.exists(new org.apache.hadoop.fs.Path(p, m)))
+      }
+      .sortBy(_._1).lastOption
+      .map { case (g, p) => (g, Some(p)) }
+      .getOrElse((Long.MinValue, None))
   }
 
   private def loadMeta(spark: SparkSession, path: String): (Int, Boolean) = {
@@ -155,11 +188,116 @@ object InvertedIndex {
   final case class Index(postings: DataFrame, nBuckets: Int,
       positional: Boolean, stats: DataFrame)
 
+  /** Served postings/stats: the newest committed compaction fold (if
+    * any) plus the `ingest_batch=` increments it does not cover —
+    * increments below the boundary are shadowed even if their
+    * directories still exist (retention sweeps them one janitor cycle
+    * AFTER the fold that covered them; serving must not double-count
+    * in the window). Bucket stays a discovered partition column on both
+    * legs, so term-probe pruning is unchanged. */
   def load(spark: SparkSession, path: String): Index = {
     val (nBuckets, positional) = loadMeta(spark, path)
-    Index(spark.read.parquet(s"$path/postings"), nBuckets, positional,
-      spark.read.parquet(s"$path/stats"))
+    val (boundary, genDir) = coveredBoundary(spark, path)
+    val fs = hfs(spark, path)
+    val liveBatches = listNumDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/postings"), "ingest_batch=")
+      .filter(_._1 >= boundary)
+    val livePostings =
+      if (liveBatches.isEmpty) None
+      else Some(spark.read.option("basePath", s"$path/postings")
+        .parquet(liveBatches.map(_._2.toString): _*)
+        .drop("ingest_batch"))
+    val genPostings = genDir.map(p =>
+      spark.read.parquet(s"${p.toString}/postings"))
+    val postings = (genPostings, livePostings) match {
+      case (Some(g), Some(l)) => g.unionByName(l)
+      case (Some(g), None) => g
+      case (None, Some(l)) => l
+      case (None, None) => throw new IllegalStateException(
+        s"InvertedIndex at $path has no postings (no increments, no fold)")
+    }
+    val liveStats = listNumDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/stats"), "ingest_batch=")
+      .filter(_._1 >= boundary).map(_._2.toString)
+    val statsDirs = genDir.map(p => s"${p.toString}/stats").toSeq ++ liveStats
+    Index(postings, nBuckets, positional,
+      spark.read.parquet(statsDirs: _*)
+        .select(col("n_docs"), col("tot_len")))
   }
+
+  /** IN-PLACE compaction + retention for a forever-appended index: fold
+    * the previous committed fold and every increment strictly below
+    * `upTo` into one committed `path/gen/gen=upTo` unit (postings
+    * re-partitioned by bucket + the summed stats row, one atomic
+    * CAS-published directory), then MARK the covered increment and
+    * superseded fold directories for the next janitor pass to sweep
+    * ([[graft.streaming.Retention.markSweepUnits]] — one cycle of
+    * reader grace, the [[HammingIndex.compactIncrements]] contract).
+    * Serving stays correct at every point: [[load]] reads the newest
+    * committed fold plus uncovered increments only. Stats fold by
+    * SUMMING (append batches are disjoint documents — the documented
+    * ingest contract), so compaction never rescans document text. */
+  def compactPostings(spark: SparkSession, path: String,
+      upTo: Long): Unit = {
+    require(upTo > 0, s"upTo must be positive, got $upTo")
+    val fs = hfs(spark, path)
+    val (boundary, genDir) = coveredBoundary(spark, path)
+    val allIncs = listNumDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/postings"), "ingest_batch=")
+      .filter(_._1 < upTo)
+    val live = allIncs.filter(_._1 >= boundary)
+    // replay/race with gen=upTo already committed: skip the re-fold,
+    // proceed to the marks (sweeping an earlier pass's marks on the way)
+    val dstCommitted = boundary == upTo
+    if (!dstCommitted && (genDir.nonEmpty || live.nonEmpty)) {
+      val livePostings =
+        if (live.isEmpty) None
+        else Some(spark.read.option("basePath", s"$path/postings")
+          .parquet(live.map(_._2.toString): _*).drop("ingest_batch"))
+      val folded = (genDir.map(p =>
+        spark.read.parquet(s"${p.toString}/postings")).toSeq ++
+        livePostings.toSeq).reduce(_ unionByName _)
+      val statsSrcs = genDir.map(p => s"${p.toString}/stats").toSeq ++
+        live.flatMap { case (n, _) =>
+          val sp = new org.apache.hadoop.fs.Path(
+            s"$path/stats/ingest_batch=$n")
+          if (fs.exists(sp)) Some(sp.toString) else None
+        }
+      val dst = s"$path/gen/gen=$upTo"
+      val won = AtomicCommit.publishParquet(spark, dst) { tmp =>
+        folded.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$tmp/postings")
+        spark.read.parquet(statsSrcs: _*)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("tot_len")).as("tot_len"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+        fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMMITTED"),
+          true).close()
+      }
+      if (!won && !Seq("_SUCCESS", "_GRAFT_COMMITTED").exists(m =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dst/$m"))))
+        throw new ConcurrentWriteException(
+          s"InvertedIndex.compactPostings: gen=$upTo at $path lost its " +
+            "publish and the destination is not committed")
+    }
+    if (dstCommitted || genDir.nonEmpty || live.nonEmpty)
+      graft.streaming.Retention.markSweepUnits(fs, path,
+        allIncs.map { case (n, _) => s"postings/ingest_batch=$n" } ++
+          allIncs.flatMap { case (n, _) =>
+            val sp = new org.apache.hadoop.fs.Path(
+              s"$path/stats/ingest_batch=$n")
+            if (fs.exists(sp)) Some(s"stats/ingest_batch=$n") else None
+          } ++
+          listNumDirs(fs,
+            new org.apache.hadoop.fs.Path(s"$path/gen"), "gen=")
+            .filter(_._1 < upTo).map { case (g, _) => s"gen/gen=$g" })
+  }
+
+  /** Sweep whatever an earlier [[compactPostings]] marked without
+    * folding anything new — the janitor tick for an index whose ingest
+    * has gone quiet. */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    graft.streaming.Retention.markSweepUnits(hfs(spark, path), path, Nil)
 
   /** Multi-term lookup, partition-pruned: rank docs by
     * (matched distinct terms desc, summed tf desc, doc_id) and keep

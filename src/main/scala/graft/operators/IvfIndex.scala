@@ -38,6 +38,8 @@ object IvfIndex {
     val vecRoot = new org.apache.hadoop.fs.Path(s"$path/vectors")
     val fs = vecRoot.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(vecRoot)) fs.delete(vecRoot, true)
+    // stale folds and retention marks of a previous index must die too
+    GenFold.resetTrees(spark, path, s"$path/gen")
     writeIncrement(corpus, idCol, vecCol, clusterCol, path, batchId = 0L)
     Similarity.clusterMedoids(corpus, idCol, vecCol, clusterCol)
       .write.mode("overwrite").parquet(s"$path/medoids")
@@ -112,24 +114,37 @@ object IvfIndex {
   }
 
   /** Next free increment id: max existing `ingest_batch=` + 1 (1 right
-    * after [[build]]). Drives the resume-after-crash loop: a caller
-    * that persists nothing can re-derive where to continue. */
-  def nextBatchId(spark: SparkSession, path: String): Long = {
-    val vecRoot = new org.apache.hadoop.fs.Path(s"$path/vectors")
-    val fs = vecRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(vecRoot)) 0L
-    else fs.listStatus(vecRoot).toSeq
-      .filter(_.isDirectory)
-      .flatMap { s =>
-        val name = s.getPath.getName
-        val suffix = name.stripPrefix("ingest_batch=")
-        // fully-numeric suffixes only — stray litter must not wedge this
-        if (name.startsWith("ingest_batch=") && suffix.nonEmpty &&
-          suffix.forall(_.isDigit))
-          scala.util.Try(suffix.toLong).toOption
-        else None
-      }.maxOption.map(_ + 1).getOrElse(0L)
-  }
+    * after [[build]]), respecting the [[compactIncrements]] boundary —
+    * covered ids are retention-reclaimed and must never be reissued.
+    * Drives the resume-after-crash loop: a caller that persists nothing
+    * can re-derive where to continue. */
+  def nextBatchId(spark: SparkSession, path: String): Long =
+    GenFold.nextBatchId(spark, s"$path/vectors", s"$path/gen")
+
+  /** Served vectors: the newest committed fold + the increments it does
+    * not cover ([[GenFold.readCovered]]); `cluster` stays a discovered
+    * partition column on both legs, so probe pruning is unchanged. */
+  private def readVectors(spark: SparkSession, path: String): DataFrame =
+    GenFold.readCovered(spark, s"$path/vectors", s"$path/gen")
+      .getOrElse(throw new IllegalStateException(
+        s"IvfIndex at $path has no vectors (no increments, no fold)"))
+
+  /** IN-PLACE compaction + retention for a forever-appended index
+    * ([[GenFold.compact]]): fold everything strictly below `upTo` into
+    * one committed `gen=upTo` unit (still partitioned by the cluster
+    * column — probe pruning reads the fold exactly like an increment),
+    * mark the covered directories, and let the NEXT pass sweep them —
+    * one janitor cycle of reader grace. */
+  def compactIncrements(spark: SparkSession, path: String, upTo: Long,
+      clusterCol: String): Unit =
+    GenFold.compact(spark, path, s"$path/vectors", s"$path/gen",
+      n => s"vectors/ingest_batch=$n", g => s"gen/gen=$g",
+      upTo, Seq(clusterCol))
+
+  /** Sweep whatever an earlier [[compactIncrements]] marked — the
+    * janitor tick for a quiescent index. */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    GenFold.vacuum(spark, path)
 
   /** Cluster-assign an increment by routing each vector to its nearest
     * existing medoid — for increments that arrive without the corpus's
@@ -161,7 +176,7 @@ object IvfIndex {
     * query. */
   def refreshMedoids(spark: SparkSession, path: String, idCol: String,
       vecCol: String, clusterCol: String): Unit = {
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val vectors = readVectors(spark, path)
     Similarity.clusterMedoids(vectors, idCol, vecCol, clusterCol)
       .write.mode("overwrite").parquet(s"$path/medoids")
   }
@@ -171,7 +186,7 @@ object IvfIndex {
 
   def load(spark: SparkSession, path: String, idCol: String,
       vecCol: String, clusterCol: String): Index =
-    Index(spark.read.parquet(s"$path/vectors"),
+    Index(readVectors(spark, path),
       spark.read.parquet(s"$path/medoids"),
       idCol, vecCol, clusterCol)
 

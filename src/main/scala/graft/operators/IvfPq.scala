@@ -124,6 +124,9 @@ object IvfPq {
     val codesRoot = new org.apache.hadoop.fs.Path(s"$path/codes")
     val fs = codesRoot.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(codesRoot)) fs.delete(codesRoot, true)
+    // stale folds/retention marks of a previous index (encoded under a
+    // different model) must die with the codes tree
+    GenFold.resetTrees(spark, path, s"$path/gen")
     val model = train(corpus, idCol, vecCol, kc, coarseIters, m, k,
       pqIters, coarseSeedStride, pqSeedStride)
     writeModel(spark, model, path)
@@ -148,7 +151,7 @@ object IvfPq {
   private def writeStats(spark: SparkSession, path: String,
       model: Model): Unit = {
     import spark.implicits._
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = readCodes(spark, path)
     val cellCols = col("cluster") +:
       (0 until model.m).map(s => col(s"__c$s"))
     val row = codes.agg(count(lit(1)).as("n"),
@@ -208,27 +211,40 @@ object IvfPq {
     writeStats(spark, path, model)
   }
 
-  def nextBatchId(spark: SparkSession, path: String): Long = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) 0L
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap { s =>
-        val name = s.getPath.getName
-        val suffix = name.stripPrefix("ingest_batch=")
-        if (name.startsWith("ingest_batch=") && suffix.nonEmpty &&
-          suffix.forall(_.isDigit))
-          scala.util.Try(suffix.toLong).toOption
-        else None
-      }.maxOption.map(_ + 1).getOrElse(0L)
-  }
+  /** Next free increment id, respecting the [[compactIncrements]]
+    * boundary — covered ids are retention-reclaimed and must never be
+    * reissued. */
+  def nextBatchId(spark: SparkSession, path: String): Long =
+    GenFold.nextBatchId(spark, s"$path/codes", s"$path/gen")
+
+  /** Served codes: the newest committed fold + the increments it does
+    * not cover ([[GenFold.readCovered]]); `cluster` stays a discovered
+    * partition column on both legs, so probe pruning is unchanged. */
+  private def readCodes(spark: SparkSession, path: String): DataFrame =
+    GenFold.readCovered(spark, s"$path/codes", s"$path/gen")
+      .getOrElse(throw new IllegalStateException(
+        s"IvfPq at $path has no codes (no increments, no fold)"))
+
+  /** IN-PLACE compaction + retention ([[GenFold.compact]]): fold
+    * everything strictly below `upTo` into one committed `gen=upTo`
+    * unit partitioned by cluster, mark the covered directories, and let
+    * the NEXT janitor pass sweep them — one cycle of reader grace. */
+  def compactIncrements(spark: SparkSession, path: String,
+      upTo: Long): Unit =
+    GenFold.compact(spark, path, s"$path/codes", s"$path/gen",
+      n => s"codes/ingest_batch=$n", g => s"gen/gen=$g",
+      upTo, Seq("cluster"))
+
+  /** Sweep whatever an earlier [[compactIncrements]] marked — the
+    * janitor tick for a quiescent index. */
+  def vacuum(spark: SparkSession, path: String): Unit =
+    GenFold.vacuum(spark, path)
 
   final case class Index(codes: DataFrame, model: Model, idCol: String,
       stats: Option[CellStats] = None)
 
   def load(spark: SparkSession, path: String, idCol: String): Index =
-    Index(spark.read.parquet(s"$path/codes"), loadModel(spark, path),
+    Index(readCodes(spark, path), loadModel(spark, path),
       idCol, loadStats(spark, path))
 
   /** ADC top-k through the index. Per query: route to the `nprobe`

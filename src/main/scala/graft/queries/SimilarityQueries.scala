@@ -829,6 +829,10 @@ object SimilarityQueries {
       query.processAllAvailable()
       (2 to 3).foreach { p => arrive(p); query.processAllAvailable() }
     } finally query.stop()
+    // janitor tick INSIDE the gate (r14 mark-then-sweep): sweeps the
+    // covered dirs the in-stream compaction marked — retention ACTIVE
+    // in the timeline; the served result below must not change
+    graft.operators.HammingIndex.vacuum(s, path)
     val index = graft.operators.HammingIndex.load(s, path, "vec_id")
     graft.operators.HammingIndex.topK(index, emb,
       emb.filter(col("vec_id") < 20), "embedding", k = 5,
@@ -868,6 +872,19 @@ object SimilarityQueries {
       emb.filter(pmod(col("vec_id"), lit(4)) === 3),
       "vec_id", "embedding",
       graft.operators.HammingIndex.nextBatchId(s, compactedPath))
+    // SUPERSEDED-ROOT RETIREMENT, active in the gate (r14): the old
+    // root the pointer swap abandoned is horizon-expired through the
+    // same mark-then-sweep janitor — pass 1 marks it (readers that
+    // planned scans against it get one cycle of grace), pass 2 reclaims
+    // the bytes. Serving from the compacted root must be unaffected.
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      graft.streaming.Retention.markSweepUnits(fs, dir, Seq("ix"))
+      graft.streaming.Retention.markSweepUnits(fs, dir, Nil)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(path)),
+        "superseded root must be reclaimed by the second janitor pass")
+    }
     val index = graft.operators.HammingIndex.load(s, compactedPath, "vec_id")
     graft.operators.HammingIndex.topK(index, emb,
       emb.filter(col("vec_id") < 20), "embedding", k = 5,

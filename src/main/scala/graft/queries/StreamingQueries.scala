@@ -488,7 +488,11 @@ object StreamingQueries {
     * purchases under a sentinel user (-1, matches nothing, emits
     * nothing): pusher 1 advances the watermark past every view's
     * horizon, pusher 2's data batch is the sequential barrier that
-    * forces pusher 1's eviction output to disk. Every view therefore
+    * forces pusher 1's eviction output to disk. Pusher 1 rides IN THE
+    * SAME FILE as the second data half (r14): the watermark advances
+    * at end-of-batch either way, so a separate pusher-1 drain only
+    * paid one more micro-batch of state-store commits — the floor is
+    * three drains (data+data+push, barrier), pinned by mechanic 3. Every view therefore
     * resolves — matched (same emission rules as q160) or null-emitted —
     * and the gated result equals DuckDB's plain batch LEFT JOIN, which
     * only the correctly-firing eviction path can reproduce in append
@@ -533,13 +537,18 @@ object StreamingQueries {
         .start()
       try {
         query.processAllAvailable()
-        arrive(half(unix_micros(col("ts")) > halfUs))
+        // pusher 1 rides WITH the second half (one file, one batch):
+        // the watermark advances at end-of-batch either way, so a
+        // separate pusher-1 drain buys nothing — it only pays another
+        // micro-batch of state-store commits (4 stores × partitions).
+        // wm lands at max + 2h + 1s − 1h delay, strictly past every
+        // view's v_ts + 1h horizon.
+        arrive(half(unix_micros(col("ts")) > halfUs)
+          .unionByName(pusher(maxUs + 7201000000L)))
         query.processAllAvailable()
-        // pusher 1: watermark strictly past every view's horizon
-        // (max + 2h + 1s, minus the 1h delay > any v_ts + 1h)
-        arrive(pusher(maxUs + 7201000000L))
-        query.processAllAvailable()
-        // pusher 2: the sequential data-batch barrier (pinned mechanic 3)
+        // pusher 2: the sequential data-batch barrier (pinned mechanic
+        // 3) — evictions under the advanced watermark are on disk
+        // before this drain returns
         arrive(pusher(maxUs + 7202000000L))
         query.processAllAvailable()
       } finally query.stop()
@@ -561,6 +570,93 @@ object StreamingQueries {
       |FROM v LEFT JOIN p
       |  ON v.user_id = p.user_id
       | AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000""".stripMargin
+
+  /** q205: CHAINED stateful streaming — watermarked exact dedup
+    * ([[org.apache.spark.sql.Dataset.dropDuplicatesWithinWatermark]])
+    * feeding a tumbling hourly aggregate, TWO stateful operators in ONE
+    * append-mode query ([[EventStreams.dedupedHourlyCounts]]) — the
+    * ingest-then-aggregate shape every at-least-once metrics pipeline
+    * composes. The mechanics the timeline relies on are pinned
+    * empirically FIRST in ChainedStatefulSpec (the q193/q201 playbook):
+    * duplicates drop in-batch and in-horizon (pin 1); a window emits
+    * once the watermark REACHES its end — the exact tie EMITS, the
+    * OPPOSITE boundary convention from the outer join's null-emission
+    * (pin 2; the two stateful families don't share a tie rule);
+    * emission rides an async batch, so the timeline ends with
+    * two watermark-pusher sentinels — advance, then data-batch barrier
+    * (pin 3); an expired dedup key re-admits (pin 4) — which is exactly
+    * why every injected duplicate lives in its original drain file,
+    * inside the horizon by construction. Input = the events halves (by
+    * time, so drain 1 is never late) with a third of each drain
+    * re-delivered as exact copies; the gated result must equal DuckDB's
+    * plain hourly aggregate over the CLEAN events table — only a
+    * correctly-deduping, correctly-closing chain reproduces it. */
+  def streamingChained(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val Row(halfUs: Long, maxUs: Long) = events
+      .agg((min(unix_micros(col("ts"))) +
+        ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 2)
+          .cast("long")).as("h"),
+        max(unix_micros(col("ts"))).as("m"))
+      .head()
+    val dir = tempWorkDir("graft_q205_")
+    val srcDir = s"$dir/in"
+    def arrive(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(srcDir)
+    // at-least-once simulation: each drain re-delivers a third of its
+    // own rows as EXACT copies in the same file — same micro-batch,
+    // inside the dedup horizon by construction (pin 4 is why no
+    // duplicate crosses a drain boundary)
+    def withDups(cond: org.apache.spark.sql.Column): DataFrame = {
+      val h = events.filter(cond)
+      h.unionByName(h.filter(pmod(col("event_id"), lit(3)) === 0))
+    }
+    def pusher(us: Long): DataFrame =
+      events.sparkSession.range(1).select(
+        lit(-1L).as("event_id"), timestamp_micros(lit(us)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    arrive(withDups(unix_micros(col("ts")) <= halfUs))
+    withStateParts(s) {
+      val query = EventStreams.dedupedHourlyCounts(
+          EventStreams.readJsonStream(s, srcDir))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (emitted: Dataset[Row], _: Long) =>
+          if (!emitted.isEmpty)
+            emitted.coalesce(1).write.mode("append").parquet(s"$dir/snap")
+          ()
+        }
+        .start()
+      try {
+        query.processAllAvailable()
+        arrive(withDups(unix_micros(col("ts")) > halfUs))
+        query.processAllAvailable()
+        // pusher 1: watermark strictly past every window end (max+2h
+        // minus the 10-min delay clears max rounded up to the hour)
+        arrive(pusher(maxUs + 7200000000L))
+        query.processAllAvailable()
+        // pusher 2: the sequential data-batch barrier (pin 3)
+        arrive(pusher(maxUs + 7201000000L))
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    s.read.parquet(s"$dir/snap")
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("hour_start")).as("hour_us"),
+        col("event_type"), col("n_events"), col("value_cents"))
+  }
+
+  val streamingChainedSql: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+      |  event_type, count(*) AS n_events,
+      |  (sum(CAST(round(value*100,0) AS BIGINT)))::BIGINT AS value_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
 
   /** q202: streaming ingest EXPECTATIONS
     * ([[graft.streaming.IngestExpectations]]) — the DLT-style quality
@@ -834,6 +930,8 @@ object StreamingQueries {
       Some(streamingOuterJoinSql), benchReps = 1),
     Q("q202_streaming_expectations", streamingExpectations,
       Some(streamingExpectationsSql), benchReps = 1),
+    Q("q205_streaming_chained", streamingChained,
+      Some(streamingChainedSql), benchReps = 1),
     Q("q191_streaming_observe", streamingObserved,
       Some(streamingObservedSql), benchReps = 1),
     Q("q160_streaming_join", streamingJoin, Some(streamingJoinSql),

@@ -356,6 +356,32 @@ object TextQueries {
        |FROM m ORDER BY n_matched DESC, tf_sum DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q204: the inverted index's full lifecycle WITH RETENTION ACTIVE
+    * in the gate — build (⅓ of the corpus) → append (⅓) → in-place
+    * compaction fold ([[graft.operators.InvertedIndex.compactPostings]]
+    * folds both increments + their stats into one committed `gen=`
+    * unit and MARKS the covered directories) → VACUUM tick (sweeps
+    * them — the r14 mark-then-sweep protocol, one janitor cycle of
+    * reader grace) → post-fold append (⅓) → BM25 serving off the
+    * folded+live tree. Gated by the SAME oracle as q90/q128: retention
+    * must be invisible to scores — postings AND the summed (N, totLen)
+    * stats must survive the fold exactly, which makes the fold's
+    * stats-summing a contract instead of an accident. */
+  def invertedLifecycle(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.InvertedIndex
+    val docs = Tables.documents(s, d)
+    val path = tempWorkDir("graft_q204_")
+    InvertedIndex.build(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      "doc_id", "text", nBuckets = 16, path, positions = false)
+    InvertedIndex.append(s, path,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text")
+    InvertedIndex.compactPostings(s, path, upTo = 2L)
+    InvertedIndex.vacuum(s, path)
+    InvertedIndex.append(s, path,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text")
+    InvertedIndex.bm25Search(InvertedIndex.load(s, path), bm25Terms, k = 20)
+  }
+
   /** Vocabulary coverage / OOV audit: the top-100 terms of the English
     * slice (count desc, term asc — a total order, so the cutoff is
     * deterministic) form the vocabulary; every language's token stream
@@ -634,6 +660,7 @@ object TextQueries {
     Q("q64_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     Q("q90_bm25_search", bm25Search, Some(bm25SearchSql)),
     Q("q128_bm25_indexed", bm25Indexed, Some(bm25SearchSql)),
+    Q("q204_inverted_lifecycle", invertedLifecycle, Some(bm25SearchSql)),
     Q("q141_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("q91_heavy_tokens", heavyTokens, Some(heavyTokensSql)),
     Q("q95_bpe_merge_pairs", bpeMergeCandidates, Some(bpeMergeCandidatesSql)))

@@ -44,6 +44,38 @@ object EventStreams {
         col("n_events"), col("value_cents"))
   }
 
+  /** CHAINED stateful pipeline: watermarked exact dedup feeding a
+    * tumbling hourly aggregate — two stateful operators in ONE
+    * streaming query (the ingest-then-aggregate shape every metrics
+    * pipeline composes; at-least-once sources make the dedup stage
+    * load-bearing, and fusing it with the aggregate avoids a second
+    * query + intermediate sink). Stream side:
+    * `dropDuplicatesWithinWatermark` keeps the FIRST arrival of each
+    * `event_id` and holds the key in state for the watermark horizon
+    * (a duplicate arriving after its key expired IS re-admitted — the
+    * documented horizon contract; size `delay` to the source's
+    * redelivery window), then the hourly aggregate consumes the
+    * surviving rows, closing each window when the watermark passes its
+    * end. Batch side: plain `dropDuplicates` + the same aggregate.
+    * Emission mechanics for the replay gate are pinned empirically in
+    * ChainedStatefulSpec (the q193/q201 playbook). State cost is the
+    * sum of the two operators' stores — dedup keys within horizon +
+    * open windows — both bounded by the watermark, never stream
+    * length. */
+  def dedupedHourlyCounts(events: DataFrame,
+      delay: String = "10 minutes"): DataFrame = {
+    val deduped =
+      if (events.isStreaming)
+        events.withWatermark("ts", delay)
+          .dropDuplicatesWithinWatermark("event_id")
+      else events.dropDuplicates("event_id")
+    deduped.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+  }
+
   /** Stream-static enrichment join: per-type totals against a static
     * dimension. The static side is broadcast and re-resolved every
     * micro-batch (so a refreshed dim file picks up mid-stream) — the

@@ -33,7 +33,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * collapse the grace window), and double-deleting an already-swept
   * directory is a no-op.
   */
-private[streaming] object Retention {
+private[graft] object Retention {
 
   /** Latest retention state: record index, the floor (lowest readable
     * generation; 0 when never vacuumed), and the units marked by that
@@ -97,6 +97,32 @@ private[streaming] object Retention {
         return load(fs, root).floor // racing janitor advanced: accept
     }
     floorNew
+  }
+
+  /** Generic mark-then-sweep for index trees whose expired units are
+    * arbitrary root-relative paths with no numeric floor — the
+    * incremental index family (HammingIndex / InvertedIndex / IvfIndex
+    * / StreamingDedup), where shadowing is STRUCTURAL (the newest
+    * committed fold covers everything below its boundary) rather than
+    * a generation floor. Sweep what a previous pass marked, mark
+    * `newly` for the NEXT pass: a reader that planned its scan against
+    * the pre-fold tree keeps its files for one full janitor cycle,
+    * exactly the [[vacuumFlat]] grace contract. The record floor field
+    * is carried through unchanged (these trees don't use it). Racing
+    * janitors are idempotent: the publish is a CAS, a loser's marks are
+    * re-derived next pass from the directory listing (still-live dirs
+    * re-mark; swept ones no longer list). */
+  def markSweepUnits(fs: FileSystem, root: String,
+      newly: Seq[String]): Unit = {
+    val st = load(fs, root)
+    st.pending.foreach(p => fs.delete(new Path(root, p), true))
+    val fresh = newly.filterNot(st.pending.contains).distinct
+    if (fresh.nonEmpty || st.pending.nonEmpty) {
+      // loser of the CAS: accept the winner's record — our fresh marks
+      // re-surface on the next pass (the directories still exist)
+      tryPublish(fs, root, State(st.idx + 1, st.floor, fresh))
+      ()
+    }
   }
 
   /** Keep only the newest `keep` commit-record files under

@@ -508,10 +508,16 @@ object StreamingDedup {
       .filter(_._1 < upTo)
     // read only what the newest generation doesn't cover; batch dirs
     // BELOW it are crash leftovers readIndex already ignores — they
-    // are reclaimed (deleted) but never re-read (no duplication)
+    // are retention-reclaimed but never re-read (no duplication)
     val batches = allBatches.filter(_._1 >= covered)
     val srcs = (goodGens.filter(_._1 == covered) ++ batches).map(_._2.toString)
-    if (srcs.nonEmpty) {
+    // a replayed/raced compaction whose gen=upTo already committed must
+    // not re-fold (its covered sources may linger under retention grace
+    // — folding them again into the SAME committed gen is wasted work,
+    // and the CAS would refuse); it proceeds straight to the marks
+    val dstCommitted = filterCommitted(spark,
+      listIndexDirs(spark, indexPath, "gen=").filter(_._1 == upTo)).nonEmpty
+    if (srcs.nonEmpty && !dstCommitted) {
       // no explicit coalesce: the scan packs small fragments into
       // ~maxPartitionBytes-sized read splits, so the write comes out
       // consolidated without a single-task bottleneck at scale
@@ -536,8 +542,31 @@ object StreamingDedup {
       if (!won) throw new graft.operators.ConcurrentWriteException(
         s"StreamingDedup.compactIndex: gen=$upTo at $indexPath was " +
           "published by a concurrent compactor; run one janitor per index")
-      (oldGens ++ allBatches).foreach { case (_, p) => fs.delete(p, true) }
     }
+    // retention, not deletion ([[Retention.markSweepUnits]]): once
+    // gen=upTo is committed, the covered partitions and superseded
+    // generations are MARKED and swept by the next compaction or
+    // [[vacuumIndex]] pass, so a reader that planned its scan against
+    // the pre-fold tree keeps its files for one janitor cycle.
+    // readIndex never reads below the newest committed generation, so
+    // the lingering dirs are shadow-only. Runs on the replay path too
+    // (dstCommitted): each pass sweeps what an earlier one marked.
+    if (srcs.nonEmpty || dstCommitted) {
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Retention.markSweepUnits(fs, indexPath,
+        oldGens.map { case (g, _) => s"gen=$g" } ++
+          allBatches.map { case (b, _) => s"ingest_batch=$b" })
+    }
+  }
+
+  /** Sweep whatever an earlier [[compactIndex]] marked without folding
+    * anything new — the janitor tick for an index whose ingest has gone
+    * quiet. */
+  def vacuumIndex(spark: SparkSession, indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Retention.markSweepUnits(fs, indexPath, Nil)
   }
 
   /** [[compactIndex]] below the highest `ingest_batch=` partition

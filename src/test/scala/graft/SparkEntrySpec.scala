@@ -18,8 +18,8 @@ class SparkEntrySpec extends AnyFunSuite {
     * rows-only query can't slip in silently. */
   private val rowsOnlyAllowlist: Set[String] = Set.empty
 
-  test("203 queries registered, every one oracle-checked unless allowlisted") {
-    assert(SparkEntry.queries.size == 203)
+  test("205 queries registered, every one oracle-checked unless allowlisted") {
+    assert(SparkEntry.queries.size == 205)
     val withoutOracle = SparkEntry.registered.filter(_.oracle.isEmpty).map(_.name)
     assert(withoutOracle.toSet == rowsOnlyAllowlist,
       s"rows-only queries not in allowlist: ${withoutOracle.toSet -- rowsOnlyAllowlist}")
@@ -33,6 +33,6 @@ class SparkEntrySpec extends AnyFunSuite {
   test("query names follow the qNN_ naming scheme, numbered contiguously") {
     val nums = SparkEntry.registered.map(_.name)
       .map(n => n.split("_")(0).drop(1).toInt).sorted
-    assert(nums == (1 to 203))
+    assert(nums == (1 to 205))
   }
 }

@@ -305,14 +305,22 @@ class HammingIndexSpec extends SparkSpec {
     HammingIndex.compactIncrements(spark, path, upTo = 3L)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // covered increment dirs reclaimed; one committed fold remains
-    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
-      .count(st => st.isDirectory &&
-        st.getPath.getName.startsWith("ingest_batch=")) == 0)
+    def incDirs(): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+        .count(st => st.isDirectory &&
+          st.getPath.getName.startsWith("ingest_batch="))
+    // mark-then-sweep: the fold pass MARKS the covered increments (one
+    // janitor cycle of reader grace — they are shadowed, not deleted)
+    assert(incDirs() == 3)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen/gen=3")))
     val after = HammingIndex.load(spark, path, "vec_id").codes
       .select("vec_id", "__code").collect().toSet
     assert(after == before)
+    // the NEXT janitor tick physically reclaims them
+    HammingIndex.vacuum(spark, path)
+    assert(incDirs() == 0)
+    assert(HammingIndex.load(spark, path, "vec_id").codes
+      .select("vec_id", "__code").collect().toSet == before)
 
     // ids keep flowing after the fold: append resumes ABOVE the boundary
     assert(HammingIndex.nextBatchId(spark, path) == 3L)
@@ -320,10 +328,57 @@ class HammingIndexSpec extends SparkSpec {
       "embedding", 3L)
     assert(HammingIndex.load(spark, path, "vec_id").codes.count() == 120)
 
-    // second fold covers the fold + the new increment
+    // second fold covers the fold + the new increment; the superseded
+    // fold survives one cycle (marked), then sweeps
     HammingIndex.compactIncrements(spark, path, upTo = 4L)
     assert(HammingIndex.load(spark, path, "vec_id").codes.count() == 120)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen/gen=3")))
+    HammingIndex.vacuum(spark, path)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen/gen=3")))
+    assert(HammingIndex.load(spark, path, "vec_id").codes.count() == 120)
+  }
+
+  test("vacuumscale: continuous maintain keeps index bytes bounded at " +
+      "O(one corpus), never O(folds so far)") {
+    // the r14 retention claim, measured: under continuous ingest +
+    // periodic fold/sweep cycles, the tree's bytes at EVERY observation
+    // stay within a small constant of one corpus copy — without the
+    // sweep, each fold is a full copy of the data so far and the tree
+    // would hold every superseded one (4 folds here ≈ 2.5 corpus
+    // copies retained at the end, unboundedly more as ingest runs on)
+    def du(p: java.io.File): Long =
+      if (p.isFile) p.length()
+      else Option(p.listFiles()).map(_.map(du).sum).getOrElse(0L)
+    def batch(b: Int): DataFrame = corpus(30, 64, seed = 40 + b)
+      .select((col("vec_id") + b * 100L).as("vec_id"), col("embedding"))
+    val path = tmp()
+    HammingIndex.build(batch(0), "vec_id", "embedding", 64, path)
+    var maxBytes = 0L
+    (1 until 12).foreach { b =>
+      HammingIndex.append(spark, path, batch(b), "vec_id", "embedding",
+        b.toLong)
+      if (b % 3 == 0) {
+        HammingIndex.compactIncrements(spark, path, upTo = b + 1L)
+        HammingIndex.vacuum(spark, path) // the janitor tick
+      }
+      maxBytes = math.max(maxBytes, du(new java.io.File(path)))
+    }
+    HammingIndex.compactIncrements(spark, path, upTo = 12L)
+    HammingIndex.vacuum(spark, path)
+    // yardstick: a one-shot build over the same 360 vectors
+    val oneShot = tmp()
+    HammingIndex.build((0 until 12).map(batch).reduce(_ unionByName _),
+      "vec_id", "embedding", 64, oneShot)
+    val yard = du(new java.io.File(oneShot))
+    val fin = du(new java.io.File(path))
+    // serving intact, final bytes ~one copy, and even the worst
+    // mid-run observation (fold + covered marks + fresh increments)
+    // bounded by a grace-window constant — not by the fold count
+    assert(HammingIndex.load(spark, path, "vec_id").codes.count() == 360)
+    assert(fin <= 2 * yard, s"final bytes $fin vs one-shot $yard")
+    assert(maxBytes <= 4 * yard,
+      s"mid-run bytes $maxBytes grew past the grace-window bound " +
+        s"(one-shot $yard)")
   }
 
   test("compactIncrements crash window: committed fold SHADOWS covered dirs") {
@@ -350,8 +405,10 @@ class HammingIndexSpec extends SparkSpec {
     val got = HammingIndex.load(spark, path, "vec_id").codes
     assert(got.count() == 40)
     assert(got.select("vec_id", "__code").collect().toSet == expect)
-    // the replayed compaction no-ops on the publish and reclaims
+    // the replayed compaction no-ops on the publish, MARKS the covered
+    // dirs, and the next janitor tick reclaims them
     HammingIndex.compactIncrements(spark, path, upTo = 2L)
+    HammingIndex.vacuum(spark, path)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
       .count(st => st.isDirectory &&
         st.getPath.getName.startsWith("ingest_batch=")) == 0)

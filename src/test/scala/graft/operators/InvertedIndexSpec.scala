@@ -66,6 +66,63 @@ class InvertedIndexSpec extends SparkSpec {
     assert(InvertedIndex.nextBatchId(spark, dir) === id + 1)
   }
 
+  test("compactPostings: fold shadows covered batches, serving and " +
+      "stats unchanged; vacuum sweeps one cycle later; ids never reissue") {
+    val a = corpus(1L -> "x y x", 2L -> "y z")
+    val b = corpus(3L -> "x q", 4L -> "z z z")
+    val c = corpus(5L -> "q y")
+    val dir = java.nio.file.Files.createTempDirectory("invc").toString
+    InvertedIndex.build(a, "id", "text", 8, dir)
+    InvertedIndex.append(spark, dir, b, "id", "text")
+    def dump() = InvertedIndex.load(spark, dir).postings
+      .select("term", "doc_id", "tf", "bucket")
+      .as[(String, Long, Long, Int)].collect().toSet
+    def stats() = InvertedIndex.load(spark, dir).stats
+      .agg(sum($"n_docs"), sum($"tot_len"))
+      .as[(Long, Long)].head()
+    val (before, statsBefore) = (dump(), stats())
+
+    InvertedIndex.compactPostings(spark, dir, upTo = 2L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def batchDirs(): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+        .count(st => st.isDirectory &&
+          st.getPath.getName.startsWith("ingest_batch="))
+    // mark-then-sweep: covered batches survive the fold pass (reader
+    // grace), serving reads the fold and never double-counts
+    assert(batchDirs() == 2)
+    assert(dump() == before)
+    assert(stats() == statsBefore)
+    InvertedIndex.vacuum(spark, dir)
+    assert(batchDirs() == 0)
+    assert(dump() == before)
+    assert(stats() == statsBefore)
+
+    // ids resume ABOVE the boundary; append + search still equal a
+    // one-shot rebuild over all three batches
+    assert(InvertedIndex.nextBatchId(spark, dir) == 2L)
+    InvertedIndex.append(spark, dir, c, "id", "text")
+    val oneShot = java.nio.file.Files.createTempDirectory("invc2").toString
+    InvertedIndex.build(a.unionByName(b).unionByName(c),
+      "id", "text", 8, oneShot)
+    def hits(d: String) = InvertedIndex.search(
+      InvertedIndex.load(spark, d), Seq("x", "y", "q"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits(dir) == hits(oneShot))
+    assert(InvertedIndex.load(spark, dir).stats
+      .agg(sum($"n_docs")).as[Long].head() == 5L)
+
+    // second fold covers fold + new increment; replayed call no-ops on
+    // the publish and the superseded fold sweeps one cycle later
+    InvertedIndex.compactPostings(spark, dir, upTo = 3L)
+    InvertedIndex.compactPostings(spark, dir, upTo = 3L)
+    assert(hits(dir) == hits(oneShot))
+    InvertedIndex.vacuum(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/gen/gen=2")))
+    assert(hits(dir) == hits(oneShot))
+  }
+
   test("phrase search: consecutive positions only, overlaps counted, dup terms") {
     val dir = java.nio.file.Files.createTempDirectory("inv5").toString
     val c = corpus(

@@ -174,6 +174,51 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(inc) == rows(indexPath))
   }
 
+  test("compactIncrements: fold + retention keep serving exact; " +
+      "covered dirs sweep one cycle later; ids never reissue") {
+    val emb = Tables.embeddings(spark, d)
+    val a = emb.filter(col("vec_id") % 3 === 0)
+    val b = emb.filter(col("vec_id") % 3 === 1)
+    val c = emb.filter(col("vec_id") % 3 === 2)
+    val p = java.nio.file.Files.createTempDirectory("ivf_fold").toString
+    IvfIndex.build(a, "vec_id", "embedding", "label", p)
+    IvfIndex.append(spark, p, b, "vec_id", "embedding", "label", 1L)
+    val queries = emb.filter(col("vec_id") < 20)
+    def rows() = IvfIndex.topK(
+      IvfIndex.load(spark, p, "vec_id", "embedding", "label"),
+      queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val before = rows()
+    IvfIndex.compactIncrements(spark, p, upTo = 2L, clusterCol = "label")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def batchDirs(): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/vectors"))
+        .count(st => st.isDirectory &&
+          st.getPath.getName.startsWith("ingest_batch="))
+    // grace window: covered increments marked, not deleted; the fold
+    // shadows them so serving never double-counts
+    assert(batchDirs() == 2)
+    assert(rows() == before)
+    IvfIndex.vacuum(spark, p)
+    assert(batchDirs() == 0)
+    assert(rows() == before)
+    // ids resume above the boundary; appends keep composing
+    assert(IvfIndex.nextBatchId(spark, p) == 2L)
+    IvfIndex.append(spark, p, c, "vec_id", "embedding", "label", 2L)
+    assert(IvfIndex.load(spark, p, "vec_id", "embedding", "label")
+      .vectors.count() == emb.count())
+    // the full lifecycle still equals the one-shot build
+    IvfIndex.refreshMedoids(spark, p, "vec_id", "embedding", "label")
+    def rowsOf(path: String) = IvfIndex.topK(
+      IvfIndex.load(spark, path, "vec_id", "embedding", "label"),
+      queries, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(rowsOf(p) == rowsOf(indexPath))
+  }
+
   test("a crashed append replays idempotently (torn increment overwritten)") {
     val emb = Tables.embeddings(spark, d)
     val a = emb.filter(col("vec_id") % 2 === 0)

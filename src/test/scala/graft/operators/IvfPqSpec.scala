@@ -74,6 +74,37 @@ class IvfPqSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("compactIncrements: fold + retention keep codes and stats exact; " +
+      "covered dirs sweep one cycle later") {
+    val emb = Tables.embeddings(spark, d)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_fold").toString
+    IvfPq.build(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      kc = 8, coarseIters = 1, m = 4, k = 16, pqIters = 1, path)
+    IvfPq.append(spark, path, emb.filter(col("vec_id") >= 250),
+      "vec_id", "embedding", 1L)
+    def codes() = IvfPq.load(spark, path, "vec_id").codes
+      .select("vec_id", "cluster", "__c0", "__c1", "__c2", "__c3")
+      .collect().map(r => r.toSeq).toSet
+    val before = codes()
+    val statsBefore = IvfPq.loadStats(spark, path)
+    IvfPq.compactIncrements(spark, path, upTo = 2L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def batchDirs(): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+        .count(st => st.isDirectory &&
+          st.getPath.getName.startsWith("ingest_batch="))
+    // grace window, then sweep; serving identical throughout
+    assert(batchDirs() == 2)
+    assert(codes() == before)
+    IvfPq.vacuum(spark, path)
+    assert(batchDirs() == 0)
+    assert(codes() == before)
+    assert(IvfPq.loadStats(spark, path) == statsBefore)
+    // ids resume above the boundary; a post-fold append still composes
+    assert(IvfPq.nextBatchId(spark, path) == 2L)
+  }
+
   test("crashed-then-replayed append replaces its own torn output") {
     val emb = Tables.embeddings(spark, d)
     val path = java.nio.file.Files.createTempDirectory("ivfpq_crash").toString

@@ -156,9 +156,14 @@ class StreamingDedupSpec extends SparkSpec {
     val before = StreamingDedup.readIndex(spark, ix, 2).get
       .as[(Long, String)].collect().toSet
     StreamingDedup.compactIndex(spark, ix)
+    // mark-then-sweep: the covered batch 0 survives the fold pass (one
+    // janitor cycle of reader grace), then the vacuum tick reclaims it
+    assert(new java.io.File(ix).list().toSet.contains("ingest_batch=0"))
+    StreamingDedup.vacuumIndex(spark, ix)
     val dirs = new java.io.File(ix).list().toSet
       .filterNot(_.startsWith("_")) // ignore commit markers if any
-    assert(dirs == Set("gen=1", "ingest_batch=1"), dirs.toString)
+    assert(dirs == Set("gen=1", "ingest_batch=1", "retention"),
+      dirs.toString)
     // same keys visible after compaction, for the next batch AND for a
     // replay of the newest (potentially uncommitted) batch
     assert(StreamingDedup.readIndex(spark, ix, 2).get
@@ -340,10 +345,12 @@ class StreamingDedupSpec extends SparkSpec {
       val dirs = new java.io.File(ix).list().count(!_.startsWith("_"))
       maxDirs = math.max(maxDirs, dirs)
     }
-    // bound: ≤ generations (total/compactEvery) + un-compacted recent
-    // batches + the in-flight one. 24 batches / compactEvery=5 keeps
-    // every observation far under the un-compacted 24.
-    assert(maxDirs <= nBatches / 5 + 5 + 1,
+    // bound: ≤ generations (total/compactEvery) + ONE retention grace
+    // cycle of marked-but-unswept dirs (≤ compactEvery batches + 1
+    // superseded gen) + un-compacted recent batches + the in-flight one
+    // + the retention record dir. Still O(gens + 2 cycles) at every
+    // observation, never O(total batches) — 24 un-compacted would be 24.
+    assert(maxDirs <= nBatches / 5 + (5 + 1) + 5 + 1 + 1,
       s"index dir count $maxDirs grew past the compaction bound")
     val got = spark.read.parquet(out)
       .select(col("doc_id"), col("ingest_batch").cast("int"))
