@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   * ≈ 0.4% in perplexity — noise for a filter whose decision margins
   * are 2-10×.
   *
-  * Scale shape: training is two `groupBy(count)` passes over the
-  * reference slice's bigrams; scoring is two shuffle joins (bigram →
-  * counts) + one per-doc aggregate. No driver-side data: V enters as
+  * Scale shape: training is ONE `groupBy(count)` pass over the
+  * reference slice's bigrams (prefix counts and vocab size derive from
+  * the materialized bigram-count table); scoring is two shuffle joins
+  * (bigram → counts) + one per-doc aggregate. No driver-side data: V enters as
   * a broadcast single-row aggregate. Stopword-headed bigram keys are
   * the natural skew — AQE skew-join splits them; the joins carry only
   * (w1, w2, counts), never document text.
@@ -66,10 +67,20 @@ object BigramLm {
     * length-based gate, not this model's job. */
   def scoreDocs(docs: DataFrame, trainDocs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val tb = bigrams(trainDocs, idCol, textCol)
-    val bi = tb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uni = tb.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val v = tb.agg(countDistinct(col("w1")).as("vv"))
+    // ONE pass over the reference slice (guide §1.2 — remove passes
+    // before tuning inside them): the distinct-bigram count table is
+    // scratch-materialized once, and the other two training quantities
+    // are arithmetic consequences of it — c1 = Σ_w2 c12 (prefix count
+    // counts every bigram occurrence with that prefix) and
+    // V = |{w1}| = row count of the prefix table — where the previous
+    // shape re-ran the corpus-scale tokenize+explode three times. The
+    // materialized table is vocab-scale (distinct bigrams), never the
+    // corpus, and all three consumers scan it instead of re-exploding.
+    val bi = Lifecycle.materializeToScratch(
+      bigrams(trainDocs, idCol, textCol)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val uni = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = uni.agg(count(lit(1)).as("vv"))
     bigrams(docs, idCol, textCol)
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")

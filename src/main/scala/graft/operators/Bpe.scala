@@ -372,6 +372,31 @@ object Bpe {
   def segmentCol(word: Column, merges: Seq[Merge]): Column =
     graft.functions.BpeFunctions.segment(word, merges.map(m => (m.lhs, m.rhs)))
 
+  /** Per-document subword token COUNTS under the learned vocabulary —
+    * `size(tokens)` of [[applyMergesFast]] without materializing the
+    * token arrays: a doc's token count is the sum of its word
+    * occurrences' segment LENGTHS, so the dictionary carries one int
+    * per distinct word and the per-doc aggregate is a plain long sum —
+    * no array collect, no sort, no flatten (guide §1.2: don't compute
+    * what you throw away; the budget/packing consumers only ever read
+    * the count). Row set and values are identical to
+    * `applyMergesFast(...).select(id, size(tokens))` by construction
+    * (docs with no qualifying word are absent from both). */
+  def tokenCounts(corpus: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    graft.functions.BpeFunctions.register(corpus.sparkSession)
+    val words = corpus
+      .select(col(idCol), explode(TextAnalysis.whitespaceTokens(
+        lower(trim(col(textCol))))).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains(Sep))
+    val dict = words.select(col("word")).distinct()
+      .select(col("word"),
+        size(segmentCol(col("word"), merges)).cast("long").as("__nseg"))
+    words.join(dict, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("__nseg")).as("n_bpe_tokens"))
+  }
+
   /** [[applyMerges]] on the constant-size segmentation path — the
     * 10⁴⁺-merge production tokenizer. Same distinct-word dictionary
     * join, same document-order reassembly. */
@@ -384,13 +409,22 @@ object Bpe {
       .filter(col("word") =!= "" && !col("word").contains(Sep))
     val dict = words.select(col("word")).distinct()
       .withColumn("seg", segmentCol(col("word"), merges))
-    words.join(dict, "word")
-      .select(col(idCol), col("wp"), posexplode(col("seg")).as(Seq("sp", "tok")))
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("wp"), col("sp"), col("tok")))),
-        e => e.getField("tok")).as("tokens"))
+    reassemble(words.join(dict, "word"), idCol)
   }
+
+  /** Document-order reassembly shared by the tokenizers: collect each
+    * word occurrence's WHOLE segment array keyed by word position and
+    * flatten in position order — identical tokens to exploding every
+    * subword (a segment is already in symbol order), but the per-doc
+    * shuffle carries one row per word occurrence instead of one per
+    * TOKEN (guide §2.3: shuffle fewer, wider rows over more, narrower
+    * ones when the payload is reassembled anyway). `wp` is unique per
+    * doc, so the struct sort never compares the array field. */
+  private def reassemble(occ: DataFrame, idCol: String): DataFrame =
+    occ.groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wp"), col("seg")))),
+        e => e.getField("seg"))).as("tokens"))
 
   /** Tokenize a corpus under a learned vocabulary:
     * (idCol, tokens: array<string>) with tokens in document order.
@@ -406,11 +440,6 @@ object Bpe {
       .filter(col("word") =!= "" && !col("word").contains(Sep))
     val dict = words.select(col("word")).distinct()
       .withColumn("seg", segmentExpr(col("word"), merges))
-    words.join(dict, "word")
-      .select(col(idCol), col("wp"), posexplode(col("seg")).as(Seq("sp", "tok")))
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("wp"), col("sp"), col("tok")))),
-        e => e.getField("tok")).as("tokens"))
+    reassemble(words.join(dict, "word"), idCol)
   }
 }

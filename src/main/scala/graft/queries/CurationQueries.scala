@@ -413,10 +413,12 @@ object CurationQueries {
     // 1. BPE tokenization: per-doc subword token counts under the
     //    corpus-trained vocabulary
     val merges = Bpe.trainMergesLocal(docs, "text", TextQueries.BpeMerges)
+    // token COUNTS only (Bpe.tokenCounts): the packing stage never
+    // reads the token arrays, so the collect_list+sort+flatten
+    // reassembly and the token-level shuffle are dead work here —
+    // identical (doc_id, n_bpe_tokens) by construction
     val btok = Lifecycle.materializeToScratch(
-      Bpe.applyMergesFast(docs, "doc_id", "text", merges)
-        .select(col("doc_id"),
-          size(col("tokens")).cast("long").as("n_bpe_tokens")))
+      Bpe.tokenCounts(docs, "doc_id", "text", merges))
     // 2. quality gate: keep docs at or below the median LM score
     val scores = Lifecycle.materializeToScratch(
       BigramLm.scoreDocs(docs,

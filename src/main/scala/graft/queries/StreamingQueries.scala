@@ -33,6 +33,21 @@ object StreamingQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Run `use` over a micro-batch PINNED once. Every action inside a
+    * `foreachBatch` body re-executes the batch's full physical plan —
+    * for a stateful query that means reloading and re-committing every
+    * state store partition per action — so the emptiness probe + the
+    * snapshot write were paying the whole batch twice. One persist
+    * makes the probe materialize the batch and the write read the
+    * cached rows (the pattern Spark's foreachBatch docs prescribe for
+    * multi-action bodies); released before the batch completes, so
+    * nothing stays pinned across batches (guide §5: unpersist when
+    * done). */
+  private def pinned[T](b: Dataset[T])(use: Dataset[T] => Unit): Unit = {
+    val p = b.persist()
+    try use(p) finally p.unpersist()
+  }
+
   /** q125: [[EventStreams.valueHistograms]] — the mergeable log2
     * quantile sketch — maintained by a REAL streaming query over a
     * 3-step file timeline. Step i's events (event_id mod 3 = i) land
@@ -64,10 +79,12 @@ object StreamingQueries {
         .outputMode("complete")
         .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (state: Dataset[Row], _: Long) =>
-          if (!state.isEmpty) {
-            val g = step.getAndIncrement()
-            state.coalesce(1).write.mode("overwrite")
-              .parquet(s"$dir/snap/step=$g")
+          pinned(state) { st =>
+            if (!st.isEmpty) {
+              val g = step.getAndIncrement()
+              st.coalesce(1).write.mode("overwrite")
+                .parquet(s"$dir/snap/step=$g")
+            }
           }
         }
         .start()
@@ -138,10 +155,12 @@ object StreamingQueries {
         .outputMode("complete")
         .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (state: Dataset[Row], _: Long) =>
-          if (!state.isEmpty) {
-            val g = step.getAndIncrement()
-            state.coalesce(1).write.mode("overwrite")
-              .parquet(s"$dir/snap/step=$g")
+          pinned(state) { st =>
+            if (!st.isEmpty) {
+              val g = step.getAndIncrement()
+              st.coalesce(1).write.mode("overwrite")
+                .parquet(s"$dir/snap/step=$g")
+            }
           }
         }
         .start()
@@ -220,10 +239,12 @@ object StreamingQueries {
         .outputMode("append")
         .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (emitted: Dataset[EventStreams.Milestone], _: Long) =>
-          if (!emitted.isEmpty) {
-            val g = step.getAndIncrement()
-            emitted.coalesce(1).write.mode("overwrite")
-              .parquet(s"$dir/snap/step=$g")
+          pinned(emitted) { em =>
+            if (!em.isEmpty) {
+              val g = step.getAndIncrement()
+              em.coalesce(1).write.mode("overwrite")
+                .parquet(s"$dir/snap/step=$g")
+            }
           }
         }
         .start()
@@ -320,10 +341,12 @@ object StreamingQueries {
           .option("checkpointLocation", s"$dir/ckpt")
           .foreachBatch {
             (emitted: Dataset[EventStreams.SessionSummary], _: Long) =>
-              if (!emitted.isEmpty) {
-                val g = step.getAndIncrement()
-                emitted.coalesce(1).write.mode("overwrite")
-                  .parquet(s"$dir/snap/step=$g")
+              pinned(emitted) { em =>
+                if (!em.isEmpty) {
+                  val g = step.getAndIncrement()
+                  em.coalesce(1).write.mode("overwrite")
+                    .parquet(s"$dir/snap/step=$g")
+                }
               }
           }
           .start()
@@ -438,10 +461,12 @@ object StreamingQueries {
         .outputMode("append")
         .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (emitted: Dataset[Row], _: Long) =>
-          if (!emitted.isEmpty) {
-            val g = step.getAndIncrement()
-            emitted.coalesce(1).write.mode("overwrite")
-              .parquet(s"$dir/snap/step=$g")
+          pinned(emitted) { em =>
+            if (!em.isEmpty) {
+              val g = step.getAndIncrement()
+              em.coalesce(1).write.mode("overwrite")
+                .parquet(s"$dir/snap/step=$g")
+            }
           }
         }
         .start()
@@ -530,9 +555,10 @@ object StreamingQueries {
         .outputMode("append")
         .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (emitted: Dataset[Row], _: Long) =>
-          if (!emitted.isEmpty)
-            emitted.coalesce(1).write.mode("append").parquet(s"$dir/snap")
-          ()
+          pinned(emitted) { em =>
+            if (!em.isEmpty)
+              em.coalesce(1).write.mode("append").parquet(s"$dir/snap")
+          }
         }
         .start()
       try {
@@ -628,9 +654,10 @@ object StreamingQueries {
         .outputMode("append")
         .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (emitted: Dataset[Row], _: Long) =>
-          if (!emitted.isEmpty)
-            emitted.coalesce(1).write.mode("append").parquet(s"$dir/snap")
-          ()
+          pinned(emitted) { em =>
+            if (!em.isEmpty)
+              em.coalesce(1).write.mode("append").parquet(s"$dir/snap")
+          }
         }
         .start()
       try {
@@ -858,10 +885,11 @@ object StreamingQueries {
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$dir/ckpt")
         .foreachBatch { (out: Dataset[Row], _: Long) =>
-          if (!out.isEmpty)
-            out.coalesce(1).write.mode("append")
-              .parquet(s"$dir/snap/step=${step.get()}")
-          ()
+          pinned(out) { o =>
+            if (!o.isEmpty)
+              o.coalesce(1).write.mode("append")
+                .parquet(s"$dir/snap/step=${step.get()}")
+          }
         }
         .start()
       try {

@@ -561,7 +561,14 @@ object TextQueries {
     * the word's segmentation — the dictionary identity). */
   def bpeTokens(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val merges = graft.operators.Bpe.trainMerges(docs, "text", BpeMerges)
+    // driver-side trainer, uncapped (maxVocab = -1): spec-pinned
+    // IDENTICAL merge list to the distributed loop at any input, minus
+    // its 8 vocab-generation parquet round-trips + per-step argmax jobs
+    // — q139 keeps gating the distributed loop itself; this query's
+    // subject is the tokenizer (guide §1.2: the training passes here
+    // were fixed cost the tokenize gate re-paid for no extra coverage)
+    val merges = graft.operators.Bpe.trainMergesLocal(
+      docs, "text", BpeMerges, maxVocab = -1)
     graft.operators.Bpe.applyMerges(docs, "doc_id", "text", merges)
       .select(explode(col("tokens")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))

@@ -79,11 +79,16 @@ final class BucketedCdcTable(
     * loser. Returns whether this writer won. */
   private def writeManifest(m: Seq[(Int, Int)], g: Int): Boolean = {
     import spark.implicits._
-    graft.operators.AtomicCommit
+    val won = graft.operators.AtomicCommit
       .publishParquet(spark, s"$dir/manifest/gen=$g") { tmp =>
         m.toDF(Bkt, "data_gen").coalesce(1)
           .write.mode("overwrite").parquet(tmp)
       }
+    // the winner knows the committed content — seed the cache so the
+    // immediate read-back (referencedGens, next applyBatch's routing)
+    // costs nothing
+    if (won) manifestCache.put(g, m)
+    won
   }
 
   private def reloadGen(): Unit =
@@ -107,10 +112,24 @@ final class BucketedCdcTable(
     }
   }
 
+  /** Committed manifests are IMMUTABLE (CAS-published directories that
+    * are never rewritten), so their contents memoize per instance.
+    * The protocol consults the current manifest on every operation —
+    * routing, assembly, liveness, fan-out checks — and each uncached
+    * consult is a whole Spark job (read + collect) over a ≤ nBuckets-row
+    * file: pure per-batch fixed cost at ANY data scale (guide §1.2 —
+    * remove work, here repeated driver-side metadata jobs, before
+    * tuning inside it). Only ever keyed by generations that exist on
+    * disk; a reloadGen() after a lost race adds keys, never changes
+    * one. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[(Int, Int)]]()
+
   private def readManifest(g: Int): Seq[(Int, Int)] =
-    spark.read.parquet(s"$dir/manifest/gen=$g")
-      .select(col(Bkt), col("data_gen"))
-      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    manifestCache.computeIfAbsent(g, _ =>
+      spark.read.parquet(s"$dir/manifest/gen=$g")
+        .select(col(Bkt), col("data_gen"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq)
 
   /** Publish a full base snapshot as generation 0 (or the next
     * generation when called again): every bucket's data lands under
@@ -155,6 +174,14 @@ final class BucketedCdcTable(
   // valid, so time travel crosses evolution boundaries for free, always
   // answering under the merged schema (the lakehouse convention).
 
+  /** Per-version memo for schema-evolution records: each `v=N`
+    * directory is CAS-published and immutable, so its single row is
+    * read at most once per instance. Discovery (the listing) stays per
+    * call — a cheap FS op, where the per-version `spark.read` was a
+    * Spark job apiece, repeated by every normalize/assemble. */
+  private val schemaOpCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, (String, String, String, String)]()
+
   private def readSchemaOps(): Seq[(String, String, String, String)] = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/schema")
     if (!fs.exists(root)) Nil
@@ -163,9 +190,11 @@ final class BucketedCdcTable(
       .flatMap(s => s.getPath.getName.stripPrefix("v=").toIntOption
         .map(n => (n, s.getPath.toString)))
       .sortBy(_._1)
-      .map { case (_, p) =>
-        val r = spark.read.parquet(p).head()
-        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      .map { case (n, p) =>
+        schemaOpCache.computeIfAbsent(n, _ => {
+          val r = spark.read.parquet(p).head()
+          (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+        })
       }
   }
 
@@ -401,12 +430,18 @@ final class BucketedCdcTable(
       case _ => col(c).cast("long")
     }
 
-  private def isFloating(c: String): Boolean = {
-    val m = readManifest(gen)
-    val dg = m.map(_._2).max
-    Seq("double", "float").contains(
-      spark.read.parquet(s"$dir/data/gen=$dg").schema(c).dataType.typeName)
-  }
+  /** A column's floating-ness is immutable (the only retype op is the
+    * integral widen), so the footer sniff runs once per column. */
+  private val floatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def isFloating(c: String): Boolean =
+    floatCache.computeIfAbsent(c, _ => {
+      val m = readManifest(gen)
+      val dg = m.map(_._2).max
+      Seq("double", "float").contains(
+        spark.read.parquet(s"$dir/data/gen=$dg").schema(c).dataType.typeName)
+    })
 
   private def writeStats(g: Int): Unit = {
     val genDf = spark.read.parquet(s"$dir/data/gen=$g")
@@ -450,20 +485,31 @@ final class BucketedCdcTable(
       graft.functions.IeeeSortable.liftSigned(hi))
   }
 
+  /** Per-(data gen, stats column) memo of collected file stats: a
+    * generation's stats file is written once, after its data CAS, and
+    * never rewritten, so each (gen, column) pair collects at most once
+    * per instance instead of one union+collect job per prune call. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Array[(String, Int, Option[Long], Option[Long])]]()
+
+  private def statsOf(g: Int,
+      statsCol: String): Array[(String, Int, Option[Long], Option[Long])] =
+    statsCache.computeIfAbsent((g, statsCol), _ =>
+      spark.read.parquet(s"$dir/stats/gen=$g")
+        .select(col("file"), col(Bkt),
+          col(s"min_$statsCol"), col(s"max_$statsCol"))
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+
   private def pruneBounds(statsCol: String, lo: Long,
       hi: Long): (Seq[String], Int) = {
     require(statsCols.contains(statsCol),
       s"$statsCol not in statsCols $statsCols")
     val m = readManifest(gen)
     val current = m.toSet
-    val rows = m.map(_._2).distinct.sorted.map(g =>
-        spark.read.parquet(s"$dir/stats/gen=$g"))
-      .reduce(_ unionByName _)
-      .select(col("file"), col(Bkt),
-        col(s"min_$statsCol"), col(s"max_$statsCol"))
-      .collect().map(r => (r.getString(0), r.getInt(1),
-        if (r.isNullAt(2)) None else Some(r.getLong(2)),
-        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val rows = m.map(_._2).distinct.sorted
+      .flatMap(g => statsOf(g, statsCol)).toArray
       // a file belongs to the snapshot iff the manifest maps its
       // bucket to the generation that wrote it (encoded in its path)
       .filter { case (f, b, _, _) =>
