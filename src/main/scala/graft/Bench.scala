@@ -7,6 +7,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Generated-class cache sized to the suite (STATIC conf — must be
+      // set before the session exists). The default 100 entries is far
+      // below the ~205-query suite's distinct codegen'd stages, so every
+      // rep recompiled (janino) nearly every stage it had already run —
+      // pure fixed cost the guide's §1.2 step 2 says to remove before
+      // touching plans. Not a local[32]-only trick: any long-lived
+      // driver serving a query library this size wants its generated
+      // classes resident (~100 KB each; 2000 ≈ 200 MB driver heap).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,6 +25,11 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the suite registers these lazily via whichever operator runs
+    // first; a single-query dump must register them itself
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.BpeFunctions.register(spark)
+    graft.functions.BloomFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     rest.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

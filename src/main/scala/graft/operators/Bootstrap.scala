@@ -143,8 +143,16 @@ object Bootstrap {
       portable: Boolean = false): DataFrame = {
     require(qNum >= 1 && qNum * 2 < qDen,
       s"need 0 < qNum/qDen < 1/2 for a two-sided CI, got $qNum/$qDen")
-    val sums = bootstrapGroupSums(df, keyCols, Seq(groupCol), valueCol,
-      reps, portable)
+    // Scratch-materialized (guide §1.2): exactRanks is ITERATIVE — pass
+    // 0 plus one histogram re-scan of its source per refinement round
+    // (~5 rounds over 64-bit cent sums), and a lazy `sums` would re-run
+    // the corpus × reps explode-and-hash scan — the expensive part —
+    // every round. The materialized frame is (groups × reps) rows,
+    // trivially small at any corpus scale, so every refinement round
+    // re-scans a KB-scale table instead of the corpus.
+    val sums = Lifecycle.materializeToScratch(
+      bootstrapGroupSums(df, keyCols, Seq(groupCol), valueCol,
+        reps, portable))
     def rank(num: Long)(n: Long): Long =
       math.max(1L, (num * n + qDen - 1) / qDen)
     Frequency.exactRanks(sums.select(col(groupCol), col("sum_v")),

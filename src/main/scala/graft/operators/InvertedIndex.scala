@@ -57,24 +57,34 @@ object InvertedIndex {
     * caller needs it). */
   private def postingsOf(batch: DataFrame, idCol: String, textCol: String,
       nBuckets: Int, positional: Boolean): DataFrame = {
+    // denormalized doc length (the search-engine norm-in-posting layout,
+    // so BM25 scoring off the index needs no doclens join at query
+    // time) is computed SCAN-SIDE before the explode: len_d = Σtf over
+    // the doc's terms ≡ the doc's non-empty token count, a size() on
+    // the token array — where the previous shape paid a full
+    // shuffle+sort window over the posting rows at every build/append
+    // to recover a number the scan already knew (guide §2.4: remove
+    // shuffles outright). The array is materialized in its own
+    // projection before the HOF references it (lambda-inlined
+    // expressions re-evaluate per element — the Dedup.shingles rule).
     val grouped = batch
       .select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.whitespaceTokens(lower(trim(col(textCol))))))
-      .toDF("doc_id", "pos", "term")
+        TextAnalysis.whitespaceTokens(lower(trim(col(textCol)))).as("__toks"))
+      // array_remove, NOT the filter() HOF: higher-order functions are
+      // CodegenFallback and would break whole-stage codegen for the
+      // entire tokenize+explode stage (measured 1.5× on q110)
+      .select(col("doc_id"),
+        size(array_remove(col("__toks"), "")).cast("long").as("__len"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"))
     val agged =
       if (positional)
         grouped.agg(count(lit(1)).as("tf"),
-          sort_array(collect_list(col("pos"))).as("positions"))
-      else grouped.agg(count(lit(1)).as("tf"))
+          sort_array(collect_list(col("pos"))).as("positions"),
+          max(col("__len")).as("len_d"))
+      else grouped.agg(count(lit(1)).as("tf"), max(col("__len")).as("len_d"))
     agged
-      // denormalized doc length (Σtf over the doc's terms): the search-
-      // engine norm-in-posting layout, so BM25 scoring off the index
-      // ([[bm25Search]]) needs no doclens join at query time — one
-      // window at build time buys a join-free pruned scan per query
-      .withColumn("len_d", sum(col("tf")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .withColumn("bucket",
         pmod(Dedup.stringHash(col("term"), portable = true),
           lit(nBuckets.toLong)).cast("int"))

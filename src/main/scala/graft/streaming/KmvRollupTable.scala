@@ -81,7 +81,11 @@ final class KmvRollupTable(
       val next = gen + 1
       if (graft.operators.AtomicCommit
           .publishParquet(spark, s"$dir/gen=$next") { tmp =>
-            merged.write.mode("overwrite").parquet(tmp)
+            // one file per generation: the sketch table is (groups x one
+            // bounded sketch) — KBs — and a full-parallelism write left
+            // one near-empty file per shuffle partition for every read
+            // to list (guide §6: small files hurt twice)
+            merged.coalesce(1).write.mode("overwrite").parquet(tmp)
           }) { gen = next; done = true }
       else {
         gen = CdcCommits.maxCommittedGen(fs, dir)
