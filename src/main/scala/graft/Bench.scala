@@ -14,8 +14,19 @@ object Bench {
       // pure fixed cost the guide's §1.2 step 2 says to remove before
       // touching plans. Not a local[32]-only trick: any long-lived
       // driver serving a query library this size wants its generated
-      // classes resident (~100 KB each; 2000 ≈ 200 MB driver heap).
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // classes resident (~100 KB each; 8000 ≤ ~800 MB driver heap,
+      // measured heap high-water 2.0 GB of the 8 GB -Xmx). 2000 was
+      // STILL thrashing: the back-to-back r14 A/B (same env window)
+      // read 276.1 s at 2000 vs 239.0 s at 8000 with 170/205 queries
+      // faster on the per-query MIN (median ratio 0.80) — the eviction
+      // fingerprint, broad and strongest on small queries. (The
+      // calibration probe is itself a codegen'd stage, so under a
+      // thrashing cache the probe recompiles too and over-reports env
+      // inflation — compare raw/min totals across cache sizes, not
+      // cal_total.) Env-overridable so cache experiments don't need a
+      // rebuild; the default IS the benched value.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1530,6 +1530,65 @@ object ProfileScratch {
           }
         }
 
+      case "jobs" =>
+        // Per-JOB breakdown of a named query (UI is disabled, so this is
+        // the local stand-in for the Jobs page): one warmup at sf0.001,
+        // then one run at $SPARK_GRAFT_SF_DIR with a listener recording
+        // each job's wall time, task count, summed task time and call
+        // site — where a lifecycle query's many small actions actually
+        // spend their seconds.
+        val name = args(1)
+        val fn = SparkEntry.queries(name)
+        fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        case class J(id: Int, site: String, wall: Double, tasks: Int,
+          taskSec: Double)
+        val jobs = scala.collection.mutable.ArrayBuffer.empty[J]
+        val starts = scala.collection.mutable.Map[Int, (String, Long)]()
+        val stageToJob = scala.collection.mutable.Map[Int, Int]()
+        val taskAgg = scala.collection.mutable.Map[Int, (Int, Double)]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            synchronized {
+              val site = Option(e.properties)
+                .flatMap(p => Option(p.getProperty("callSite.short")))
+                .getOrElse("?")
+              starts(e.jobId) = (site, System.nanoTime())
+              e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
+            }
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            synchronized {
+              stageToJob.get(e.stageId).foreach { jid =>
+                val (n, s) = taskAgg.getOrElse(jid, (0, 0.0))
+                taskAgg(jid) = (n + 1, s + e.taskInfo.duration / 1e3)
+              }
+            }
+          override def onJobEnd(
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            synchronized {
+              starts.remove(e.jobId).foreach { case (site, t0) =>
+                val (n, s) = taskAgg.getOrElse(e.jobId, (0, 0.0))
+                jobs += J(e.jobId, site, (System.nanoTime() - t0) / 1e9, n, s)
+              }
+            }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        val byJob = jobs.sortBy(_.id)
+        byJob.foreach { j =>
+          println(f"JOB ${j.id}%3d wall=${j.wall}%6.2fs tasks=${j.tasks}%4d " +
+            f"taskSec=${j.taskSec}%7.2f  ${j.site}")
+        }
+        println(f"TOTAL $name wall=$wall%.2f s jobs=${byJob.size} " +
+          f"jobWallSum=${byJob.map(_.wall).sum}%.2f " +
+          f"taskSecSum=${byJob.map(_.taskSec).sum}%.2f")
+
       case "query" =>
         // Generic single-query profiler: warmup at sf0.001, then two
         // timed noop-sink runs at $SPARK_GRAFT_SF_DIR.

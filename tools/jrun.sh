@@ -16,5 +16,5 @@ exec java $ADD_OPENS \
   -Dspark.sql.session.timeZone=UTC \
   -Djdk.lang.Process.launchMechanism="${GRAFT_LAUNCH_MECH:-POSIX_SPAWN}" \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "/root/repo/target/scala-2.13/classes:/root/repo/src/main/resources:/opt/spark/jars/*" \
   "$@"
