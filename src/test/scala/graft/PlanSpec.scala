@@ -142,20 +142,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p) // candidate set must stay tiny
   }
 
-  test("q99: every profile branch scans only its own column, hash-aggregated") {
+  test("q99: one shared stats scan + a pruned scan per distinct, hash-aggregated") {
     val p = plan("q99_column_profile")
-    // one pruned scan per profiled column (columnar store: same total
-    // bytes as one 5-column scan), and no Expand / SortAggregate —
-    // the multi-distinct single-scan form costs 6x rows + sorts
-    // (measured 7.5s vs ~1s on this profile)
+    // the r14 profile shape: ALL non-distinct stats (count/nulls/min/
+    // max for every column) fold into ONE 5-column scan, and each
+    // exact countDistinct keeps its own single-column pruned scan —
+    // 6 scans total. Still no Expand / SortAggregate anywhere: the
+    // multi-distinct single-scan form costs 6x rows + sorts (measured
+    // 7.5s vs ~1s on this profile).
     val scans = p.linesIterator.count(_.matches(""".*\(\d+\) Scan parquet.*"""))
-    assert(scans == 5, p)
+    assert(scans == 6, p)
     val readSchemas = p.linesIterator
       .filter(_.contains("ReadSchema")).toSeq
-    assert(readSchemas.size == 5, p)
-    // each branch reads exactly one column ("ReadSchema: struct<c:t>"
-    // has exactly two colons — the label's and the single field's)
-    assert(readSchemas.forall(_.count(_ == ':') == 2), readSchemas.mkString("\n"))
+    assert(readSchemas.size == 6, p)
+    // 5 distinct branches read exactly one column each ("ReadSchema:
+    // struct<c:t>" has exactly two colons — the label's and the single
+    // field's); the shared stats branch reads all 5 (six colons)
+    assert(readSchemas.count(_.count(_ == ':') == 2) == 5,
+      readSchemas.mkString("\n"))
+    assert(readSchemas.count(_.count(_ == ':') == 6) == 1,
+      readSchemas.mkString("\n"))
     assert(!p.contains("Expand"), p)
   }
 

@@ -210,7 +210,8 @@ class ConcurrentWriterSpec extends SparkSpec {
     assert(HammingIndex.load(spark, dir, "id").codes.count() == 9)
   }
 
-  test("StreamingDedup.compactIndex: a concurrently-published generation refuses") {
+  test("StreamingDedup.compactIndex: an already-committed generation is a " +
+      "silent replay — no re-fold, winner intact, sources survive the pass") {
     val dir = tmp("sdedup_two") + "/idx"
     // two committed ingest batches
     Seq((1L, "h1")).toDF("id", "block").write
@@ -222,17 +223,23 @@ class ConcurrentWriterSpec extends SparkSpec {
       .parquet(s"$dir/gen=2")
     hfs(dir).create(new Path(s"$dir/gen=2", "_GRAFT_COMMITTED"),
       true).close()
-    // the torn view of a racer that listed BEFORE that publish: its
-    // own attempt at gen=2 must refuse, leaving the winner untouched.
-    // Simulate by deleting the marker view? No — compactIndex lists
-    // committed gens < upTo only, so gen=2 is invisible to its source
-    // list and it goes straight to publishing gen=2: the CAS refuses.
-    intercept[ConcurrentWriteException] {
-      StreamingDedup.compactIndex(spark, dir, upTo = 2L)
-    }
-    // winner's generation intact, sources untouched (loser must not
-    // run the covered-partition delete)
+    // a racer (or checkpoint replay) whose gen=upTo is ALREADY committed
+    // must not re-fold and must not throw: it proceeds straight to the
+    // retention marks (idempotent replay — the CAS refusal is reserved
+    // for the true in-flight race, where the winner lands BETWEEN this
+    // compactor's destination check and its publish). The covered
+    // sources are superseded by the committed winner either way, so
+    // marking them for the next sweep is correct; they must still be
+    // present after THIS pass (one janitor cycle of reader grace).
+    StreamingDedup.compactIndex(spark, dir, upTo = 2L)
+    // winner's generation intact, sources untouched this cycle (the
+    // replay must not run a covered-partition delete)
     assert(spark.read.parquet(s"$dir/gen=2").count() == 2)
     assert(hfs(dir).exists(new Path(s"$dir/ingest_batch=0")))
+    assert(hfs(dir).exists(new Path(s"$dir/ingest_batch=1")))
+    // the index still reads exactly the winner's content
+    val ids = StreamingDedup.readIndex(spark, dir, beforeBatch = 99L)
+      .get.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
   }
 }
