@@ -73,7 +73,14 @@ object Dedup {
     * is narrower than the session's shuffle parallelism (a real 100 TB
     * scan has thousands of splits, so this never adds a shuffle at
     * scale). */
-  private[operators] def widen(df: DataFrame, idCol: String): DataFrame = {
+  private[graft] def widen(df: DataFrame, idCol: String): DataFrame =
+    widen(df, col(idCol))
+
+  /** Key-expression overload for sources without a natural id column
+    * (e.g. a bare text corpus): any deterministic expression with
+    * enough distinct values spreads the rows (guide §2.5 — derive
+    * synthetic partitioning keys deterministically, never rand()). */
+  private[graft] def widen(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df // micro-batch sizing governs parallelism
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // toRdd, not df.rdd: same physical partition count without building
@@ -81,7 +88,7 @@ object Dedup {
     // executedPlan.outputPartitioning — file scans report
     // UnknownPartitioning(0), which would read as "always narrower".)
     if (df.queryExecution.toRdd.getNumPartitions < target)
-      df.repartition(target, col(idCol))
+      df.repartition(target, key)
     else df
   }
 

@@ -498,8 +498,16 @@ object RelationalQueries {
     * ~10⁸ rows; beyond that use approx_percentile (t-digest, map-side
     * combined, no sort) and accept the error bound. */
   def groupQuantiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+    // widen before the partial aggregate: `percentile`'s partial state
+    // is the whole per-group value multiset (nothing reduces map-side),
+    // so on an under-split scan the expensive buffer build runs on one
+    // core while the shuffle ships the same bytes either way. Hash on
+    // (flag, value) — deterministic, near-unique (guide §2.5); no-op on
+    // a real many-split scan (r15: 2.38 s → 1.75 s at sf0.1).
+    graft.operators.Dedup.widen(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c")),
+      xxhash64(col("l_returnflag"), col("c")))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         percentile(col("c"), lit(0.25)).as("p25_cents"),

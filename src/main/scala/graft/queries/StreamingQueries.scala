@@ -25,9 +25,13 @@ object StreamingQueries {
     * fixed cost: q201 measured 51 s isolated at 32 partitions vs ~20 s
     * at 8, identical results (state semantics are partition-count
     * independent; a checkpoint pins its count at first start, and each
-    * gate query owns a fresh checkpoint). Production sizes this knob
-    * to key volume × executor count. Restored after. */
-  private def withStateParts[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    * gate query owns a fresh checkpoint). r15 swept the knob over the
+    * six heaviest gates in one session: 8 → 4 cut the subset 23.1 →
+    * 20.4 s (q201 5.30→4.35) while 2 regressed it back to 22.2 s
+    * (too few tasks per drained batch), so 4 is the measured floor for
+    * this stream size. Production sizes this knob to key volume ×
+    * executor count. Restored after. */
+  private def withStateParts[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
