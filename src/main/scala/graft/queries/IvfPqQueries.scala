@@ -172,14 +172,8 @@ object IvfPqQueries {
     * brute-force top-5 over 20 queries → histogram per variant. */
   def ivfPqRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    // the exact ground truth feeds all three hist() branches of one
-    // union plan, and Spark does not dedupe shared subtrees — lazy, the
-    // corpus-scale brute-force scan ran three times (guide §1.2: don't
-    // recompute what you already have). Scratch-materialized once; the
-    // table is (queries × 5) rows, KBs at any corpus scale.
-    val exact = graft.operators.Lifecycle.materializeToScratch(
-      SimilarityQueries.knnBruteForce(s, d)
-        .select(col("query_id"), col("neighbor_id")))
+    val exact = SimilarityQueries.knnBruteForce(s, d)
+      .select(col("query_id"), col("neighbor_id"))
     def hist(approx: DataFrame, name: String): DataFrame = {
       val a = approx.select(col("query_id").as("qq"),
         col("neighbor_id").as("qn"))

@@ -537,12 +537,8 @@ object SimilarityQueries {
     * full iterated training in SQL (unrolled CTEs per step), so the
     * fixed-point centroid math is cross-engine-pinned, not trusted. */
   def pqLloydRecall(s: SparkSession, d: String): DataFrame = {
-    // shared by both hist branches of one union plan; Spark does not
-    // dedupe the subtree, so the lazy form ran the corpus-scale
-    // brute-force scan twice (the q138 fix; the truth table is
-    // queries × 5 rows — KBs at any corpus scale)
-    val exact = graft.operators.Lifecycle.materializeToScratch(
-      knnBruteForce(s, d).select(col("query_id"), col("neighbor_id")))
+    val exact = knnBruteForce(s, d).select(col("query_id"),
+      col("neighbor_id"))
     def hist(iters: Int, name: String): DataFrame = {
       val emb = Tables.embeddings(s, d)
       val pq = graft.operators.ProductQuant.pqTopK(emb,
